@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query executes end-to-end into the ``noop`` sink — the full plan
+(scans, shuffles, joins, aggregates) runs; only the terminal
+collect/write is elided, so timings reflect engine work, not driver
+materialization.
+
+Isolation: every query runs in its OWN subprocess (fresh JVM), after a
+warm-up pass at ``$SPARK_GRAFT_WARM_DIR`` (default sf0.001) that JIT-
+compiles the generated whole-stage-codegen classes on cheap data.
+Sharing one JVM across many distinct queries backlogs the C2 compile
+queue so badly that later stages run interpreted for their entire
+duration — measured 3.6s → 119s on an identical window query depending
+solely on its position in the sequence. Per-query JVMs give stable,
+position-independent timings (the driver compares totals round-over-
+round, so run-to-run stability matters more than shared-JVM wall-clock).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def run_one(name: str, sf_dir: str, warm_dir: str) -> None:
+    """Child mode: warm up, time one query, print a JSON line."""
+    from exceldatatransform_py_spark import get_spark
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+
+    spark = get_spark(app_name=f"bench-{name}")
+    fn = QUERIES[name]
+    if warm_dir != sf_dir:
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"name": name, "sec": sec}))
+    sys.stdout.flush()
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], sf_dir, warm_dir)
+        return
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in QUERIES:
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr, flush=True)
+            raise RuntimeError(f"bench: query {name} failed")
+        line = proc.stdout.strip().splitlines()[-1]
+        times[name] = float(json.loads(line)["sec"])
+        print(f"bench: {name} {times[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""J2/J3 — update-only merge (MERGE INTO ... WHEN MATCHED THEN UPDATE).
+
+Reference: ``timesheet_transform.py:105-138`` — for each target sheet
+row whose (surname, date) matches an aggregated source row, overwrite
+COMMESSA and ORE in place; unmatched target rows stay untouched;
+unmatched *source* rows are discarded ("we don't create new rows",
+``timesheet_transform_v3.py:105``). When multiple source rows hit one
+target key the reference re-aggregates them (``:129-134``) — here the
+source is pre-aggregated *before* the join (J3), which avoids the
+row-explosion pandas had to patch after the fact.
+
+Spark restatement: target ⟕ updates on the key + per-column
+``coalesce(update, target)``. Exactly Delta Lake's
+``whenMatchedUpdate`` with no ``whenNotMatchedInsert``; on plain
+parquet the caller rewrites (``sources.writers.merge_update_write``).
+
+Scale note: this is a plain equi-join — AQE picks broadcast when the
+update set is small (the common case: updates ≪ target), else a
+shuffle join co-partitioned on the merge key.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_update(
+    target: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """Return the target with ``update_cols`` overwritten from
+    ``updates`` on matching ``on`` keys; target cardinality preserved.
+
+    ``updates`` must be unique per key (pre-aggregate — J3); a NULL in
+    an update column keeps the target value (matched-overwrite is
+    defined for non-NULL update values, mirroring the reference which
+    always writes concrete aggregated values).
+    """
+    missing = [c for c in [*on, *update_cols] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"merge_update: updates missing columns {missing}")
+
+    u = updates.select(
+        *[F.col(c).alias(f"__upd_{c}") for c in on],
+        *[F.col(c).alias(f"__upd_{c}") for c in update_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [target[k].eqNullSafe(F.col(f"__upd_{k}")) for k in on],
+    )
+    joined = target.join(u, cond, "left")
+    out = [
+        F.coalesce(F.col(f"__upd_{c}"), target[c]).alias(c)
+        if c in update_cols
+        else target[c]
+        for c in target.columns
+    ]
+    return joined.select(*out)

@@ -1,0 +1,514 @@
+"""Driver-scored query registry.
+
+Every operator from SURVEY.md §2 gets a named query here plus (where
+SQL-expressible) a DuckDB oracle twin. Conventions that make the
+driver's order-insensitive value-hash comparison deterministic:
+
+* Aliases: every computed column is aliased identically in the Spark
+  plan and the oracle SQL (the driver sorts columns by name).
+* Floats: SUM/AVG over doubles go through exact DECIMAL arithmetic
+  and are cast back to double at the end (``functions.dec_sum``) —
+  double summation is order-dependent, decimal is associative, and
+  the exact-decimal→double cast is correctly rounded in both engines,
+  so results are bit-identical regardless of partitioning.
+* Order: queries need no ORDER BY (hash is order-insensitive), but
+  every window/top-k ordering includes a unique tiebreaker key.
+* Dates: the Spark session runs in UTC; parquet timestamps therefore
+  render the same civil date/time as DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.columns import (
+    clean_numeric,
+    dec_sum,
+    distinct_sorted_concat,
+    last_token_lower,
+    week_start_date,
+)
+from exceldatatransform_py_spark.operators.lookup import lookup_with_default
+from exceldatatransform_py_spark.operators.merge import merge_update
+from exceldatatransform_py_spark.operators.topk import top_k_per_group
+from exceldatatransform_py_spark.operators.unpivot import unpivot_measures
+from exceldatatransform_py_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference pipeline restated on testdata (SURVEY.md §7):
+# fact scan → broadcast dim join → date truncation → group agg with
+# distinct-sorted string concat (A2) + deterministic sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_daily_segment_ledger",
+    oracle="""
+    SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+           c.c_mktsegment AS mktsegment,
+           n.n_name AS nation,
+           string_agg(DISTINCT o.o_orderpriority, '; ' ORDER BY o.o_orderpriority) AS priorities,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def flagship_daily_segment_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    )
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    return df.groupBy(
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation"),
+    ).agg(
+        distinct_sorted_concat("o_orderpriority").alias("priorities"),
+        dec_sum("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A5 — TPC-H Q1-style pricing summary: multi-aggregate hash group-by
+# with partial+final aggregation; filter pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    tax = F.col("l_tax").cast("decimal(8,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (dec_sum("l_quantity") / n).alias("avg_qty"),
+            (dec_sum("l_extendedprice") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast lookup with unmatched-key passthrough
+# (timesheet_transform.py:56 — dict.get(k, k)).
+# The mapping is deliberately partial (nationkey < 15) so the
+# passthrough branch is exercised.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lookup_passthrough_default",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(m.n_name, CAST(c.c_nationkey AS VARCHAR)) AS nation_label
+    FROM customer c
+    LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15) m
+      ON c.c_nationkey = m.n_nationkey
+    """,
+)
+def lookup_passthrough_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    mapping = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 15)
+        .select("n_nationkey", "n_name")
+    )
+    out = lookup_with_default(
+        customer, mapping, key_col="c_nationkey", out_col="nation_label"
+    )
+    return out.select("c_custkey", F.col("nation_label").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# P2 — derived column: surname = last whitespace token, lowercased
+# (timesheet_transform.py:59-60).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "surname_extract",
+    oracle=r"""
+    SELECT c_custkey,
+           CASE WHEN trim(c_name) IS NULL OR trim(c_name) = '' THEN 'unknown'
+                ELSE lower((string_split_regex(trim(c_name), '\s+'))[-1])
+           END AS surname
+    FROM customer
+    """,
+)
+def surname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", last_token_lower("c_name").alias("surname")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — dirty-numeric-string cleaning with bad→default
+# (timesheet_transform.py:66-73). Dirt is synthesized deterministically:
+# NBSP + integer + trailing spaces, with every 7th line unparseable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dirty_numeric_clean",
+    oracle=r"""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(TRY_CAST(regexp_replace(
+             CASE WHEN l_linenumber % 7 = 0 THEN 'x' ELSE '' END
+               || chr(160) || CAST(l_suppkey AS VARCHAR) || '  ',
+             '[\s\xa0]+', '', 'g') AS DOUBLE), 0.0) AS cleaned_val
+    FROM lineitem
+    """,
+)
+def dirty_numeric_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: per-row string synth + regex + cast over single-row-group
+    # files — parallelize the map stage (see read_table docstring).
+    li = read_table(spark, sf_dir, "lineitem", fan_out=True)
+    dirty = F.concat(
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("x")).otherwise(F.lit("")),
+        F.lit("\xa0"),
+        F.col("l_suppkey").cast("string"),
+        F.lit("  "),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        clean_numeric(dirty, default=0.0).alias("cleaned_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — generic wide→long unpivot (Expand node, no shuffle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: Expand multiplies rows 4x before the (single-task) scan
+    # boundary would otherwise serialize the whole pipeline.
+    li = read_table(spark, sf_dir, "lineitem", fan_out=True).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    return unpivot_measures(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 + P3/P6 — dayfirst week-range parse with malformed-row skip
+# (timesheet_transform.py:44-52). Week strings are synthesized from
+# l_shipdate; every linenumber-7 row is malformed and must be skipped.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "week_range_parse",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber = 7 THEN 'not-a-range'
+                  ELSE strftime(CAST(l_shipdate AS DATE), '%d/%m/%Y')
+                       || ' al '
+                       || strftime(CAST(l_shipdate AS DATE) + INTERVAL 6 DAY, '%d/%m/%Y')
+             END AS week_range
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(try_strptime(trim(split_part(week_range, ' al ', 1)), '%d/%m/%Y') AS DATE) AS week_start
+    FROM t
+    WHERE week_range LIKE '% al %'
+      AND try_strptime(trim(split_part(week_range, ' al ', 1)), '%d/%m/%Y') IS NOT NULL
+    """,
+)
+def week_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem", fan_out=True)
+    ship = F.to_date("l_shipdate")
+
+    def ddmmyyyy(d):
+        # 'dd/MM/yyyy' from day()/month()/year() field arithmetic.
+        # NOT date_format() / cast(date→string): those run a java.time
+        # DateTimeFormatter per row, and this tree gets inlined several
+        # times into the downstream parse expression.
+        return F.concat_ws(
+            "/",
+            F.lpad(F.day(d).cast("string"), 2, "0"),
+            F.lpad(F.month(d).cast("string"), 2, "0"),
+            F.year(d).cast("string"),
+        )
+
+    week_range = F.when(F.col("l_linenumber") == 7, F.lit("not-a-range")).otherwise(
+        F.concat(ddmmyyyy(ship), F.lit(" al "), ddmmyyyy(F.date_add(ship, 6)))
+    )
+    # Stage the synthesized string as its own projection: the parse
+    # references it several times, and keeping it a plain column stops
+    # CollapseProject from inlining the synthesis into every use
+    # (smaller codegen units JIT faster and evaluate cheaper).
+    staged = li.select("l_orderkey", "l_linenumber", week_range.alias("week_range"))
+    return (
+        staged.withColumn("week_start", week_start_date("week_range"))
+        .filter(F.col("week_start").isNotNull())
+        .select("l_orderkey", "l_linenumber", "week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — update-only merge: overwrite o_totalprice with the
+# pre-aggregated lineitem revenue for matched orders; unmatched target
+# rows keep their value; unmatched source rows are discarded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_update_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS o_totalprice
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      GROUP BY l_orderkey
+    ) u ON o.o_orderkey = u.l_orderkey
+    """,
+)
+def merge_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(dec_sum("l_extendedprice").alias("o_totalprice"))
+    )
+    return merge_update(
+        orders, updates, on=["o_orderkey"], update_cols=["o_totalprice"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — top-K per group via ranked window (deterministic tiebreaker).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 5
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    df = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        df,
+        partition_cols=["c_mktsegment"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=5,
+        rank_col="rk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — rollup with subtotal rows (NULL level markers, same as SQL).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations (INTERSECT / EXCEPT, distinct semantics).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
+
+
+@register(
+    "setop_churned_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def setop_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.subtract(y95)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — analytic window: running sum per key (exact decimal prefix
+# sums so every prefix is engine-independent).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — distinct counting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

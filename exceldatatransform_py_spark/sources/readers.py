@@ -1,0 +1,97 @@
+"""Readers (SURVEY.md §2.1).
+
+S1/S2 — the reference reads Excel workbooks (one DataFrame per sheet,
+``timesheet_transform.py:21-29``) and unions all sheets, synthesizing
+a missing ``Codice Commessa`` column from the sheet name. The Spark
+restatement treats each "sheet" as an independent source DataFrame
+and unions by name with missing-column tolerance, adding a lineage
+column. S3 — the 2-column mapping file becomes a small dimension
+DataFrame that callers broadcast. S6 — parquet/csv/json scans are
+Spark built-ins; `read_table` is the thin entry point the whole
+engine uses, keeping predicate pushdown / column pruning intact
+(never collect-then-recreate).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Scan one parquet table lazily (filters/projections push down).
+
+    ``fan_out=True`` round-robin-repartitions the scan to the session's
+    default parallelism. Parquet is only splittable at row-group
+    granularity, and the local testdata files are written as a SINGLE
+    row group — without this, every map-side pipeline over them runs
+    as one task on one core. Use it for expression-heavy map-only
+    plans over such files. Production-scale data has many row
+    groups/files, so scans parallelize natively and the extra shuffle
+    would be pure cost: leave it off unless the source is known to be
+    few-big-row-group files.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if fan_out:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def read_all_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Scan a directory of tables → {name: DataFrame} (the reference's
+    workbook-as-dict-of-sheets abstraction, ``timesheet_transform.py:21``)."""
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def scan_sheets_with_lineage(
+    sheets: Mapping[str, DataFrame],
+    lineage_col: str = "source_sheet",
+    synthesize_col: str | None = None,
+) -> DataFrame:
+    """Union heterogeneous per-sheet DataFrames with lineage (S2).
+
+    Mirrors ``timesheet_transform.py:21-29``: every sheet is read; if
+    ``synthesize_col`` is named and a sheet lacks that column, the
+    sheet *name* is injected as its value; all sheets are concatenated
+    tolerating missing columns (pandas ``concat(ignore_index=True)``
+    → ``unionByName(allowMissingColumns=True)``).
+
+    Scale note: each input stays an independent lazy scan; the union
+    is a no-shuffle bag union, so this works for arbitrarily many
+    arbitrarily large sources.
+    """
+    out: DataFrame | None = None
+    for name, df in sheets.items():
+        if synthesize_col is not None:
+            if synthesize_col not in df.columns:
+                df = df.withColumn(synthesize_col, F.lit(name))
+            else:
+                # Reference keeps existing values; only fills a wholly
+                # missing column. NULL cells stay NULL.
+                pass
+        df = df.withColumn(lineage_col, F.lit(name))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("scan_sheets_with_lineage: no input sheets")
+    return out

@@ -1,0 +1,31 @@
+"""Every registered query with an oracle twin must match DuckDB —
+the local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from exceldatatransform_py_spark.plans.queries import ORACLE, QUERIES
+from tests.oracle_utils import compare_with_oracle
+
+ORACLE_CHECKED = sorted(ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    compare_with_oracle(df, ORACLE[name], sf_dir)
+
+
+def test_all_queries_run(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
