@@ -17,6 +17,13 @@ duration — measured 3.6s → 119s on an identical window query depending
 solely on its position in the sequence. Per-query JVMs give stable,
 position-independent timings (the driver compares totals round-over-
 round, so run-to-run stability matters more than shared-JVM wall-clock).
+
+Parallelism: ``$SPARK_GRAFT_BENCH_WORKERS`` (default 4) children run
+at once, each on ``local[total_cpus / workers]`` — the pool always
+sums to the machine, so per-query numbers stay comparable run-to-run
+while wall-clock amortizes the ~15s JVM+warm-up cost per child
+(serial, 35 queries × ~20s overhead alone would blow the driver's
+bench budget).
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import re
 import subprocess
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 
 def run_one(name: str, sf_dir: str, warm_dir: str) -> None:
@@ -59,21 +67,34 @@ def main() -> None:
 
     from exceldatatransform_py_spark.plans.queries import QUERIES
 
-    times: dict[str, float] = {}
-    for name in QUERIES:
+    total_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "4"))
+    child_env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(max(total_cpus // workers, 1)),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+    )
+
+    def run_child(name: str) -> float:
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True,
             text=True,
             timeout=600,
+            env=child_env,
         )
         if proc.returncode != 0:
             print(proc.stderr[-2000:], file=sys.stderr, flush=True)
             raise RuntimeError(f"bench: query {name} failed")
         line = proc.stdout.strip().splitlines()[-1]
-        times[name] = float(json.loads(line)["sec"])
-        print(f"bench: {name} {times[name]}s", file=sys.stderr, flush=True)
+        sec = float(json.loads(line)["sec"])
+        print(f"bench: {name} {sec}s", file=sys.stderr, flush=True)
+        return sec
+
+    names = list(QUERIES)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        times = dict(zip(names, pool.map(run_child, names)))
 
     total = round(sum(times.values()), 3)
     print(

@@ -1,0 +1,273 @@
+"""Deduplication operators over document corpora (north-star mandate).
+
+The reference has no dedup (SURVEY.md §0); these are the
+training-data-pipeline operators a 100 TB corpus needs. Design rules:
+
+* Exact dedup groups on a 128-bit digest of normalized text, never on
+  the text itself — the shuffle then moves 32-byte keys instead of
+  document bodies.
+* Near-dup candidate generation never goes O(n²): both the n-gram
+  Jaccard and the MinHash-LSH paths build an inverted index (explode →
+  self-join on a short key) so only colliding pairs meet, and both
+  drop "stop shingles"/over-hot buckets to bound skew.
+* All hashing is md5-derived (``functions.text.md5_hash32``) so every
+  stage has a bit-identical DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.text import (
+    md5_hash32,
+    normalize_text,
+    word_shingles,
+    ws_tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """Collapse exact duplicates (after whitespace/case normalization).
+
+    Returns one row per distinct normalized text:
+    ``(id_col = <keep> id of the group, n_copies)``. Groups on
+    ``md5(normalized)`` so the shuffle key is 32 bytes regardless of
+    document size; md5 collisions are negligible below ~2^64 docs.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("__digest"))
+        .groupBy("__digest")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted index.
+
+    Plan shape: tokenize → distinct word-n-gram shingles → explode →
+    self-join on the 32-byte shingle *digest* (only docs sharing a
+    shingle ever meet — the classic inverted-index join, not a cross
+    join) → count common shingles per pair → Jaccard =
+    |∩| / (|A|+|B|-|∩|) ≥ threshold. Output:
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    ``max_shingle_docs`` drops shingles that occur in more than that
+    many documents before the self-join — the skew guard at scale
+    (boilerplate shingles otherwise create quadratic hot keys). Left
+    None, nothing is dropped and the result is exact.
+
+    Jaccard determinism: integer counts divided as doubles with a fixed
+    expression shape — bit-identical to the DuckDB twin.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
+    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
+
+    inv = base.select(
+        "doc", "n_sh", F.explode("shingles").alias("sh")
+    ).withColumn("sh", F.md5(F.col("sh"))).drop("shingles")
+
+    if max_shingle_docs is not None:
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_docs)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+
+    a = inv.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = inv.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig[i] = min over shingles of
+    h_i(shingle)`` with k independent md5-derived hash functions.
+
+    Output: ``(id_col, sig array<bigint>)``. The signature is a
+    fixed-size sketch (k * 8 bytes) regardless of document length —
+    this is what ships through the LSH shuffle, never the text.
+    """
+    shingles = word_shingles(ws_tokens(text_col), n=n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, seed=i: md5_hash32(s, seed=seed))
+            )
+            for i in range(k)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH near-dup: banding generates candidates, exact
+    n-gram Jaccard verifies them.
+
+    ``k`` hashes split into ``bands`` bands of ``r = k/bands`` rows;
+    docs colliding on any full band become candidates (prob. of a pair
+    with Jaccard s colliding = 1-(1-s^r)^b — the standard S-curve).
+    Candidates are verified with exact Jaccard on shingle digests, so
+    the output has no false positives: it is the *subset* of
+    ``ngram_jaccard_pairs`` whose pairs also collide in ≥1 band.
+
+    ``max_bucket_docs`` skips over-hot LSH buckets (all-identical
+    boilerplate at corpus scale would otherwise make one bucket
+    quadratic); None = exact banding.
+
+    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    if k % bands:
+        raise ValueError("minhash_lsh_pairs: bands must divide k")
+    r = k // bands
+
+    sigs = minhash_signature(df, id_col, text_col, n=n, k=k)
+    # band value = md5 of the ','-joined slice of the signature.
+    band_rows = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_docs is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_bucket_docs)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+
+    # Exact verification joins candidate pairs back to shingle-set
+    # sizes and intersection counts (same inverted index as
+    # ngram_jaccard_pairs, restricted to candidates — a semi-join
+    # prune at scale).
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
+    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
+    inv = base.select("doc", "n_sh", F.explode("shingles").alias("sh")).withColumn(
+        "sh", F.md5(F.col("sh"))
+    )
+    a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash fingerprint per document.
+
+    Each token hashes to a 32-bit value twice (seeds 0/1 → 63 usable
+    bits); bit b of the fingerprint is 1 iff the count of tokens with
+    bit b set exceeds half the token count (majority vote — the
+    standard SimHash construction with ±1 weights). Near-dup docs
+    differ in few bits (compare with ``bit_count(a XOR b)``).
+
+    Uses 63 bits to stay in signed-BIGINT range in both engines.
+    Plan shape: explode tokens → per-bit conditional counts in ONE
+    hash-aggregate pass → weighted bit sum. No shuffle beyond the
+    per-doc aggregate.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
+    )
+    h0 = md5_hash32("tok", seed=0)
+    h1 = md5_hash32("tok", seed=1)
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h0 if b < 32 else h1, b if b < 32 else b - 32) % 2).cast(
+                "long"
+            )
+        ).alias(f"b{b}")
+        for b in range(63)
+    ]
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"), *bit_sums
+    )
+    fp = None
+    for b in range(63):
+        bit = (F.col(f"b{b}") * 2 > F.col("n_tok")).cast("bigint") * F.lit(2**b).cast(
+            "bigint"
+        )
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north-star mandate).
+
+``array<float>`` embeddings, cosine metric. Two paths:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query
+  set against the candidate corpus; per-pair dot product as a
+  JVM-side ``zip_with``/``aggregate`` expression (no Python, no UDF).
+  The baseline and the verifier for the approximate path.
+* ``hyperplane_lsh_topk`` — the scale path: random-hyperplane LSH
+  (sign bits of projections onto P fixed planes → one bucket id);
+  only same-bucket pairs are scored. Planes are generated driver-side
+  from a fixed seed and inlined as literals, so the DuckDB oracle can
+  embed the *same* planes and reproduce the bucketing bit-for-bit.
+
+Determinism: dot products accumulate ``DECIMAL(24,12)`` terms (each
+term is the correctly-rounded decimal of a double product) — decimal
+addition is associative, so the sum is partition-order-independent
+and engine-independent; the final cosine is a fixed-shape double
+expression over those exact sums.
+
+At 100 TB the brute-force path is O(|Q|·N) with a broadcast query
+side — linear in the corpus and embarrassingly parallel; the LSH path
+cuts the scored set by ~2^P. Neither ever collects vectors to the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+SCALE = 1_000_000_000_000  # 1e12: products ≤ ~1 → terms ≤ 1e12, 4096-dim sums < 2^62
+
+
+def _dec_dot(a: Column, b: Column) -> Column:
+    """Scaled-integer dot product of two float arrays.
+
+    Each term is ``floor(xd * yd * 1e12)`` as a BIGINT; the sum is
+    exact long arithmetic — associative (partition-order-independent)
+    and engine-independent. ``floor`` rather than a decimal cast
+    because double→decimal *rounding* differs between Spark and DuckDB
+    (measured ~1e-11 drift over 64 terms); floor of an identical
+    double is identical everywhere. The 1e12 scale cancels in the
+    cosine ratio, so no precision is lost where it matters.
+    """
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(float(SCALE))),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = _dec_dot(a, b).cast("double")
+    na = F.sqrt(_dec_dot(a, a).cast("double"))
+    nb = F.sqrt(_dec_dot(b, b).cast("double"))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (small — interactive search / eval sets);
+    the corpus streams through in place with zero shuffle until the
+    final per-query top-k (a tiny aggregate: ``|Q| * k`` rows).
+    Output: ``(query_id, neighbor_id, cosine, rk)``; self-pairs
+    excluded; ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-normal hyperplanes, rounded to 6 decimals so
+    the literal values embedded in Spark plans and oracle SQL strings
+    are exactly the same doubles."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(v), 6) for v in p] for p in planes]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``vec`` against fixed hyperplanes.
+
+    bit_p = 1 iff <vec, plane_p> > 0; bucket = Σ bit_p · 2^p. The dot
+    product uses the same exact-decimal accumulation as scoring, so
+    boundary signs are engine-independent.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v).cast("double") for v in plane])
+        proj = _dec_dot(vec, arr)
+        bucket = bucket + (proj > 0).cast("bigint") * F.lit(2**p).cast("bigint")
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket. Recall rises as ``n_planes`` falls (fewer, bigger
+    buckets); production would union several independent plane sets
+    (multi-probe) — one set keeps the oracle twin readable.
+
+    Output schema matches ``cosine_topk``; ``rk`` ranks within the
+    bucket-restricted candidate set.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv", "__bucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -35,22 +35,8 @@ from exceldatatransform_py_spark.operators.lookup import lookup_with_default
 from exceldatatransform_py_spark.operators.merge import merge_update
 from exceldatatransform_py_spark.operators.topk import top_k_per_group
 from exceldatatransform_py_spark.operators.unpivot import unpivot_measures
+from exceldatatransform_py_spark.plans.registry import ORACLE, QUERIES, register
 from exceldatatransform_py_spark.sources.readers import read_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -512,3 +498,12 @@ def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Register the extension query modules (LLM-pipeline ops, event
+# windows/joins). Import side effects populate QUERIES/ORACLE.
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.plans import queries_events  # noqa: E402,F401
+from exceldatatransform_py_spark.plans import queries_llm  # noqa: E402,F401

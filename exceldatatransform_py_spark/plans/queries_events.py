@@ -1,0 +1,322 @@
+"""Driver-scored queries: event-time windows, temporal joins, and the
+remaining relational surface (semi/anti joins, pivot, cube, lag).
+
+The window queries run the SAME transforms Structured Streaming uses
+(``streaming.windows``) in batch mode — Spark defines streaming
+results as "what the batch query would produce on the data so far",
+so these oracles check the streaming operators' semantics too; the
+pytest streaming test drains the actual ``readStream`` twin and
+compares against the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.columns import dec_sum
+from exceldatatransform_py_spark.operators.asof import asof_join
+from exceldatatransform_py_spark.plans.registry import register
+from exceldatatransform_py_spark.sources.readers import read_table
+from exceldatatransform_py_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_DECSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window (5 min) per event_type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE AS window_end,
+           event_type,
+           count(*) AS n_events,
+           {_DECSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, duration="5 minutes", keys=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (10 min window, 5 min slide): each event belongs to 2
+# windows; the oracle phase-shifts two tumbling bucketings.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE, event_type, value FROM events
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           count(*) AS n_events,
+           {_DECSUM_VALUE} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return sliding_counts(
+        ev, duration="10 minutes", slide="5 minutes", keys=("event_type",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (10 min gap) per user: the oracle is the classic
+# gaps-and-islands restatement (lag → new-session flag → cumulative
+# session id → group). Spark's session end = last event + gap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events,
+           {_DECSUM_VALUE} AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return session_windows(ev, gap="10 minutes", keys=("user_id",))
+
+
+# ---------------------------------------------------------------------------
+# J5 — as-of join: latest order at or before each event's timestamp,
+# per user. Orders are pre-deduped to one row per (custkey, ts) so the
+# match is deterministic; DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — range join: map each event's value into a literal tier table
+# via a broadcast non-equi join (BroadcastNestedLoopJoin — the right
+# physical plan for tiny range dims).
+# ---------------------------------------------------------------------------
+
+_TIERS: list[tuple[str, float, float]] = [
+    ("low", 0.0, 3.0),
+    ("mid", 3.0, 7.0),
+    ("high", 7.0, 1e9),
+]
+
+
+@register(
+    "range_join_value_tiers",
+    oracle="""
+    SELECT e.event_id, t.tier
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 3.0), ('mid', 3.0, 7.0), ('high', 7.0, 1e9))
+         AS t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    """,
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    tiers_df = spark.createDataFrame(
+        _TIERS, schema="tier string, lo double, hi double"
+    )
+    return ev.join(
+        F.broadcast(tiers_df),
+        (ev.value >= tiers_df.lo) & (ev.value < tiers_df.hi),
+        "inner",
+    ).select("event_id", "tier")
+
+
+# ---------------------------------------------------------------------------
+# J4 — semi / anti equi-joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    )
+
+
+@register(
+    "anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long→wide — the inverse of the reference's unpivot) with an
+# explicit value list so the plan needs no extra distinct-scan pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_returnflag_qty",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dec_sum("l_quantity"))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — full cube (all grouping-set combinations).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — lag/lead analytics: per-supplier quantity deltas.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag_qty_delta",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           l_quantity - lag(l_quantity) OVER w AS qty_delta,
+           lead(l_quantity) OVER w - l_quantity AS qty_delta_next
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def lag_qty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") - F.lag("l_quantity").over(w)).alias("qty_delta"),
+        (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("qty_delta_next"),
+    )

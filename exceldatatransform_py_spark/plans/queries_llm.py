@@ -1,0 +1,456 @@
+"""Driver-scored queries: LLM-pipeline operators (north-star mandate).
+
+Dedup / near-dup / similarity / text analysis / multimodal plumbing
+over the ``documents`` and ``embeddings`` tables. Every query here has
+a full-value DuckDB oracle — including MinHash-LSH and SimHash, whose
+md5-derived hashing (``functions.text.md5_hash32``) is reproduced
+verbatim in generated SQL. Long oracle strings are built
+programmatically from the same constants the Spark plans use, so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.text import (
+    STOPWORDS,
+    lang_id,
+    normalize_text,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    token_count_bpe,
+    token_count_ws,
+    word_shingles,
+    ws_tokens,
+)
+from exceldatatransform_py_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from exceldatatransform_py_spark.operators.multimodal import binary_featurize
+from exceldatatransform_py_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    random_hyperplanes,
+)
+from exceldatatransform_py_spark.plans.registry import register
+from exceldatatransform_py_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (DuckDB dialect), kept next to the Spark
+# expressions they mirror.
+# ---------------------------------------------------------------------------
+
+#: functions.text.ws_tokens(col)
+_TOKS = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x != '')"
+
+#: functions.text.word_shingles(toks, n=3) — distinct word 3-grams;
+#: docs shorter than 3 tokens contribute one full-text shingle.
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - 2, 1) + 1), "
+    "i -> array_to_string({toks}[i:i+2], ' ')))"
+)
+
+#: functions.text.md5_hash32(x, seed) — portable 32-bit hash.
+_H32 = "CAST(concat('0x', substr(md5(concat('{seed}:', {x})), 1, 8)) AS BIGINT)"
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _stop_hits(toks: str, lang: str) -> str:
+    return f"len(list_filter({toks}, t -> list_contains({_stop_list(lang)}, t)))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy on normalized text).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS d
+      FROM documents
+    )
+    GROUP BY d
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS.format(col="text")}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_ws_tokens"),
+        token_count_bpe("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios).
+# ---------------------------------------------------------------------------
+
+_QTOKS = _TOKS.format(col="lower(text)")
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST({_stop_hits(_QTOKS, "en")} AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+           CAST(n_chars >= 50 AND n_chars <= 10000 AS DOUBLE) * 0.4
+           + CAST(CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 2.0
+                  AND CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 12.0
+                  AS DOUBLE) * 0.3
+           + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 3.0, 1.0) * 0.2
+           + least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 20.0, 1.0) * 0.1
+           AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits(toks, "en").cast("long").alias("n_stop"),
+    )
+    return staged.select(
+        "*",
+        quality_score(
+            F.col("n_chars"), F.col("n_tokens"), F.col("n_punct"), F.col("n_stop")
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword vote over en/it/de/fr).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_detect",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_stop_hits(_QTOKS, "en")} AS s_en,
+             {_stop_hits(_QTOKS, "it")} AS s_it,
+             {_stop_hits(_QTOKS, "de")} AS s_de,
+             {_stop_hits(_QTOKS, "fr")} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_it, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_it, s_de, s_fr) THEN 'en'
+                WHEN s_it = greatest(s_en, s_it, s_de, s_fr) THEN 'it'
+                WHEN s_de = greatest(s_en, s_it, s_de, s_fr) THEN 'de'
+                ELSE 'fr'
+           END AS lang_guess
+    FROM t
+    """,
+)
+def lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id(ws_tokens(F.lower(F.col("text")))).alias("lang_guess")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (min-of-md5 over shingles = 1-perm MinHash).
+# ---------------------------------------------------------------------------
+
+_FP_TOKS = _TOKS.format(col="text")
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLES.format(toks="toks")},
+                                   s -> md5(s))) AS fingerprint
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    shingles = word_shingles(ws_tokens("text"), n=3)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (inverted-index join).
+# ---------------------------------------------------------------------------
+
+_JACCARD_CTE = f"""
+    WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES.format(toks="toks")} AS shingles FROM t),
+    inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=_JACCARD_CTE
+    + """
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (banding candidates, exact verification).
+# The oracle reproduces the banding with the same md5-derived hashes.
+# ---------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS = 16, 4
+_MH_R = _MH_K // _MH_BANDS
+
+
+def _mh_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_H32.format(seed=i, x='s')})) AS s{i}"
+        for i in range(_MH_K)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            b=bi,
+            cols=", ".join(
+                f"CAST(s{bi * _MH_R + j} AS VARCHAR)" for j in range(_MH_R)
+            ),
+        )
+        for bi in range(_MH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES.format(toks="toks")} AS shingles FROM t),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
+    """
+
+
+@register("minhash_lsh_near_dup", oracle=_mh_oracle())
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        k=_MH_K,
+        bands=_MH_BANDS,
+        threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (63-bit majority vote over token hashes).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    h0 = _H32.format(seed=0, x="tok")
+    h1 = _H32.format(seed=1, x="tok")
+    bit_sums = ",\n             ".join(
+        f"SUM(({h0 if b < 32 else h1} >> {b if b < 32 else b - 32}) % 2) AS b{b}"
+        for b in range(63)
+    )
+    fp = " + ".join(
+        f"CAST(b{b} * 2 > n_tok AS BIGINT) * {2**b}" for b in range(63)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_FP_TOKS}) AS tok FROM documents),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tok,
+             {bit_sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM agg
+    """
+
+
+@register("simhash_fingerprint", oracle=_simhash_oracle())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash64(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings: exact brute-force top-k and the
+# hyperplane-LSH approximate path (both fully oracle-checked — the LSH
+# planes are literals shared between the Spark plan and the SQL).
+# ---------------------------------------------------------------------------
+
+# operators.similarity._dec_dot: floor(x*y*1e12) as BIGINT, exact sum.
+_DEC_DOT = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "* 1000000000000.0) AS BIGINT)"
+    ")) AS DOUBLE)"
+)
+
+_COSINE = (
+    f"{_DEC_DOT.format(a='qv', b='cv')} / "
+    f"(sqrt({_DEC_DOT.format(a='qv', b='qv')}) * sqrt({_DEC_DOT.format(a='cv', b='cv')}))"
+)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+
+
+_ANN_PLANES = random_hyperplanes(dim=64, n_planes=4, seed=42)
+
+
+def _ann_oracle() -> str:
+# operators.similarity.lsh_bucket: same floor-scaled dot for sign bits.
+    proj = (
+        "CAST(list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> CAST(floor(CAST({v}[i] AS DOUBLE) * ([{plane}])[i] "
+        "* 1000000000000.0) AS BIGINT)"
+        ")) AS DOUBLE)"
+    )
+    bucket = " + ".join(
+        "CAST({p} > 0 AS BIGINT) * {w}".format(
+            p=proj.format(v="embedding", plane=", ".join(str(v) for v in pl)),
+            w=2**i,
+        )
+        for i, pl in enumerate(_ANN_PLANES)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    s AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_lsh_topk", oracle=_ann_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, id_col="vec_id",
+        vec_col="embedding", k=5, dim=64, n_planes=4, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary column → Arrow-batched Python
+# featurization (mapInPandas). The digest/byte-count parity with SQL
+# proves the bytes crossed the boundary intact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binary_featurize",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def binary_featurize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_featurize(docs, id_col="doc_id", bin_col="payload")

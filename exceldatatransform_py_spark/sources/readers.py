@@ -50,7 +50,21 @@ def read_table(
     would be pure cost: leave it off unless the source is known to be
     few-big-row-group files.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+        # Read nanos as raw INT64 and convert exactly: integer-div to
+        # micros (matches DuckDB's nanos→micros truncation), then to a
+        # naive timestamp. `div` keeps the arithmetic in longs — a
+        # double round-trip would lose precision above 2^53 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if fan_out:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

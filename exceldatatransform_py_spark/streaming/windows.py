@@ -1,0 +1,137 @@
+"""Event-time windowed aggregation (SURVEY.md §2.7 — streaming).
+
+The reference has nothing temporal beyond date arithmetic; the engine
+surfaces Spark Structured Streaming's windowing model. Every transform
+here is *mode-agnostic*: ``F.window`` / ``F.session_window`` build the
+same logical plan on a batch DataFrame and on a streaming DataFrame,
+so one implementation serves both, and the batch run doubles as the
+oracle-checkable twin of the stream (same operator, same results once
+the stream drains — exactly how Structured Streaming defines its
+semantics: "the result table equals running the batch query on the
+data seen so far").
+
+Streaming specifics (watermarks, late-data drop, output modes) only
+attach in ``stream_tumbling_counts`` — the ``readStream`` wrapper used
+by the tests, which replays the parquet events table as a file stream.
+
+Scale posture: windowed aggregation shuffles on (key, window) — at
+100 TB the state store partitions by the same key, AQE handles skewed
+keys in batch, and watermarks bound state size in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dec_sum(col: str) -> Column:
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "5 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed, non-overlapping event-time windows.
+
+    Output: ``(window_start, window_end, *keys, n_events, sum_value)``.
+    Batch-SQL twin: ``GROUP BY time_bucket(duration, ts)``.
+    """
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows
+    (an Expand node — same trick as the unpivot, no pre-shuffle
+    blow-up past the aggregate).
+
+    Batch-SQL twin: UNION ALL of duration/slide phase-shifted
+    ``time_bucket`` groupings.
+    """
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Dynamic gap-based sessions per key: events closer than ``gap``
+    merge into one session; ``window_end`` = last event + gap (Spark's
+    session_window definition).
+
+    Output: ``(*keys, session_start, session_end, n_events,
+    sum_value)``. Batch-SQL twin: gaps-and-islands (lag + cumulative
+    new-session flags) — the classic SQL restatement.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum(value_col).alias("sum_value"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    duration: str = "5 minutes",
+    watermark: str = "30 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """The streaming twin of ``tumbling_counts``: file-source replay of
+    the events table with a watermark bounding state / dropping late
+    data. Callers start it with ``writeStream`` (tests drain it into a
+    memory sink with ``trigger(availableNow=True)`` and compare to the
+    batch result — the Structured Streaming equivalence contract).
+    """
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(events_path)
+    ).withWatermark(ts_col, watermark)
+    return tumbling_counts(
+        stream, ts_col=ts_col, duration=duration, keys=keys, value_col=value_col
+    )
