@@ -71,14 +71,7 @@ def ngram_jaccard_pairs(
     Jaccard determinism: integer counts divided as doubles with a fixed
     expression shape — bit-identical to the DuckDB twin.
     """
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
-    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
-
-    inv = base.select(
-        "doc", "n_sh", F.explode("shingles").alias("sh")
-    ).withColumn("sh", F.md5(F.col("sh"))).drop("shingles")
+    inv = shingle_index(df, id_col, text_col, n=n).select("doc", "n_sh", "sh")
 
     if max_shingle_docs is not None:
         hot = (
@@ -111,26 +104,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """The shared inverted index all near-dup paths build on:
+    one row per (doc, distinct shingle) with the shingle's md5 digest
+    and two independent 32-bit hash values carved out of that SAME
+    digest (hex chars 1-8 and 9-16).
+
+    Output: ``(doc, n_sh, sh string digest, h0 bigint, h1 bigint)``,
+    **persisted** (memory-and-disk): signatures, banding, and exact
+    verification all reuse it, and Spark's exchange reuse does not
+    dedupe self-join subtrees reliably — without the persist every
+    branch re-runs the tokenize→shingle→explode→md5 pipeline (measured
+    145s → ~17s on the sf0.1 MinHash query). One md5 per shingle
+    total; k-wise hash families derive from (h0, h1) arithmetically.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
+    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
+    inv = (
+        base.select("doc", "n_sh", F.explode("shingles").alias("sh"))
+        .withColumn("sh", F.md5(F.col("sh")))
+        .withColumn("h0", F.conv(F.substring("sh", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("h1", F.conv(F.substring("sh", 9, 8), 16, 10).cast("bigint"))
+    )
+    return inv.persist()
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: ``sig[i] = min over shingles of
-    h_i(shingle)`` with k independent md5-derived hash functions.
+    """Per-doc MinHash signature columns ``s0..s{k-1}``:
+    ``s_i = min over shingles of (h0 + i*h1)`` — the double-hashing
+    construction (Kirsch-Mitzenmacher): k hash functions from ONE md5
+    per shingle, derived with plain BIGINT arithmetic (h0, h1 < 2^32
+    so every value < 2^36 — no overflow, no modulus, and the exact
+    same expression is writable in any SQL dialect for the oracle).
 
-    Output: ``(id_col, sig array<bigint>)``. The signature is a
-    fixed-size sketch (k * 8 bytes) regardless of document length —
-    this is what ships through the LSH shuffle, never the text.
+    Output: ``(id_col, s0..s{k-1} bigint)`` — a fixed-size sketch
+    (k * 8 bytes) regardless of document length; this is what ships
+    through the LSH shuffle, never the text.
     """
-    shingles = word_shingles(ws_tokens(text_col), n=n)
-    sig = F.array(
+    inv = shingle_index(df, id_col, text_col, n=n)
+    return inv.groupBy(F.col("doc").alias(id_col)).agg(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, seed=i: md5_hash32(s, seed=seed))
-            )
+            F.min(F.col("h0") + F.lit(i) * F.col("h1")).alias(f"s{i}")
             for i in range(k)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -163,10 +186,16 @@ def minhash_lsh_pairs(
         raise ValueError("minhash_lsh_pairs: bands must divide k")
     r = k // bands
 
-    sigs = minhash_signature(df, id_col, text_col, n=n, k=k)
+    inv = shingle_index(df, id_col, text_col, n=n)
+    sigs = inv.groupBy("doc").agg(
+        *[
+            F.min(F.col("h0") + F.lit(i) * F.col("h1")).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
     # band value = md5 of the ','-joined slice of the signature.
     band_rows = sigs.select(
-        F.col(id_col).alias("doc"),
+        "doc",
         F.explode(
             F.array(
                 *[
@@ -176,7 +205,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", bi * r + j + 1).cast("string")
+                                    F.col(f"s{bi * r + j}").cast("string")
                                     for j in range(r)
                                 ],
                             )
@@ -206,16 +235,9 @@ def minhash_lsh_pairs(
     )
 
     # Exact verification joins candidate pairs back to shingle-set
-    # sizes and intersection counts (same inverted index as
-    # ngram_jaccard_pairs, restricted to candidates — a semi-join
-    # prune at scale).
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
-    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
-    inv = base.select("doc", "n_sh", F.explode("shingles").alias("sh")).withColumn(
-        "sh", F.md5(F.col("sh"))
-    )
+    # sizes and intersection counts — the SAME persisted inverted
+    # index the signatures came from, restricted to candidates (a
+    # semi-join prune at scale).
     a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     common = (
@@ -244,15 +266,21 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     differ in few bits (compare with ``bit_count(a XOR b)``).
 
     Uses 63 bits to stay in signed-BIGINT range in both engines.
-    Plan shape: explode tokens → per-bit conditional counts in ONE
-    hash-aggregate pass → weighted bit sum. No shuffle beyond the
-    per-doc aggregate.
+    Plan shape: explode tokens → project the two 32-bit hashes ONCE →
+    per-bit conditional counts in ONE hash-aggregate pass → weighted
+    bit sum. No shuffle beyond the per-doc aggregate.
     """
+    # Stage h0/h1 as real columns: aggregate expressions are not
+    # common-subexpression-eliminated across each other, so inlining
+    # md5_hash32 into the 63 bit-sums would md5 every token 63 times.
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
+    ).select(
+        id_col,
+        md5_hash32("tok", seed=0).alias("__h0"),
+        md5_hash32("tok", seed=1).alias("__h1"),
     )
-    h0 = md5_hash32("tok", seed=0)
-    h1 = md5_hash32("tok", seed=1)
+    h0, h1 = F.col("__h0"), F.col("__h1")
     bit_sums = [
         F.sum(
             (F.shiftright(h0 if b < 32 else h1, b if b < 32 else b - 32) % 2).cast(

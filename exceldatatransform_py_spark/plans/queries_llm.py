@@ -210,7 +210,9 @@ _FP_TOKS = _TOKS.format(col="text")
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: single-row-group parquet scans are 1 task; the
+    # shingle/hash explode pipeline must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     shingles = word_shingles(ws_tokens("text"), n=3)
     return docs.select(
         "doc_id",
@@ -246,7 +248,9 @@ _JACCARD_CTE = f"""
     """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: single-row-group parquet scans are 1 task; the
+    # shingle/hash explode pipeline must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     return ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
     )
@@ -262,10 +266,10 @@ _MH_R = _MH_K // _MH_BANDS
 
 
 def _mh_oracle() -> str:
-    sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_H32.format(seed=i, x='s')})) AS s{i}"
-        for i in range(_MH_K)
-    )
+    # Mirrors operators.dedup.shingle_index / minhash_signature: one
+    # md5 per shingle; h0/h1 = hex chars 1-8 / 9-16 of that digest;
+    # k signature values s_i = min(h0 + i*h1) (double hashing).
+    sig_cols = ", ".join(f"min(h0 + {i} * h1) AS s{i}" for i in range(_MH_K))
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
             b=bi,
@@ -278,18 +282,27 @@ def _mh_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES.format(toks="toks")} AS shingles FROM t),
-    sigs AS (SELECT doc_id, {sig_cols} FROM sh),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, md5(unnest(shingles)) AS s
+      FROM sh
+    ),
+    invh AS (
+      SELECT doc_id, n_sh, s,
+             CAST(concat('0x', substr(s, 1, 8)) AS BIGINT) AS h0,
+             CAST(concat('0x', substr(s, 9, 8)) AS BIGINT) AS h1
+      FROM inv
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM invh GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
     ),
-    inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
-      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM invh a JOIN invh b ON a.s = b.s AND a.doc_id < b.doc_id
       JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY 1, 2, 3, 4
     )
@@ -302,7 +315,9 @@ def _mh_oracle() -> str:
 
 @register("minhash_lsh_near_dup", oracle=_mh_oracle())
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: single-row-group parquet scans are 1 task; the
+    # shingle/hash explode pipeline must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     return minhash_lsh_pairs(
         docs,
         id_col="doc_id",
@@ -342,7 +357,9 @@ def _simhash_oracle() -> str:
 
 @register("simhash_fingerprint", oracle=_simhash_oracle())
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: single-row-group parquet scans are 1 task; the
+    # shingle/hash explode pipeline must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     return simhash64(docs, id_col="doc_id", text_col="text")
 
 

@@ -58,10 +58,15 @@ def get_spark(
         # compiles them; with many distinct queries per session the
         # default compiler-thread pool backlogs and a big generated
         # method can stay interpreted for an entire single-task stage
-        # (measured 16x slowdown). More JIT threads drain the queue.
+        # (measured 16x slowdown). More JIT threads drain the queue —
+        # but scale them with the core count, or several concurrent
+        # bench JVMs (4 × local[8]) oversubscribe the box with
+        # compiler threads alone (measured 3.8s → 33s on the same
+        # query purely from 4 × 18 JIT threads).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:CICompilerCount=18 -XX:ReservedCodeCacheSize=512m",
+            f"-XX:CICompilerCount={max(2, min(18, cpus // 2 + 2))} "
+            "-XX:ReservedCodeCacheSize=512m",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

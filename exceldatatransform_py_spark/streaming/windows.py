@@ -129,9 +129,12 @@ def stream_tumbling_counts(
     memory sink with ``trigger(availableNow=True)`` and compare to the
     batch result — the Structured Streaming equivalence contract).
     """
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(events_path)
-    ).withWatermark(ts_col, watermark)
+    stream = spark.readStream.schema(schema).format("parquet").load(events_path)
+    # Watermarks track an instant, so the event-time column must be
+    # TIMESTAMP (with zone), not TIMESTAMP_NTZ; the session runs in
+    # UTC so the cast does not move the clock.
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = stream.withWatermark(ts_col, watermark)
     return tumbling_counts(
         stream, ts_col=ts_col, duration=duration, keys=keys, value_col=value_col
     )

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the scale posture is part of the
+contract, not an accident. Each test pins a property that must
+survive refactors — broadcasts stay broadcasts, pushdowns stay pushed,
+map-only plans stay shuffle-free."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from exceldatatransform_py_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Physical exchanges in a formatted plan (the node-detail headers
+    — plain substring counts double-count tree + details)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_flagship_broadcasts_dims(spark):
+    plan = plan_of(spark, "flagship_daily_segment_ledger")
+    # nation (25 rows) must ship as a broadcast, never shuffle the fact.
+    assert "BroadcastHashJoin" in plan
+    # the aggregate must be partial+final (map-side combine).
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate predicate reaches the parquet scan.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: unused lineitem columns never leave the scan.
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_lookup_is_broadcast_join(spark):
+    plan = plan_of(spark, "lookup_passthrough_default")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    plan = plan_of(spark, "unpivot_lineitem_measures")
+    assert "Expand" in plan
+    # the only exchange allowed is the deliberate fan-out repartition
+    # of the single-row-group scan; the unpivot itself adds none.
+    assert n_exchanges(plan) <= 1
+
+
+def test_semi_anti_stay_semi_anti(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_customers_with_urgent_orders")
+    assert "LeftAnti" in plan_of(spark, "anti_customers_without_orders")
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "range_join_value_tiers")
+    # tiny tier dim × non-equi predicate → BNLJ, not a cartesian sort.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_merge_keeps_all_target_rows(spark):
+    # merge = left outer join from the target's perspective.
+    plan = plan_of(spark, "merge_update_orders")
+    assert "LeftOuter" in plan
+
+
+def test_window_queries_single_shuffle(spark):
+    plan = plan_of(spark, "window_running_qty")
+    # one exchange for the window partitioning, nothing else.
+    assert n_exchanges(plan) == 1

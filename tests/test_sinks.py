@@ -1,0 +1,61 @@
+"""Sink round-trips (S4 partitioned write, S5 merge-update write)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from exceldatatransform_py_spark.sources.writers import (
+    merge_update_write,
+    write_partitioned_by_key,
+)
+
+
+@pytest.fixture()
+def tmpdir_():
+    d = tempfile.mkdtemp(prefix="sink_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_drops_key_from_data(spark, tmpdir_):
+    df = spark.createDataFrame(
+        [("averyveryverylongsurnamethatneedstruncating", 1.0), ("rossi", 2.0)],
+        ["surname", "ore"],
+    )
+    path = os.path.join(tmpdir_, "out")
+    write_partitioned_by_key(df, path, ["surname"], sanitize_len=31)
+
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("surname=")
+    )
+    # one directory per key, value truncated to 31 chars (the Excel
+    # sheet-name cap analogue).
+    assert dirs == [
+        "surname=averyveryverylongsurnamethatnee",
+        "surname=rossi",
+    ]
+    back = spark.read.parquet(path)
+    assert {r["ore"] for r in back.collect()} == {1.0, 2.0}
+    # the partition column lives in directory names, not data files —
+    # reading a leaf directly must show only the payload column.
+    leaf = spark.read.parquet(os.path.join(path, "surname=rossi"))
+    assert leaf.columns == ["ore"]
+
+
+def test_merge_update_write_roundtrip(spark, tmpdir_):
+    path = os.path.join(tmpdir_, "target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "label", "val"]
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame([(2, "B!", 99.0)], ["k", "label", "val"])
+    merge_update_write(
+        spark, path, updates, on=["k"], update_cols=["label", "val"]
+    )
+    got = {r["k"]: (r["label"], r["val"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B!", 99.0)}
