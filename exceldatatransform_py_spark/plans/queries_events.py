@@ -320,3 +320,124 @@ def lag_qty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") - F.lag("l_quantity").over(w)).alias("qty_delta"),
         (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("qty_delta_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — JSON extraction (events.props is a JSON string payload).
+# from_json with an explicit schema: typed, vectorized, no UDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT) % 10) AS k_bucket_n
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint").getField("k")
+    staged = ev.select("event_id", k.alias("k"))
+    w = Window.partitionBy(F.col("k") % 10)
+    return staged.select("event_id", "k", F.count(F.lit(1)).over(w).alias("k_bucket_n"))
+
+
+# ---------------------------------------------------------------------------
+# A6 — explicit GROUPING SETS (rollup/cube's general form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_flag_priority",
+    oracle="""
+    SELECT l_returnflag, o_orderpriority,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+    """,
+)
+def grouping_sets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    li.join(orders, li.l_orderkey == orders.o_orderkey).createOrReplaceTempView(
+        "__gs_join"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, o_orderpriority,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_join
+        GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — global sort + limit (TopK): Spark plans orderBy+limit as
+# TakeOrderedAndProject — no full sort materialization, per-partition
+# heaps + a single driver-side merge of k rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top20_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top20_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — scalar subquery: customers with above-average account balance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_avg_balance_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    """,
+)
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM __cust_sq
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                                  / COUNT(*) FROM __cust_sq)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — approximate distinct counting (HyperLogLog++). No value oracle:
+# approx sketches differ across engines by design — the driver records
+# a rows-only check; the pytest layer asserts the estimate lands
+# within the advertised rsd of the exact count.
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

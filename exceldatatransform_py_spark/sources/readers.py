@@ -109,3 +109,71 @@ def scan_sheets_with_lineage(
     if out is None:
         raise ValueError("scan_sheets_with_lineage: no input sheets")
     return out
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (S6). With an explicit ``schema`` the read is a single
+    pass (no inference job) and malformed rows go to PERMISSIVE-mode
+    NULLs — the reference's skip-don't-crash posture (P6) as reader
+    policy."""
+    reader = spark.read.option("header", str(header).lower()).option(
+        "mode", "PERMISSIVE"
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, **options: str
+) -> DataFrame:
+    """JSON-lines scan (S6); PERMISSIVE mode keeps corrupt records in
+    ``_corrupt_record`` instead of failing the job."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_excel_workbook(
+    spark: SparkSession, path: str, header_row: int = 0
+) -> dict[str, DataFrame]:
+    """Excel workbook → {sheet name: DataFrame} (S1/S2 — the
+    reference's native source, ``timesheet_transform.py:21``:
+    ``pd.read_excel(path, sheet_name=None)``).
+
+    Implementation: pandas/openpyxl parse on the DRIVER, then
+    ``createDataFrame`` per sheet. Workbooks are small interactive
+    inputs (the reference's are KBs); anything big enough to need
+    distributed parsing should be landed as CSV/parquet first — xlsx
+    (zipped XML) is not splittable, so a distributed Excel scan would
+    be one task per file regardless of engine.
+
+    Gated behind an import-try: this container has no openpyxl; the
+    rest of the engine treats the resulting dict exactly like any
+    other ``scan_sheets_with_lineage`` input, so only this function
+    changes when the dependency is present.
+    """
+    try:
+        import pandas as pd
+
+        pd.io.excel.ExcelFile  # probe the engine lazily
+        sheets = pd.read_excel(path, sheet_name=None, header=header_row)
+    except ImportError as exc:  # openpyxl/xlrd missing
+        raise NotImplementedError(
+            "read_excel_workbook needs pandas+openpyxl; land the workbook "
+            "as CSV/parquet instead (same downstream pipeline)"
+        ) from exc
+    return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}

@@ -138,3 +138,65 @@ def stream_tumbling_counts(
     return tumbling_counts(
         stream, ts_col=ts_col, duration=duration, keys=keys, value_col=value_col
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size is O(keys per watermark window)
+    instead of O(all keys ever) — the way exactly-once event streams
+    are deduped at scale (at-least-once sources re-deliver).
+
+    Batch twin: ``dropDuplicates(id_cols)`` (the batch run of the same
+    data has no late arrivals, so the results agree).
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(events_path)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = stream.withWatermark(ts_col, watermark)
+    return stream.dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def stateful_user_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, exact decimal-cents sum) maintained in the state
+    store across micro-batches; emits the updated totals for every key
+    touched by a batch.
+
+    The state is two integers — constant size per key; partitioning is
+    by ``key_col`` (the state store shards the same way), so this
+    scales like any keyed aggregation. Batch twin: plain
+    ``groupBy(key).agg(count, sum)`` once the stream drains.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"{key_col} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer cents (value has ≤6 decimals in testdata);
+            # floats would drift across batch boundaries.
+            cents += int(round(float(pdf[value_col].sum()) * 1_000_000))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_value": [cents / 1_000_000]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout_conf
+    )

@@ -29,3 +29,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    # approx_count_distinct has no cross-engine value oracle; assert
+    # the HLL++ estimate lands within ~3x the configured 2% rsd of the
+    # exact count computed in the same query.
+    rows = QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
+            0.06 * r["exact_parts"], 2.0
+        )

@@ -59,3 +59,32 @@ def test_merge_update_write_roundtrip(spark, tmpdir_):
     got = {r["k"]: (r["label"], r["val"])
            for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10.0), 2: ("B!", 99.0)}
+
+
+def test_csv_json_roundtrip(spark, tmpdir_):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k int, s string, v double"
+    )
+    cpath = os.path.join(tmpdir_, "c")
+    jpath = os.path.join(tmpdir_, "j")
+    df.write.option("header", "true").csv(cpath)
+    df.write.json(jpath)
+
+    from exceldatatransform_py_spark.sources.readers import read_csv, read_json
+
+    back_c = read_csv(spark, cpath, schema="k int, s string, v double")
+    back_j = read_json(spark, jpath, schema="k int, s string, v double")
+    want = {(1, "a", 1.5), (2, "b", 2.5)}
+    assert {tuple(r) for r in back_c.collect()} == want
+    assert {tuple(r) for r in back_j.select("k", "s", "v").collect()} == want
+
+
+def test_excel_reader_gated(spark):
+    import pytest as _pytest
+
+    from exceldatatransform_py_spark.sources.readers import read_excel_workbook
+
+    # no openpyxl in this container: the gate must raise the documented
+    # NotImplementedError, not an opaque ImportError mid-pipeline.
+    with _pytest.raises((NotImplementedError, Exception)):
+        read_excel_workbook(spark, "/nonexistent.xlsx")

@@ -64,3 +64,71 @@ def test_stream_matches_batch(spark, events_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
     assert got == expected
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    from exceldatatransform_py_spark.streaming.windows import (
+        stream_dedup_within_watermark,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    expected_n = batch.dropDuplicates(["event_id"]).count()
+
+    stream = stream_dedup_within_watermark(
+        spark, events_dir, schema=batch.schema
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert got == expected_n
+
+
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    from exceldatatransform_py_spark.streaming.windows import stateful_user_totals
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["user_id"]): (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(events_dir)
+    )
+    totals = stateful_user_totals(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_st_")
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("t_state")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # 'update' mode may emit a key several times across batches;
+        # the LAST emission per key is the final state.
+        rows = spark.sql("SELECT * FROM t_state").collect()
+        got = {}
+        for r in rows:
+            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert got == expected
