@@ -332,7 +332,7 @@ def week_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS o_totalprice
       FROM lineitem
-      WHERE CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
       GROUP BY l_orderkey
     ) u ON o.o_orderkey = u.l_orderkey
     """,
@@ -343,7 +343,7 @@ def merge_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.to_date("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        .filter(F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(dec_sum("l_extendedprice").alias("o_totalprice"))
     )
@@ -415,31 +415,31 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_repeat_customers",
     oracle="""
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-    INTERSECT
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
 )
 def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.intersect(y95)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
 
 
 @register(
     "setop_churned_customers",
     oracle="""
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-    EXCEPT
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
 )
 def setop_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.subtract(y95)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
 
 
 # ---------------------------------------------------------------------------
@@ -507,3 +507,141 @@ def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from exceldatatransform_py_spark.plans import queries_events  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_llm  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# J4 composite — TPC-H Q5-style multi-join: 6-table star join with a
+# selective region filter; Catalyst reorders and broadcasts the dims
+# (region/nation), AQE picks the fact-join strategy at runtime.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    df = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return df.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — RANGE window frame: trailing-30-day quantity per supplier
+# (value-based frame, not row-based; ties in the order key share one
+# frame, so the result is deterministic without a tiebreaker).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_trailing_30d_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+    FROM lineitem
+    """,
+)
+def window_trailing_30d_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    days = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — distribution analytics: ntile + percent_rank + cume_dist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation — salted two-phase aggregation; the oracle is the
+# PLAIN group-by (salting must be invisible in the results).
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.operators.skew import salted_sum_count  # noqa: E402
+
+
+@register(
+    "salted_agg_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_agg_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_returnflag has 3 values over ~600k rows at sf0.1 — exactly the
+    # hot-key shape where per-key reducer fan-in wants a salt.
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_sum_count(li, keys=["l_returnflag"], sum_col="l_quantity")

@@ -471,3 +471,66 @@ def binary_featurize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return binary_featurize(docs, id_col="doc_id", bin_col="payload")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (the dedup-family variant of the
+# ANN path): same-LSH-bucket pairs with cosine >= threshold. The
+# threshold is tuned to the synthetic corpus (random vectors peak at
+# ~0.51 cosine) so the candidate/accept machinery is actually
+# exercised; a real near-dup corpus would sit at ~0.95.
+# ---------------------------------------------------------------------------
+
+
+def _emb_near_dup_oracle() -> str:
+    proj = (
+        "CAST(list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> CAST(floor(CAST({v}[i] AS DOUBLE) * ([{plane}])[i] "
+        "* 1000000000000.0) AS BIGINT)"
+        ")) AS DOUBLE)"
+    )
+    bucket = " + ".join(
+        "CAST({p} > 0 AS BIGINT) * {w}".format(
+            p=proj.format(v="embedding", plane=", ".join(str(v) for v in pl)),
+            w=2**i,
+        )
+        for i, pl in enumerate(_ANN_PLANES)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM b),
+    c AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM b),
+    s AS (
+      SELECT id_a, id_b, {_COSINE} AS cosine
+      FROM q JOIN c USING (bucket) WHERE id_a < id_b
+    )
+    SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+    """
+
+
+@register("embedding_near_dup_pairs", oracle=_emb_near_dup_oracle())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.similarity import (
+        _cosine,
+        lsh_bucket,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), _ANN_PLANES).alias("__bucket"),
+    )
+    q = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__qv"), "__bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__cv"), "__bucket"
+    )
+    pairs = (
+        q.join(c, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    return pairs.select("id_a", "id_b", "cosine")

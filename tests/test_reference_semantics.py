@@ -186,3 +186,17 @@ def test_merge_ledger_case_insensitive_day_granularity(spark):
     assert got[D(2025, 3, 8)] == ("FAVA", "keep", 2.0)
     # ledger's 2025-03-20 row: discarded, no new target row.
     assert len(got) == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from exceldatatransform_py_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(200)], "k int, v int"
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (5, "z")], "k int, lab string")
+    plain = {(r["k"], r["v"], r["lab"])
+             for r in left.join(right, ["k"]).collect()}
+    salted = {(r["k"], r["v"], r["lab"])
+              for r in salted_join(left, right, on=["k"]).collect()}
+    assert salted == plain and len(plain) == 134
