@@ -534,3 +534,58 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
     )
     return pairs.select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing, scored end-to-end: frame sampling (1 row → N
+# frames) and resize-normalization (1 row → 1 fixed-size payload).
+# The corpus is pure ASCII, so the oracle's character-based substring
+# is byte-exact against the Python chunker.
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.operators.multimodal import (  # noqa: E402
+    frame_sample,
+    resize_stub,
+)
+
+
+@register(
+    "frame_sample_media",
+    oracle="""
+    WITH i AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS fi
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           encode(substring(text, CAST(fi * 128 + 1 AS BIGINT), 64)) AS frame,
+           CAST(length(substring(text, CAST(fi * 128 + 1 AS BIGINT), 64)) AS INTEGER)
+             AS frame_len
+    FROM i
+    """,
+)
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_sample(docs, id_col="doc_id", bin_col="payload",
+                        frame_bytes=64, stride=2)
+
+
+@register(
+    "resize_normalize_media",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS orig_len,
+           encode(substring(text, 1, 32))
+             || repeat('\\x00'::BLOB, greatest(0, 32 - length(text))) AS resized,
+           CAST(32 AS INTEGER) AS resized_len
+    FROM documents
+    """,
+)
+def resize_normalize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_stub(docs, id_col="doc_id", bin_col="payload", target_bytes=32)

@@ -79,3 +79,79 @@ def test_window_queries_single_shuffle(spark):
     plan = plan_of(spark, "window_running_qty")
     # one exchange for the window partitioning, nothing else.
     assert n_exchanges(plan) == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Both sides bucketed+sorted on the join key → sort-merge join
+    with ZERO Exchange and ZERO Sort (the 100 TB co-location story)."""
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    base = str(tmp_path_factory.mktemp("buckets"))
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    write_bucketed(fact, "b_fact", ["k"], 8, sort_cols=["k"], path=f"{base}/fact")
+    write_bucketed(dim, "b_dim", ["k"], 8, sort_cols=["k"], path=f"{base}/dim")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Since Spark 3.0 bucketed scans report output *partitioning*
+        # but not *ordering* unless this opts into planning-time file
+        # listing (one extra listing per query, worth it to skip the
+        # per-partition sorts on a 100 TB fact).
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            joined = read_bucketed(spark, "b_fact").join(
+                read_bucketed(spark, "b_dim"), "k"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert re.search(r"\(\d+\) SortMergeJoin", plan), plan
+            assert n_exchanges(plan) == 0, plan
+            assert not re.search(r"\(\d+\) Sort\b", plan), plan
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_fact")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_bucketed_groupby_has_no_shuffle(spark, tmp_path_factory):
+    """groupBy on the bucket key reuses the bucket partitioning —
+    aggregation without an exchange."""
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    base = str(tmp_path_factory.mktemp("buckets_agg"))
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(fact, "b_fact_agg", ["k"], 8, path=f"{base}/fact")
+    try:
+        agg = read_bucketed(spark, "b_fact_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        plan = buf.getvalue()
+        assert n_exchanges(plan) == 0, plan
+        assert agg.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_fact_agg")
