@@ -234,15 +234,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification joins candidate pairs back to shingle-set
-    # sizes and intersection counts — the SAME persisted inverted
-    # index the signatures came from, restricted to candidates (a
-    # semi-join prune at scale).
+    # Exact verification reuses the SAME persisted inverted index the
+    # signatures came from, but the join is DRIVEN BY the candidate
+    # pairs: cand ⋈ A-shingles on id_a, then ⋈ B-shingles on
+    # (id_b, sh). Work is O(candidate pairs × shingles/doc) — never
+    # the full shingle self-join (that would re-do the exact-Jaccard
+    # O(all collisions) work LSH exists to avoid).
     a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     common = (
-        a.join(b, "sh")
-        .join(cand, ["id_a", "id_b"], "left_semi")
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -164,3 +164,99 @@ def hyperplane_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """IVF build step: assign every vector to its nearest centroid
+    (max cosine; ties → lowest centroid id).
+
+    Centroids broadcast (they are tiny by construction); assignment is
+    one map-side pass over the corpus plus a single groupBy on the
+    vector id — the arg-max is ``max(struct(cosine, -cent_id))``, an
+    associative partial-aggregatable reduction, NOT a window (a window
+    would sort N·C rows; this streams them).
+
+    Real deployments train centroids offline (k-means on a sample);
+    any DataFrame of ``(cent_id, cent_vec)`` plugs in — the serving
+    structure (assign + probe) is what this module owns.
+
+    Output: ``(id_col, cell)``.
+    """
+    c = centroids.select(
+        F.col(cent_id_col).alias("__cid"), F.col(cent_vec_col).alias("__cv")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
+        F.broadcast(c)
+    )
+    best = (
+        scored.withColumn("__cos", _cosine(F.col("__v"), F.col("__cv")))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("__cos"), (-F.col("__cid")).alias("__ncid"))).alias(
+                "__best"
+            )
+        )
+    )
+    return best.select(id_col, (-F.col("__best.__ncid")).alias("cell"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe``
+    nearest centroid cells and scores ONLY the vectors assigned there
+    — the inverted-file ANN structure (coarse quantizer → cell lists).
+
+    Scale shape: the corpus is scored per (query, cell) via an
+    equi-join on ``cell``, so work is |Q| · n_probe · avg-cell-size
+    instead of |Q| · N; cell lists would be bucketed/partitioned by
+    ``cell`` on disk in a persisted index.
+
+    Output matches ``cosine_topk``: ``(query_id, neighbor_id,
+    cosine, rk)``, self-pairs excluded, ties by neighbor id.
+    """
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+
+    c = centroids.select(F.col("cent_id").alias("__cid"), F.col("cent_vec").alias("__cv0"))
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(F.broadcast(c))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        q_scored.withColumn("__qcos", _cosine(F.col("__qv"), F.col("__cv0")))
+        .withColumn("__prk", F.row_number().over(wq))
+        .filter(F.col("__prk") <= n_probe)
+        .select("query_id", "__qv", F.col("__cid").alias("cell"))
+    )
+
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

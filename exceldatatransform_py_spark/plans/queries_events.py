@@ -441,3 +441,41 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join (purchase→click attribution): the batch face of the
+# stream-stream join in streaming.windows (pytest drains the stream
+# twin and compares). Time-bounded equi-join → hash join on user_id
+# with a residual range filter; the bound is also what makes the
+# streaming state finite.
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.streaming.windows import (  # noqa: E402
+    purchase_attribution_join,
+)
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return purchase_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        attribution_window="1 hour",
+    )

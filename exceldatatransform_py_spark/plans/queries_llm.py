@@ -589,3 +589,130 @@ def resize_normalize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return resize_stub(docs, id_col="doc_id", bin_col="payload", target_bytes=32)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the other scale path next to hyperplane LSH: coarse
+# quantizer (nearest centroid) partitions the corpus into cells;
+# queries probe only their n_probe nearest cells. Centroids here are
+# the first 8 vectors (deterministic stand-in for offline k-means —
+# the serving structure is what's scored).
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.operators.similarity import ivf_topk  # noqa: E402
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DEC_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DEC_DOT.format(a=a, b=a)}) * sqrt({_DEC_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS ark
+        FROM embeddings e, cents c
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prk
+        FROM embeddings q, cents c WHERE q.vec_id < 10
+      ) WHERE prk <= 2
+    ),
+    s AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('p.qv', 'e.embedding')} AS cosine
+      FROM probes p
+      JOIN asg a USING (cell)
+      JOIN embeddings e ON e.vec_id = a.neighbor_id
+      WHERE p.query_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, centroids,
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composite training-data pipeline, end-to-end in ONE lazy plan:
+# token-count filter → exact dedup (keep lowest doc id) → per-language
+# corpus stats. Each stage is the already-scored operator; the
+# composition is what a real ingest job runs.
+# ---------------------------------------------------------------------------
+
+_P_TOKS = _TOKS.format(col="text")
+
+
+@register(
+    "training_pipeline_summary",
+    oracle=rf"""
+    WITH keep AS (
+      SELECT doc_id, lang, n_chars, text, len({_P_TOKS}) AS n_tok
+      FROM documents
+      WHERE len({_P_TOKS}) >= 40
+    ),
+    ded AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dig
+        FROM keep
+      ) GROUP BY dig
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_docs,
+           SUM(k.n_tok) AS total_tokens,
+           CAST(SUM(CAST(k.n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM keep k JOIN ded USING (doc_id)
+    GROUP BY k.lang
+    """,
+)
+def training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    keep = docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") >= 40)
+    winners = (
+        keep.select("doc_id", F.md5(normalize_text("text")).alias("dig"))
+        .groupBy("dig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = keep.join(winners, "doc_id", "left_semi")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )

@@ -200,3 +200,66 @@ def stateful_user_totals(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def purchase_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+) -> DataFrame:
+    """Interval join: attribute each purchase to same-user clicks in
+    the preceding ``attribution_window``. One transform, two modes:
+    pass batch DataFrames and it's a plain range join; pass streaming
+    DataFrames (both watermarked) and Spark runs it as a stream-stream
+    inner join whose state is bounded by the watermark + interval —
+    the time bound is what makes unbounded-stream joins finite.
+
+    Output: one row per (click, purchase) match.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def stream_purchase_attribution(
+    spark: SparkSession,
+    path: str,
+    schema,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``purchase_attribution_join``: two readers on
+    the same replayed event log, filtered to each side, watermarked so
+    Spark can discard click state older than watermark + interval.
+    """
+    src = spark.readStream.schema(schema).format("parquet").load(path)
+    clicks = src.filter(F.col("event_type") == "click").withWatermark(
+        "ts", watermark
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    return purchase_attribution_join(
+        clicks, purchases, attribution_window=attribution_window
+    )

@@ -132,3 +132,40 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from exceldatatransform_py_spark.streaming.windows import (
+        purchase_attribution_join,
+        stream_purchase_attribution,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in purchase_attribution_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert expected  # the fixture data must actually produce matches
+
+    stream = stream_purchase_attribution(spark, events_dir, schema=batch.schema)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssj_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_ssj")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM t_ssj").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert got == expected
