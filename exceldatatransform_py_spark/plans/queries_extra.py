@@ -376,3 +376,60 @@ def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(od, 30).alias("due_date"),
         F.last_day(od).alias("month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — numeric / conditional gallery. Only functions whose results
+# are bit-identical across engines: abs/sign/floor/ceil (exact),
+# sqrt (IEEE correctly-rounded), integer modulo, greatest/least
+# (element selection), nullif/coalesce/CASE (control flow).
+# Transcendentals (ln, exp, sin) are deliberately absent — IEEE does
+# not require correctly-rounded results, so engines may differ in the
+# last ulp and break the value-hash gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "numeric_conditional_gallery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS dev_from_25,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS dev_sign,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod7,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           nullif(l_discount, 0.0) AS discount_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS discount_defaulted,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 40 THEN 'mid'
+                ELSE 'large' END AS qty_band
+    FROM lineitem
+    """,
+)
+def numeric_conditional_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    disc = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(qty - 25.0).alias("dev_from_25"),
+        F.signum(qty - 25.0).alias("dev_sign"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.sqrt(qty).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.nullif(disc, F.lit(0.0)).alias("discount_or_null"),
+        F.coalesce(F.nullif(disc, F.lit(0.0)), F.lit(-1.0)).alias(
+            "discount_defaulted"
+        ),
+        F.when(qty < 10, "small")
+        .when(qty < 40, "mid")
+        .otherwise("large")
+        .alias("qty_band"),
+    )

@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis): the reference-quirk scalar
+functions agree with a literal Python restatement of the reference's
+row-at-a-time semantics on arbitrary inputs, and the salted operators
+are invisible in results for arbitrary data/bucket counts.
+
+Each hypothesis example costs one Spark job, so max_examples is kept
+small; every example still checks a whole batch of generated rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.columns import (
+    clean_numeric,
+    distinct_sorted_concat,
+    last_token_lower,
+    week_start_date,
+)
+
+_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_WS_RE = re.compile("[\\s   ]+")
+
+dirty_numeric = st.text(
+    alphabet="0123456789.-+eE \t  xyz", min_size=0, max_size=12
+)
+
+
+def _expected_clean(s: str) -> float:
+    cleaned = _WS_RE.sub("", s).strip()
+    if _FLOAT_RE.match(cleaned):
+        return float(cleaned)
+    return 0.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(dirty_numeric, min_size=1, max_size=40))
+def test_clean_numeric_matches_python_float(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, s string")
+    got = {
+        r["i"]: r["x"]
+        for r in df.select("i", clean_numeric("s").alias("x")).collect()
+    }
+    for i, v in enumerate(values):
+        exp = _expected_clean(v)
+        if math.isnan(exp):
+            assert math.isnan(got[i]), (v, got[i])
+        else:
+            assert got[i] == exp, (v, got[i], exp)
+
+
+names = st.text(alphabet="ABCdef ghiRossi ", min_size=0, max_size=25)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(names, min_size=1, max_size=40))
+def test_last_token_lower_matches_python(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, s string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", last_token_lower("s").alias("t")).collect()
+    }
+    for i, v in enumerate(values):
+        toks = v.strip().split()
+        exp = toks[-1].lower() if toks else "unknown"
+        assert got[i] == exp, (repr(v), got[i], exp)
+
+
+week_strings = st.one_of(
+    st.builds(
+        lambda d, m, y, tail: f"{d}/{m}/{y} al {tail}",
+        st.integers(1, 31),
+        st.integers(1, 13),
+        st.integers(1990, 2030),
+        st.text(alphabet="0123456789/", max_size=10),
+    ),
+    st.text(alphabet="0123456789/ al", max_size=20),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(week_strings, min_size=1, max_size=40))
+def test_week_start_date_matches_python(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, s string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", week_start_date("s").alias("d")).collect()
+    }
+    for i, v in enumerate(values):
+        exp = None
+        t = v.strip(" ")
+        if " al " in t:
+            left = t.split(" al ")[0].strip(" ")
+            m = re.match(r"^(\d{1,2})/(\d{1,2})/(\d{4})$", left)
+            if m:
+                try:
+                    exp = datetime.date(int(m[3]), int(m[2]), int(m[1]))
+                except ValueError:
+                    exp = None
+        assert got[i] == exp, (repr(v), got[i], exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abcXYZ", min_size=1, max_size=4), min_size=1, max_size=30))
+def test_distinct_sorted_concat_matches_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = df.agg(distinct_sorted_concat("v").alias("c")).collect()[0]["c"]
+    assert got == "; ".join(sorted(set(values)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 32),
+)
+def test_salted_sum_count_invisible(spark, rows, buckets):
+    from exceldatatransform_py_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: (r["sum_value"], r["n_rows"])
+        for r in salted_sum_count(
+            df, keys=["k"], sum_col="v", salt_buckets=buckets
+        ).collect()
+    }
+    exp: dict[int, list[float]] = {}
+    for k, v in rows:
+        e = exp.setdefault(k, [0.0, 0])
+        e[0] += v
+        e[1] += 1
+    assert got == {k: (e[0], e[1]) for k, e in exp.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(2, 16),
+)
+def test_salted_join_invisible(spark, rows, buckets):
+    from exceldatatransform_py_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(rows, "k int, v int")
+    right = spark.createDataFrame(
+        [(k, f"lab{k}") for k in range(0, 6, 2)], "k int, lab string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["lab"]) for r in left.join(right, ["k"]).collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["lab"])
+        for r in salted_join(left, right, on=["k"], salt_buckets=buckets).collect()
+    )
+    assert salted == plain
