@@ -1,0 +1,686 @@
+"""Second SQL-coverage batch: classic TPC-H-style plans (q6/q10/q12/
+q14/q18/q19 restated on the available columns), min_by/max_by,
+FILTER-clause aggregates, histogram bucketing, higher-order array
+functions, regexp/string galleries, positional explode, time-series
+gap fill, and deterministic hash-based dataset splits.
+
+Same conventions as `plans.queries`: every computed column aliased
+identically in Spark and oracle SQL; double sums through exact
+DECIMAL accumulation (`dec_sum`); window/top-k orderings carry a
+unique tiebreaker; no transcendentals (only IEEE correctly-rounded
+ops: +,-,*,/ on identical inputs), so every value hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.columns import dec_sum
+from exceldatatransform_py_spark.functions.text import md5_hash32, ws_tokens
+from exceldatatransform_py_spark.plans.registry import register
+from exceldatatransform_py_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 — the pushdown showcase: tight scan-filter-aggregate with
+# every predicate reaching the parquet reader; single-row result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned-item revenue ranking: 3-way join + broadcast
+# dim, group, global deterministic top-20 (TakeOrderedAndProject —
+# per-partition heaps, no full sort).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    df = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+    # revenue is an exact-decimal double (identical in both engines), so
+    # (revenue DESC, custkey) is a total, engine-independent order.
+    return df.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 (adapted to available columns) — CASE-based conditional
+# aggregation: high/low-priority order counts per return flag.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 — promo revenue share: broadcast part join + two
+# conditional decimal sums; the ratio is a single double division of
+# engine-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+                    ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+             AS promo_pct,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+                    ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(disc_price).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume orders: HAVING on an exact-decimal sum,
+# then join the qualifying keys back to orders + customer. The
+# having-subquery is pre-aggregated (J3 discipline: aggregate before
+# the join, never after).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice,
+           CAST(q.sum_qty_dec AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ) q ON o.o_orderkey = q.l_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 — disjunctive bracket predicates: OR-of-ANDs over
+# (brand, size, quantity) pushed into a broadcast part join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by — "value at the extremum of another column" without
+# a self-join or window; the ordering column (o_orderkey) is unique
+# per group, so results are deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minmax_by_customer",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_totalprice, o_orderkey) AS latest_order_price,
+           arg_min(o_totalprice, o_orderkey) AS first_order_price,
+           max(o_orderkey) AS latest_orderkey,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def minmax_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_order_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max("o_orderkey").alias("latest_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered aggregates — SQL FILTER clause ≡ Spark sum(CASE)/count(CASE)
+# in one hash-aggregate pass (no per-predicate rescans).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_aggs_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                FILTER (WHERE c_acctbal > 5000) AS DOUBLE) AS rich_balance,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def filtered_aggs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    rich = F.col("c_acctbal") > 5000
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(rich, 1)).alias("n_rich"),
+        F.sum(F.when(rich, F.col("c_acctbal").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("rich_balance"),
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width bucketing via floor division (IEEE division
+# is correctly rounded, so bucket boundaries are engine-identical).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions — ordered array_agg then
+# transform/filter/aggregate/exists/forall/zip_with/slice, all
+# JVM-side lambda expressions (no UDFs). Quantities are integral
+# doubles (1..50), cast to BIGINT so every fold is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_hof_gallery",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey,
+             -- (l_orderkey, l_linenumber) is NOT unique in this data;
+             -- the quantity tiebreaker mirrors Spark's struct sort so
+             -- both engines build the identical array.
+             list(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qs
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           qs,
+           len(qs) AS n_items,
+           CAST(list_sum(qs) AS BIGINT) AS total_qty,
+           list_transform(qs, x -> x * 2) AS doubled,
+           list_filter(qs, x -> x >= 25) AS big_items,
+           len(list_filter(qs, x -> x >= 40)) > 0 AS any_ge_40,
+           len(list_filter(qs, x -> x > 0)) = len(qs) AS all_positive,
+           qs[1] AS first_qty,
+           qs[-1] AS last_qty,
+           list_reverse(list_sort(qs))[1:3] AS top3,
+           list_transform(qs, x -> x * 3) AS zipped3
+    FROM t
+    """,
+)
+def array_hof_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+            )
+        )
+    )
+    t = li.groupBy("l_orderkey").agg(
+        F.transform(pairs, lambda s: s["q"]).alias("qs")
+    )
+    qs = F.col("qs")
+    doubled = F.transform(qs, lambda x: x * 2)
+    return t.select(
+        "l_orderkey",
+        "qs",
+        F.size(qs).alias("n_items"),
+        F.aggregate(qs, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_qty"
+        ),
+        doubled.alias("doubled"),
+        F.filter(qs, lambda x: x >= 25).alias("big_items"),
+        F.exists(qs, lambda x: x >= 40).alias("any_ge_40"),
+        F.forall(qs, lambda x: x > 0).alias("all_positive"),
+        F.element_at(qs, 1).alias("first_qty"),
+        F.element_at(qs, -1).alias("last_qty"),
+        F.slice(F.reverse(F.array_sort(qs)), 1, 3).alias("top3"),
+        F.zip_with(qs, doubled, lambda x, y: x + y).alias("zipped3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp + string function gallery — RE2/Java-regex-portable patterns
+# only (literal classes, no backrefs/lookarounds).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regexp_string_gallery",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+           regexp_matches(c_name, '^Customer#0000000') AS low_key,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(substr(c_mktsegment, 1, 2), 2) AS seg_rep,
+           strpos(c_name, '#') AS hash_pos,
+           ascii(c_mktsegment) AS seg_ascii,
+           substr(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+)
+def regexp_string_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("bigint").alias("cust_num"),
+        F.regexp_replace(seg, "[AEIOU]", "_").alias("seg_masked"),
+        F.col("c_name").rlike("^Customer#0000000").alias("low_key"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.rpad(seg, 12, ".").alias("seg_padded"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_lowvowel"),
+        F.reverse(seg).alias("seg_rev"),
+        F.repeat(F.substring(seg, 1, 2), 2).alias("seg_rep"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.ascii(seg).alias("seg_ascii"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional explode — generator with ordinal (posexplode ≡ zipped
+# unnest(range(len), toks) in DuckDB; both 0-based).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "posexplode_doc_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+           unnest(toks) AS tok
+    FROM t
+    """,
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: single-row-group scan; the generator multiplies rows
+    # ~100x, so the map stage must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    return docs.select(
+        "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — tokenize → per-(doc,term) tf → doc-frequency join
+# → rational score tf*N/df (exact integer ratio in double: no logs, so
+# engine-identical) → deterministic top-3 per doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    # tf feeds BOTH join sides (tf ⋈ df(tf)); Catalyst does not dedupe
+    # self-join subtrees, so persist or the tokenize+agg runs twice.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill — hourly spine (sequence + explode) × event
+# types, left-joined against the observed hourly aggregate; missing
+# hours surface as explicit zero rows. The spine is tiny (hours ×
+# types) regardless of fact size, so it broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             COUNT(*) AS n_obs,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, s.hour_ts,
+           COALESCE(a.n_obs, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.event_type = t.event_type AND a.hour_ts = s.hour_ts
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        "event_type", hour.alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    return (
+        spine.crossJoin(types)
+        .join(agg, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split — train/val/test by a portable content
+# hash of the key (md5-derived, seed 7): reproducible across engines,
+# runs, and partitionings; no RNG, no sampleBy. The split column is a
+# pure expression, so the assignment also survives re-partitioning at
+# 100 TB (unlike rand()-based sampling).
+# ---------------------------------------------------------------------------
+
+_SPLIT_H = (
+    "CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "hash_split_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_SPLIT_H} < 80 THEN 'train'
+                  WHEN {_SPLIT_H} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM t GROUP BY 1, 2
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("doc_id"), seed=7) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
