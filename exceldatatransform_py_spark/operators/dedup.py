@@ -16,13 +16,14 @@ training-data-pipeline operators a 100 TB corpus needs. Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from exceldatatransform_py_spark.functions.text import (
+    hashed_shingles,
     md5_hash32,
     normalize_text,
-    word_shingles,
+    token_hashes,
     ws_tokens,
 )
 
@@ -56,40 +57,43 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index.
 
-    Plan shape: tokenize → distinct word-n-gram shingles → explode →
-    self-join on the 32-byte shingle *digest* (only docs sharing a
-    shingle ever meet — the classic inverted-index join, not a cross
-    join) → count common shingles per pair → Jaccard =
-    |∩| / (|A|+|B|-|∩|) ≥ threshold. Output:
+    Plan shape: tokenize → distinct *hashed* n-gram shingles (two
+    polynomial folds over per-token md5 hashes — no shingle strings
+    ever materialize) → explode → self-join on the 98-bit ``(h, g)``
+    pair (only docs sharing a shingle ever meet — the classic
+    inverted-index join, not a cross join) → count common shingles per
+    pair → Jaccard = |∩| / (|A|+|B|-|∩|) ≥ threshold. Output:
     ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
 
     ``max_shingle_docs`` drops shingles that occur in more than that
     many documents before the self-join — the skew guard at scale
     (boilerplate shingles otherwise create quadratic hot keys). Left
-    None, nothing is dropped and the result is exact.
+    None, nothing is dropped and the result is exact over the hashed
+    shingle sets (Broder-style hashed shingling; (h, g) collisions are
+    negligible below ~2^49 distinct shingles).
 
     Jaccard determinism: integer counts divided as doubles with a fixed
     expression shape — bit-identical to the DuckDB twin.
     """
-    inv = shingle_index(df, id_col, text_col, n=n).select("doc", "n_sh", "sh")
+    inv = shingle_index(df, id_col, text_col, n=n)
 
     if max_shingle_docs is not None:
         hot = (
-            inv.groupBy("sh")
+            inv.groupBy("h", "g")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_docs)
-            .select("sh")
+            .select("h", "g")
         )
-        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+        inv = inv.join(F.broadcast(hot), ["h", "g"], "left_anti")
 
     a = inv.select(
-        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "h", "g"
     )
     b = inv.select(
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh"
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "h", "g"
     )
     pairs = (
-        a.join(b, "sh")
+        a.join(b, ["h", "g"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -108,28 +112,38 @@ def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """The shared inverted index all near-dup paths build on:
-    one row per (doc, distinct shingle) with the shingle's md5 digest
-    and two independent 32-bit hash values carved out of that SAME
-    digest (hex chars 1-8 and 9-16).
+    one row per (doc, distinct hashed shingle) with the shingle's two
+    independent polynomial-fold hash values (``functions.text.
+    hashed_shingles`` — md5 per token, BIGINT folds per window; no
+    shingle strings are ever built or shuffled).
 
-    Output: ``(doc, n_sh, sh string digest, h0 bigint, h1 bigint)``,
-    **persisted** (memory-and-disk): signatures, banding, and exact
-    verification all reuse it, and Spark's exchange reuse does not
-    dedupe self-join subtrees reliably — without the persist every
-    branch re-runs the tokenize→shingle→explode→md5 pipeline (measured
-    145s → ~17s on the sf0.1 MinHash query). One md5 per shingle
-    total; k-wise hash families derive from (h0, h1) arithmetically.
+    Output: ``(doc, n_sh, h bigint, g bigint)``, **persisted**
+    (memory-and-disk): signatures, banding, and exact verification all
+    reuse it, and Spark's exchange reuse does not dedupe self-join
+    subtrees reliably — without the persist every branch re-runs the
+    tokenize→hash→explode pipeline (measured 145s → ~17s on the sf0.1
+    MinHash query back when shingles were md5 strings; the hashed
+    index is another ~2x on top). k-wise MinHash families derive
+    from (h, g) arithmetically (Kirsch-Mitzenmacher double hashing).
+
+    The per-token hash arrays are persisted BEFORE the window folds:
+    the fold lambdas re-evaluate captured outer expressions per
+    element, so they must read the arrays as materialized attributes
+    (see ``hashed_shingles``'s eval-once contract — inlining the
+    token-hash transform into the fold is a 10-50x blowup).
     """
-    base = df.select(
+    toks = ws_tokens(text_col)
+    staged = df.select(
         F.col(id_col).alias("doc"),
-        word_shingles(ws_tokens(text_col), n=n).alias("shingles"),
-    ).select("doc", F.size("shingles").alias("n_sh"), "shingles")
-    inv = (
-        base.select("doc", "n_sh", F.explode("shingles").alias("sh"))
-        .withColumn("sh", F.md5(F.col("sh")))
-        .withColumn("h0", F.conv(F.substring("sh", 1, 8), 16, 10).cast("bigint"))
-        .withColumn("h1", F.conv(F.substring("sh", 9, 8), 16, 10).cast("bigint"))
+        token_hashes(toks, seed=0).alias("th0"),
+        token_hashes(toks, seed=1).alias("th1"),
+    ).persist()
+    base = staged.select(
+        "doc", hashed_shingles(F.col("th0"), F.col("th1"), n=n).alias("shingles")
     )
+    inv = base.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    ).select("doc", "n_sh", F.col("s.h").alias("h"), F.col("s.g").alias("g"))
     return inv.persist()
 
 
@@ -138,22 +152,27 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature columns ``s0..s{k-1}``:
     ``s_i = min over shingles of (h0 + i*h1)`` — the double-hashing
-    construction (Kirsch-Mitzenmacher): k hash functions from ONE md5
-    per shingle, derived with plain BIGINT arithmetic (h0, h1 < 2^32
-    so every value < 2^36 — no overflow, no modulus, and the exact
-    same expression is writable in any SQL dialect for the oracle).
+    construction (Kirsch-Mitzenmacher): k hash functions derived from
+    the shingle's two fold values with plain BIGINT arithmetic
+    (``h0 = h % 2^32``, ``h1 = g % 2^32``, so every value < 2^36 — no
+    overflow, no modulus, and the exact same expression is writable in
+    any SQL dialect for the oracle).
 
     Output: ``(id_col, s0..s{k-1} bigint)`` — a fixed-size sketch
     (k * 8 bytes) regardless of document length; this is what ships
     through the LSH shuffle, never the text.
     """
     inv = shingle_index(df, id_col, text_col, n=n)
-    return inv.groupBy(F.col("doc").alias(id_col)).agg(
-        *[
-            F.min(F.col("h0") + F.lit(i) * F.col("h1")).alias(f"s{i}")
-            for i in range(k)
-        ]
-    )
+    return inv.groupBy(F.col("doc").alias(id_col)).agg(*_sig_aggs(k))
+
+
+_H32_MOD = 4294967296  # 2^32
+
+
+def _sig_aggs(k: int) -> list[Column]:
+    h0 = F.col("h") % _H32_MOD
+    h1 = F.col("g") % _H32_MOD
+    return [F.min(h0 + F.lit(i) * h1).alias(f"s{i}") for i in range(k)]
 
 
 def minhash_lsh_pairs(
@@ -187,12 +206,7 @@ def minhash_lsh_pairs(
     r = k // bands
 
     inv = shingle_index(df, id_col, text_col, n=n)
-    sigs = inv.groupBy("doc").agg(
-        *[
-            F.min(F.col("h0") + F.lit(i) * F.col("h1")).alias(f"s{i}")
-            for i in range(k)
-        ]
-    )
+    sigs = inv.groupBy("doc").agg(*_sig_aggs(k))
     # band value = md5 of the ','-joined slice of the signature.
     band_rows = sigs.select(
         "doc",
@@ -237,14 +251,14 @@ def minhash_lsh_pairs(
     # Exact verification reuses the SAME persisted inverted index the
     # signatures came from, but the join is DRIVEN BY the candidate
     # pairs: cand ⋈ A-shingles on id_a, then ⋈ B-shingles on
-    # (id_b, sh). Work is O(candidate pairs × shingles/doc) — never
+    # (id_b, h, g). Work is O(candidate pairs × shingles/doc) — never
     # the full shingle self-join (that would re-do the exact-Jaccard
     # O(all collisions) work LSH exists to avoid).
-    a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
-    b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
+    a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "h", "g")
+    b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "h", "g")
     common = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
+        .join(b, ["id_b", "h", "g"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

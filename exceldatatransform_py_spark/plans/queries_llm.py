@@ -224,14 +224,50 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard near-dup pairs (inverted-index join).
 # ---------------------------------------------------------------------------
 
+# Hashed-shingle inverted index (operators.dedup.shingle_index twin):
+# md5-hash each token once per seed, polynomial-fold each n-gram
+# window ((acc*B + x) % M — list_reduce starts at the first element,
+# which equals Spark's fold from 0 because x0 % M = x0), parallel
+# unnest zips the two fold lists, row-level DISTINCT mirrors Spark's
+# in-array array_distinct, and the window count rebuilds n_sh.
+# Empty-token docs are padded to [0] so both engines emit the (0, 0)
+# sentinel shingle.
+from exceldatatransform_py_spark.functions.text import (  # noqa: E402
+    SHINGLE_B0,
+    SHINGLE_B1,
+    SHINGLE_M,
+)
+
+_PAD = "CASE WHEN len(toks) = 0 THEN [CAST(0 AS BIGINT)] ELSE {th} END"
+_TH0 = _PAD.format(th=f"list_transform(toks, t -> {_H32.format(seed=0, x='t')})")
+_TH1 = _PAD.format(th=f"list_transform(toks, t -> {_H32.format(seed=1, x='t')})")
+
+_HASHED_INV = f"""
+    t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, {_TH0} AS th0, {_TH1} AS th1 FROM t),
+    win AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(th0) - 2, 1) + 1),
+               i -> list_reduce(th0[i:i+2],
+                                (x, y) -> (x * {SHINGLE_B0} + y) % {SHINGLE_M}))) AS h,
+             unnest(list_transform(range(1, greatest(len(th1) - 2, 1) + 1),
+               i -> list_reduce(th1[i:i+2],
+                                (x, y) -> (x * {SHINGLE_B1} + y) % {SHINGLE_M}))) AS g
+      FROM th
+    ),
+    ded AS (SELECT DISTINCT doc_id, h, g FROM win),
+    inv AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n_sh, h, g FROM ded
+    )
+"""
+
 _JACCARD_CTE = f"""
-    WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES.format(toks="toks")} AS shingles FROM t),
-    inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    WITH {_HASHED_INV},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
-      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM inv a JOIN inv b
+        ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
 """
@@ -266,10 +302,13 @@ _MH_R = _MH_K // _MH_BANDS
 
 
 def _mh_oracle() -> str:
-    # Mirrors operators.dedup.shingle_index / minhash_signature: one
-    # md5 per shingle; h0/h1 = hex chars 1-8 / 9-16 of that digest;
-    # k signature values s_i = min(h0 + i*h1) (double hashing).
-    sig_cols = ", ".join(f"min(h0 + {i} * h1) AS s{i}" for i in range(_MH_K))
+    # Mirrors operators.dedup.shingle_index / minhash_signature on the
+    # hashed-shingle index: h0 = h % 2^32, h1 = g % 2^32; k signature
+    # values s_i = min(h0 + i*h1) (Kirsch-Mitzenmacher double hashing).
+    sig_cols = ", ".join(
+        f"min(h % 4294967296 + {i} * (g % 4294967296)) AS s{i}"
+        for i in range(_MH_K)
+    )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
             b=bi,
@@ -280,19 +319,8 @@ def _mh_oracle() -> str:
         for bi in range(_MH_BANDS)
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_FP_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES.format(toks="toks")} AS shingles FROM t),
-    inv AS (
-      SELECT doc_id, len(shingles) AS n_sh, md5(unnest(shingles)) AS s
-      FROM sh
-    ),
-    invh AS (
-      SELECT doc_id, n_sh, s,
-             CAST(concat('0x', substr(s, 1, 8)) AS BIGINT) AS h0,
-             CAST(concat('0x', substr(s, 9, 8)) AS BIGINT) AS h1
-      FROM inv
-    ),
-    sigs AS (SELECT doc_id, {sig_cols} FROM invh GROUP BY doc_id),
+    WITH {_HASHED_INV},
+    sigs AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -302,7 +330,8 @@ def _mh_oracle() -> str:
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
-      FROM invh a JOIN invh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM inv a JOIN inv b
+        ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id
       JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY 1, 2, 3, 4
     )
