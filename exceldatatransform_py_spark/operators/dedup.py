@@ -272,6 +272,53 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node's label converges to the minimum
+    node id reachable from it. Returns ``(v, cluster_id)`` for every
+    node that appears in an edge (callers attach singletons with a
+    left join + coalesce).
+
+    This is THE dedup-clustering step: near-dup *pairs* (MinHash output)
+    become dedup *groups* whose canonical representative is the min id.
+
+    Iterative algorithms need driver-side control flow; each round is
+    one distributed join+agg (neighbor-min) and the loop runs
+    O(component diameter) times — near-dup clusters are dense, so
+    convergence is typically 2-5 rounds. ``localCheckpoint(eager)``
+    after every round truncates the lineage (otherwise plans grow
+    exponentially) and materializes the labels so the convergence
+    check is one cheap count. At 100 TB the same loop holds: edges are
+    partitioned by node, each round is a co-partitioned shuffle, and
+    no driver-side data movement happens beyond the changed-row count.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = (
+        sym.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym.d == labels.v).groupBy("s").agg(
+            F.min("lbl").alias("nl")
+        )
+        stepped = (
+            labels.join(neigh, labels.v == neigh.s, "left")
+            .select(
+                "v", "lbl", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl2")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("lbl2") < F.col("lbl")).count()
+        labels = stepped.select("v", F.col("lbl2").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select("v", F.col("lbl").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash fingerprint per document.
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from exceldatatransform_py_spark.functions.text import (
     STOPWORDS,
     lang_id,
+    md5_hash32,
     normalize_text,
     punct_count,
     quality_score,
@@ -27,9 +28,11 @@ from exceldatatransform_py_spark.functions.text import (
     ws_tokens,
 )
 from exceldatatransform_py_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_index,
     simhash64,
 )
 from exceldatatransform_py_spark.operators.multimodal import binary_featurize
@@ -301,10 +304,12 @@ _MH_K, _MH_BANDS = 16, 4
 _MH_R = _MH_K // _MH_BANDS
 
 
-def _mh_oracle() -> str:
+def _mh_oracle(recursive: bool = False) -> str:
     # Mirrors operators.dedup.shingle_index / minhash_signature on the
     # hashed-shingle index: h0 = h % 2^32, h1 = g % 2^32; k signature
     # values s_i = min(h0 + i*h1) (Kirsch-Mitzenmacher double hashing).
+    # ``recursive=True`` emits WITH RECURSIVE so callers can append
+    # recursive members (the connected-components closure).
     sig_cols = ", ".join(
         f"min(h % 4294967296 + {i} * (g % 4294967296)) AS s{i}"
         for i in range(_MH_K)
@@ -319,7 +324,7 @@ def _mh_oracle() -> str:
         for bi in range(_MH_BANDS)
     )
     return f"""
-    WITH {_HASHED_INV},
+    WITH {"RECURSIVE " if recursive else ""}{_HASHED_INV},
     sigs AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
@@ -334,15 +339,22 @@ def _mh_oracle() -> str:
         ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id
       JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY 1, 2, 3, 4
+    ),
+    mh AS (
+      SELECT id_a, id_b,
+             CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+      FROM pairs
+      WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
     )
-    SELECT id_a, id_b,
-           CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
-    FROM pairs
-    WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
     """
 
 
-@register("minhash_lsh_near_dup", oracle=_mh_oracle())
+
+
+@register(
+    "minhash_lsh_near_dup",
+    oracle=_mh_oracle() + "SELECT id_a, id_b, jaccard FROM mh",
+)
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: single-row-group parquet scans are 1 task; the
     # shingle/hash explode pipeline must parallelize before it.
@@ -744,4 +756,149 @@ def training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering — near-dup PAIRS (MinHash) → dedup GROUPS via
+# connected components (iterative min-label propagation on Spark; a
+# recursive-CTE transitive closure in the oracle — exact value parity
+# for an iterative distributed algorithm). Every document gets a
+# cluster id; singletons are their own cluster.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=_mh_oracle(recursive=True)
+    + """,
+    sym(s, d) AS (
+      SELECT id_a, id_b FROM mh
+      UNION ALL
+      SELECT id_b, id_a FROM mh
+    ),
+    reach(v, r) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT reach.v, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    cc AS (SELECT v, least(v, min(r)) AS cluster_id FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.v
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, k=_MH_K, bands=_MH_BANDS,
+        threshold=0.5,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return docs.join(cc, docs.doc_id == cc.v, "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition — 1 - distinct/total n-gram windows. High
+# ratio = boilerplate/looping text; a standard corpus-quality filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_ratio",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    per_doc AS (SELECT DISTINCT doc_id, n_sh FROM inv),
+    nt AS (SELECT doc_id, len({_FP_TOKS}) AS n_tok FROM documents)
+    SELECT nt.doc_id,
+           CAST(nt.n_tok AS BIGINT) AS n_tok,
+           CAST(p.n_sh AS BIGINT) AS n_distinct_shingles,
+           1.0 - CAST(p.n_sh AS DOUBLE)
+                 / CAST(greatest(nt.n_tok - 2, 1) AS DOUBLE) AS rep_ratio
+    FROM nt JOIN per_doc p ON nt.doc_id = p.doc_id
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    per_doc = inv.select("doc", "n_sh").distinct()
+    nt = docs.select(
+        "doc_id", F.size(ws_tokens("text")).cast("bigint").alias("n_tok")
+    )
+    windows = F.greatest(F.col("n_tok") - 2, F.lit(1).cast("bigint"))
+    return nt.join(per_doc, nt.doc_id == per_doc.doc).select(
+        "doc_id",
+        "n_tok",
+        F.col("n_sh").cast("bigint").alias("n_distinct_shingles"),
+        (
+            F.lit(1.0)
+            - F.col("n_sh").cast("double") / windows.cast("double")
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination — shingle overlap between the training split
+# and a held-out "benchmark" subset (5% by content hash of the id).
+# A train doc is contaminated if it shares a large fraction of its
+# shingles with any benchmark doc. Plan: one persisted inverted index,
+# flagged and self-joined train x bench on the shingle key.
+# ---------------------------------------------------------------------------
+
+_BENCH_FLAG = (
+    "CAST(concat('0x', substr(md5(concat('9:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+    "AS BIGINT) % 20 = 0"
+)
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    flags AS (SELECT doc_id, {_BENCH_FLAG} AS is_bench FROM documents),
+    fi AS (
+      SELECT i.doc_id, i.n_sh, i.h, i.g, f.is_bench
+      FROM inv i JOIN flags f ON i.doc_id = f.doc_id
+    ),
+    hits AS (
+      SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+             a.n_sh AS n_train, count(*) AS common
+      FROM fi a JOIN fi b ON a.h = b.h AND a.g = b.g
+      WHERE NOT a.is_bench AND b.is_bench
+      GROUP BY 1, 2, 3
+    ),
+    strong AS (
+      SELECT train_doc, bench_doc,
+             CAST(common AS DOUBLE) / CAST(n_train AS DOUBLE) AS frac
+      FROM hits
+      WHERE CAST(common AS DOUBLE) / CAST(n_train AS DOUBLE) >= 0.2
+    )
+    SELECT train_doc, COUNT(*) AS n_bench_hits, max(frac) AS max_frac
+    FROM strong GROUP BY train_doc
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    is_bench = md5_hash32(F.col("doc_id"), seed=9) % 20 == 0
+    flags = docs.select("doc_id", is_bench.alias("is_bench"))
+    fi = inv.join(flags, inv.doc == flags.doc_id).select(
+        "doc", "n_sh", "h", "g", "is_bench"
+    )
+    a = fi.filter(~F.col("is_bench")).select(
+        F.col("doc").alias("train_doc"), F.col("n_sh").alias("n_train"), "h", "g"
+    )
+    b = fi.filter(F.col("is_bench")).select(F.col("doc").alias("bench_doc"), "h", "g")
+    hits = (
+        a.join(b, ["h", "g"])
+        .groupBy("train_doc", "bench_doc", "n_train")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    frac = F.col("common").cast("double") / F.col("n_train").cast("double")
+    strong = hits.withColumn("frac", frac).filter(F.col("frac") >= 0.2)
+    return strong.groupBy("train_doc").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("frac").alias("max_frac"),
     )
