@@ -155,3 +155,50 @@ def test_bucketed_groupby_has_no_shuffle(spark, tmp_path_factory):
         assert agg.count() == 500
     finally:
         spark.sql("DROP TABLE IF EXISTS b_fact_agg")
+
+
+def test_q6_pushes_all_predicates_and_prunes(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # every predicate reaches the parquet scan...
+    for f in ("GreaterThanOrEqual(l_shipdate", "IsNotNull(l_discount)",
+              "IsNotNull(l_quantity)"):
+        assert f in plan, f
+    # ...and only the four needed columns are read.
+    schema_line = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in schema_line and "l_returnflag" not in schema_line
+
+
+def test_q10_global_topk_avoids_full_sort(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a total Sort of the aggregate.
+    plan = plan_of(spark, "q10_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_broadcasts_part_dim(spark):
+    plan = plan_of(spark, "q19_bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_array_hof_single_shuffle(spark):
+    # ordered array_agg + every lambda op in one pass: exactly the
+    # groupBy exchange, nothing else.
+    plan = plan_of(spark, "array_hof_gallery")
+    assert n_exchanges(plan) == 1
+
+
+def test_posexplode_is_generate_no_extra_shuffle(spark):
+    plan = plan_of(spark, "posexplode_doc_tokens")
+    assert "Generate" in plan
+    # only the deliberate fan-out repartition of the 1-row-group scan.
+    assert n_exchanges(plan) <= 1
+
+
+def test_tfidf_ranks_with_window_group_limit(spark):
+    # top-3-per-doc must use the rank-pushdown (WindowGroupLimit) so
+    # each partition drops non-qualifying rows before the full window.
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    # the tf subtree is persisted (self-join reuse), not recomputed.
+    assert "InMemoryRelation" in plan

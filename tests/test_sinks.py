@@ -88,3 +88,57 @@ def test_excel_reader_gated(spark):
     # NotImplementedError, not an opaque ImportError mid-pipeline.
     with _pytest.raises((NotImplementedError, Exception)):
         read_excel_workbook(spark, "/nonexistent.xlsx")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmpdir_):
+    """ORC is a first-class columnar source/sink (built into Spark):
+    write, read back, and verify predicate pushdown reaches the ORC
+    scan like it does for parquet."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    path = os.path.join(tmpdir_, "orc_out")
+    df.write.format("orc").mode("overwrite").save(path)
+
+    back = spark.read.format("orc").load(path).filter(F.col("grp") == 3)
+    assert back.count() == len([i for i in range(1000) if i % 7 == 3])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3)" in plan, plan
+
+
+def test_csv_json_orc_same_values(spark, tmpdir_):
+    """One DataFrame round-tripped through three formats reads back
+    value-identical (modulo CSV's string-typed schema, recast here)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("g")
+    )
+    paths = {}
+    for fmt in ("csv", "json", "orc"):
+        p = os.path.join(tmpdir_, f"multi_{fmt}")
+        w = df.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.save(p)
+        paths[fmt] = p
+
+    expect = {(i, i % 5) for i in range(100)}
+    for fmt, p in paths.items():
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = r.option("header", True).option("inferSchema", True)
+        back = spark.read.format(fmt).load(p) if fmt != "csv" else r.load(p)
+        got = {(int(row["k"]), int(row["g"])) for row in back.collect()}
+        assert got == expect, fmt
