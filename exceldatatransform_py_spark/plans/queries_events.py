@@ -479,3 +479,96 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         attribution_window="1 hour",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users bucketed by first-seen week × activity week;
+# week_number = weeks since cohort. Two aggregates over one events
+# scan, joined on user_id (classic event-analytics rollup).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week, a.activity_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) // 7
+                AS INTEGER) AS week_number,
+           count(*) AS n_active_users
+    FROM act a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # to_date: DuckDB's date_trunc('week') yields DATE while Spark's
+    # yields TIMESTAMP — align on DATE (week starts are midnight).
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("activity_week")
+    ).distinct()
+    week_no = (
+        F.datediff(F.to_date("activity_week"), F.to_date("cohort_week")) / 7
+    ).cast("int")
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy("cohort_week", "activity_week", week_no.alias("week_number"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel — first 'view' vs first 'purchase' per user; converted =
+# purchased at/after the first view. Conditional min aggregates in ONE
+# scan (no per-step rescans), then a pure projection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_view_purchase",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, first_view, first_purchase,
+           first_view IS NOT NULL AND first_purchase IS NOT NULL
+             AND first_purchase >= first_view AS converted
+    FROM f
+    WHERE first_view IS NOT NULL OR first_purchase IS NOT NULL
+    """,
+)
+def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return f.filter(
+        F.col("first_view").isNotNull() | F.col("first_purchase").isNotNull()
+    ).select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        (
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        ).alias("converted"),
+    )
