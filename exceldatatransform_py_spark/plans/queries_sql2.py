@@ -684,3 +684,43 @@ def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end — the same engine through spark.sql() over registered
+# views (CTE + window share-of-total). The window SUM re-casts the
+# exact-decimal double back to DECIMAL so the partition total is
+# order-independent (a raw SUM(double) OVER w would not be
+# reproducible across partitionings).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_priority_share",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT d, prio, rev,
+           rev / CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (PARTITION BY d)
+                      AS DOUBLE) AS share
+    FROM daily
+    """,
+)
+def sql_api_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT to_date(o_orderdate) AS d, o_orderpriority AS prio,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+          FROM v_orders GROUP BY 1, 2
+        )
+        SELECT d, prio, rev,
+               rev / CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (PARTITION BY d)
+                          AS DOUBLE) AS share
+        FROM daily
+        """
+    )

@@ -202,3 +202,32 @@ def test_tfidf_ranks_with_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     # the tf subtree is persisted (self-join reuse), not recomputed.
     assert "InMemoryRelation" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path_factory):
+    """A fact laid out with write.partitionBy(key) + a selective dim
+    filter on that key → the scan gets a runtime dynamicpruning
+    partition filter (only matching partitions are read — the 100 TB
+    date-partitioned-fact pattern)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("dpp"))
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 10).alias("y"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("y").mode("overwrite").parquet(f"{base}/fact")
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("y"), (F.col("id") < 3).alias("keep")
+    )
+    joined = (
+        spark.read.parquet(f"{base}/fact")
+        .join(dim.filter("keep"), "y")
+        .groupBy("y")
+        .agg(F.sum("v").alias("s"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 3

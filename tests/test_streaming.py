@@ -169,3 +169,53 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     assert got == expected
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static join: enrich the event stream with a static dim
+    (user tier by id range). The static side is re-resolved per
+    micro-batch in production; here the drained result must equal the
+    batch join."""
+    import tempfile
+    import shutil
+
+    tiers = spark.createDataFrame(
+        [(lo, lo + 50, f"tier{n}") for n, lo in enumerate(range(0, 200, 50))],
+        ["lo", "hi", "tier"],
+    )
+    batch = spark.read.parquet(events_dir)
+
+    def enrich(df):
+        return (
+            df.join(
+                F.broadcast(tiers),
+                (df.user_id >= tiers.lo) & (df.user_id < tiers.hi),
+                "left",
+            )
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    expected = {(r["tier"], r["n"]) for r in enrich(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ss_")
+    try:
+        q = (
+            enrich(stream)
+            .writeStream.format("memory")
+            .queryName("t_enrich")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["tier"], r["n"])
+            for r in spark.sql("SELECT * FROM t_enrich").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert got == expected
