@@ -509,6 +509,7 @@ from exceldatatransform_py_spark.plans import queries_events  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_extra  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_llm  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_sql2  # noqa: E402,F401
+from exceldatatransform_py_spark.plans import queries_tpch3  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

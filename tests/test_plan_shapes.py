@@ -231,3 +231,42 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path_factory):
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == 3
+
+
+def test_q2_correlated_min_is_single_window_pass(spark):
+    # q2's correlated MIN subquery must compile to ONE window over
+    # p_partkey — never a self-join that scans lineitem twice.
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # lineitem is scanned exactly once (no self-join recompute).
+    assert plan.count("lineitem.parquet]") == 1
+    # part/nation/region pinned as broadcasts.
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_parts_supplier_cnt")
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_q17_correlated_avg_is_single_window_pass(spark):
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # lineitem is scanned exactly once (no self-join recompute).
+    assert plan.count("lineitem.parquet]") == 1
+
+
+def test_q21_exists_pair_is_two_level_agg_one_shuffle(spark):
+    # The EXISTS / NOT EXISTS pair collapses to aggregates on
+    # l_orderkey: lineitem scanned once, no lineitem self-joins.
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet]") == 1
+    assert plan.count("HashAggregate") >= 4  # two partial+final levels
+
+
+def test_q15_scalar_max_is_broadcast_not_global_window(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    # the MAX arrives via a broadcast join of a one-row aggregate,
+    # never a single-partition global window.
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
