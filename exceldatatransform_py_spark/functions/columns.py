@@ -121,3 +121,56 @@ def dec_avg(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
     """Order-independent AVG: exact decimal sum / count, in double."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double") / F.count(c)
+
+
+# ---------------------------------------------------------------------------
+# Pushdown-friendly day-granularity predicates over timestamp columns.
+# ``to_date(ts) >= DATE 'd'`` wraps the COLUMN in a cast, so the
+# predicate never reaches the parquet scan (no PushedFilters, no
+# row-group/page skipping — fatal at 100 TB where date ranges are THE
+# partition-elimination axis). For any time-of-day,
+#   to_date(ts) >= d  ⇔  ts >= midnight(d)
+#   to_date(ts) <  d  ⇔  ts <  midnight(d)
+# so the same filter restated on the raw timestamp column is exactly
+# equivalent AND pushable. Oracle twins keep the CAST(x AS DATE) form;
+# results are identical by construction.
+# ---------------------------------------------------------------------------
+
+
+def _midnight(day: str) -> Column:
+    return F.lit(f"{day} 00:00:00").cast("timestamp")
+
+
+def _next_day(day: str) -> str:
+    import datetime
+
+    return (datetime.date.fromisoformat(day) + datetime.timedelta(days=1)).isoformat()
+
+
+def day_ge(col: Column | str, day: str) -> Column:
+    """``to_date(col) >= day`` as a pushable timestamp predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c >= _midnight(day)
+
+
+def day_lt(col: Column | str, day: str) -> Column:
+    """``to_date(col) < day`` as a pushable timestamp predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c < _midnight(day)
+
+
+def day_le(col: Column | str, day: str) -> Column:
+    """``to_date(col) <= day`` as a pushable timestamp predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c < _midnight(_next_day(day))
+
+
+def day_gt(col: Column | str, day: str) -> Column:
+    """``to_date(col) > day`` as a pushable timestamp predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c >= _midnight(_next_day(day))
+
+
+def day_between(col: Column | str, start: str, end_exclusive: str) -> Column:
+    """``start <= to_date(col) < end_exclusive``, pushable."""
+    return day_ge(col, start) & day_lt(col, end_exclusive)

@@ -297,7 +297,15 @@ def connected_components(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     )
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # Materialize the edge set ONCE: the caller's `edges` is typically
+    # an expensive subtree (MinHash band join + Jaccard verify), and
+    # every propagation round joins against it — without this barrier
+    # each iteration re-runs the whole pair pipeline from the persisted
+    # shingle index. The symmetric edge list is O(pairs), tiny next to
+    # what produces it.
+    sym = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint(eager=True)

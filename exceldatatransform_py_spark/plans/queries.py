@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from exceldatatransform_py_spark.functions.columns import (
     clean_numeric,
+    day_between,
+    day_le,
+    day_lt,
     dec_sum,
     distinct_sorted_concat,
     last_token_lower,
@@ -117,7 +120,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(8,2)")
     n = F.count(F.lit(1))
     return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        li.filter(day_le("l_shipdate", "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
@@ -343,7 +346,7 @@ def merge_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        .filter(day_lt("l_shipdate", "1998-01-01"))
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(dec_sum("l_extendedprice").alias("o_totalprice"))
     )
@@ -540,8 +543,7 @@ from exceldatatransform_py_spark.plans import queries_tpch3  # noqa: E402,F401
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        day_between("o_orderdate", "1995-01-01", "1997-01-01")
     )
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")

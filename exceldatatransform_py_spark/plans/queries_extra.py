@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from exceldatatransform_py_spark.functions.columns import day_gt, day_lt
 from exceldatatransform_py_spark.operators.skew import salted_join
 from exceldatatransform_py_spark.plans.registry import register
 from exceldatatransform_py_spark.sources.readers import read_table
@@ -164,10 +165,10 @@ def q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") < F.lit("1995-03-15").cast("date")
+        day_lt("o_orderdate", "1995-03-15")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit("1995-03-15").cast("date")
+        day_gt("l_shipdate", "1995-03-15")
     )
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(8,2)")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from exceldatatransform_py_spark.functions.columns import dec_sum
+from exceldatatransform_py_spark.functions.columns import day_between, dec_sum
 from exceldatatransform_py_spark.functions.text import md5_hash32, ws_tokens
 from exceldatatransform_py_spark.plans.registry import register
 from exceldatatransform_py_spark.sources.readers import read_table
@@ -50,13 +50,11 @@ _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    ship = F.to_date("l_shipdate")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(8,2)")
     return (
         li.filter(
-            (ship >= F.lit("1996-01-01").cast("date"))
-            & (ship < F.lit("1997-01-01").cast("date"))
+            day_between("l_shipdate", "1996-01-01", "1997-01-01")
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -95,8 +93,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1995-10-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        day_between("o_orderdate", "1995-10-01", "1996-01-01")
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
@@ -137,8 +134,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        day_between("l_shipdate", "1996-01-01", "1997-01-01")
     )
     o = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -183,8 +179,7 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        day_between("l_shipdate", "1996-03-01", "1996-04-01")
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (

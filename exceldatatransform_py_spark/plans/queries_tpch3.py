@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from exceldatatransform_py_spark.functions.columns import day_between
 from exceldatatransform_py_spark.plans.registry import register
 from exceldatatransform_py_spark.sources.readers import read_table
 
@@ -156,8 +157,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "cust_nation")
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        day_between("l_shipdate", "1996-01-01", "1998-01-01")
     )
     return (
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -228,8 +228,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         _t(spark, sf_dir, "orders")
         .filter(
-            (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+            day_between("o_orderdate", "1995-01-01", "1997-01-01")
         )
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year(F.to_date("o_orderdate")).alias("o_year"))
@@ -448,8 +447,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        day_between("l_shipdate", "1996-01-01", "1996-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("total_revenue_dec")
@@ -608,8 +606,7 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        day_between("l_shipdate", "1996-01-01", "1997-01-01")
     )
     ps = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)

@@ -160,8 +160,11 @@ def test_bucketed_groupby_has_no_shuffle(spark, tmp_path_factory):
 def test_q6_pushes_all_predicates_and_prunes(spark):
     plan = plan_of(spark, "q6_forecast_revenue")
     # every predicate reaches the parquet scan...
-    for f in ("GreaterThanOrEqual(l_shipdate", "IsNotNull(l_discount)",
-              "IsNotNull(l_quantity)"):
+    # day-granularity bounds are native timestamp predicates
+    # (functions.columns.day_between), pushable without relying on
+    # the optimizer unwrapping a to_date() cast.
+    for f in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+              "IsNotNull(l_discount)", "LessThan(l_quantity,24.0)"):
         assert f in plan, f
     # ...and only the four needed columns are read.
     schema_line = plan.split("ReadSchema")[1].splitlines()[0]
@@ -270,3 +273,4 @@ def test_q15_scalar_max_is_broadcast_not_global_window(spark):
     # never a single-partition global window.
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
