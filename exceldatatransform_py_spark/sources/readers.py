@@ -19,6 +19,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
 TABLES: tuple[str, ...] = (
@@ -51,18 +52,24 @@ def read_table(
     few-big-row-group files.
     """
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-        # Read nanos as raw INT64 and convert exactly: integer-div to
+        # Some generations of the events table store TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects outright
+        # ([PARQUET_TYPE_ILLEGAL]); with nanosAsLong the column arrives
+        # as raw INT64 nanos and is converted exactly: integer-div to
         # micros (matches DuckDB's nanos→micros truncation), then to a
         # naive timestamp. `div` keeps the arithmetic in longs — a
-        # double round-trip would lose precision above 2^53 ns.
+        # double round-trip would lose precision above 2^53 ns. Newer
+        # generations store TIMESTAMP(MICROS), which reads natively —
+        # only normalize when the column actually surfaces as a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if fan_out:
