@@ -508,6 +508,7 @@ def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows/joins). Import side effects populate QUERIES/ORACLE.
 # ---------------------------------------------------------------------------
 
+from exceldatatransform_py_spark.plans import queries_analytics  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_events  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_extra  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_llm  # noqa: E402,F401

@@ -1,0 +1,178 @@
+"""Interval/sessionization/sampling analytics batch.
+
+Classic warehouse patterns not yet scored, each restated as one lazy
+DataFrame plan with a DuckDB oracle twin:
+
+* gaps-and-islands → validity intervals (the general form of the
+  reference's "update an existing ledger over time" semantics and of
+  SCD-type-2 history construction),
+* batch sessionization by inactivity gap (lag + cumulative sum — the
+  batch twin of ``F.session_window``, which is already scored in
+  ``queries_events``),
+* deterministic stratified sampling (per-stratum rates keyed on a
+  portable content hash — reproducible train/eval subsets at 100 TB,
+  no RNG state, unlike ``df.sampleBy`` whose sample depends on
+  partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.functions.columns import dec_sum
+from exceldatatransform_py_spark.functions.text import md5_hash32
+from exceldatatransform_py_spark.plans.registry import register
+from exceldatatransform_py_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per customer, collapse consecutive orders (in
+# order-date order) that share an o_orderpriority into one validity
+# interval [valid_from, valid_to]. The island key is the difference of
+# two row_numbers — the standard trick; everything after it is one
+# hash aggregate. Ties on o_orderdate are broken by o_orderkey so both
+# engines see the same total order. Two windows with different
+# partition keys → exactly two shuffles, then the groupBy reuses the
+# second window's partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_runs_per_customer",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+             - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY o_orderdate, o_orderkey) AS grp
+      FROM orders
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           MIN(od) AS valid_from, MAX(od) AS valid_to,
+           COUNT(*) AS n_orders
+    FROM seq GROUP BY o_custkey, o_orderpriority, grp
+    """,
+)
+def priority_runs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+        (F.row_number().over(w_all) - F.row_number().over(w_pri)).alias("grp"),
+    )
+    return seq.groupBy("o_custkey", "o_orderpriority", "grp").agg(
+        F.min("od").alias("valid_from"),
+        F.max("od").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: a session breaks after >30 min of inactivity.
+# lag → flag → running sum = session index; both windows share one
+# (user_id)-partitioned sort, so the whole query is a single shuffle
+# plus one aggregate. This is the batch restatement of the streaming
+# session_window query (events_session) with an explicit, portable
+# session id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_sessions_gap30",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def event_sessions_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    sess = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", 18, 6).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-segment keep-rates applied by
+# comparing a portable content hash of the key against the rate. Fully
+# map-side (no shuffle, no RNG): the sample is a pure function of the
+# data, so it is identical across engines, runs, partitionings, and
+# cluster sizes — which is what makes sampled evals reproducible at
+# 100 TB (``df.sample``/``sampleBy`` cannot promise that).
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES: dict[str, int] = {"BUILDING": 20, "AUTOMOBILE": 10}
+_DEFAULT_RATE = 5  # percent
+
+
+@register(
+    "stratified_sample_customers",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE CAST(concat('0x', substr(md5(concat('7:', CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+          < CASE c_mktsegment WHEN 'BUILDING' THEN {_STRATA_RATES["BUILDING"]}
+                              WHEN 'AUTOMOBILE' THEN {_STRATA_RATES["AUTOMOBILE"]}
+                              ELSE {_DEFAULT_RATE} END
+    """,
+)
+def stratified_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    rate = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit(_STRATA_RATES["BUILDING"])
+    ).when(
+        F.col("c_mktsegment") == "AUTOMOBILE", F.lit(_STRATA_RATES["AUTOMOBILE"])
+    ).otherwise(F.lit(_DEFAULT_RATE))
+    keep = md5_hash32(F.col("c_custkey"), seed=7) % 100 < rate
+    return cust.filter(keep).select("c_custkey", "c_mktsegment", "c_acctbal")

@@ -902,3 +902,109 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bench_hits"),
         F.max("frac").alias("max_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection — the step after dedup clustering: from
+# every near-dup cluster keep the highest-quality member (ties → min
+# doc_id). Composite of the whole LLM-dedup stack: MinHash-LSH pairs →
+# connected components → quality scoring → one ranked window per
+# cluster. This is the "which copy do we train on" decision a corpus
+# pipeline makes at 100 TB; everything after the (tiny) pair edges is
+# a single cluster_id-partitioned shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canonical_doc_per_cluster",
+    oracle=_mh_oracle(recursive=True)
+    + f""",
+    sym(s, d) AS (
+      SELECT id_a, id_b FROM mh
+      UNION ALL
+      SELECT id_b, id_a FROM mh
+    ),
+    reach(v, r) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT reach.v, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    cc AS (SELECT v, least(v, min(r)) AS cluster_id FROM reach GROUP BY v),
+    assign AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.v
+    ),
+    qt AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST({_stop_hits(_QTOKS, "en")} AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(n_chars >= 50 AND n_chars <= 10000 AS DOUBLE) * 0.4
+             + CAST(CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 2.0
+                    AND CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 12.0
+                    AS DOUBLE) * 0.3
+             + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 3.0, 1.0) * 0.2
+             + least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 20.0, 1.0) * 0.1
+             AS quality
+      FROM qt
+    ),
+    ranked AS (
+      SELECT a.cluster_id, a.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                ORDER BY q.quality DESC, a.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_docs
+      FROM assign a JOIN q ON a.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, quality, n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, k=_MH_K, bands=_MH_BANDS,
+        threshold=0.5,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    assign = docs.join(cc, docs.doc_id == cc.v, "left").select(
+        "doc_id", "text", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    toks = ws_tokens(F.lower(F.col("text")))
+    staged = assign.select(
+        "doc_id",
+        "cluster_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits(toks, "en").cast("long").alias("n_stop"),
+    )
+    q = staged.select(
+        "doc_id",
+        "cluster_id",
+        quality_score(
+            F.col("n_chars"), F.col("n_tokens"), F.col("n_punct"), F.col("n_stop")
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = q.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_docs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "quality",
+        "n_docs",
+    )

@@ -274,3 +274,25 @@ def test_q15_scalar_max_is_broadcast_not_global_window(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+
+
+def test_sessionization_single_shuffle(spark):
+    # lag-flag window, running-sum window, and the per-session groupBy
+    # all reuse the one user_id hash partitioning: exactly 1 exchange.
+    plan = plan_of(spark, "event_sessions_gap30")
+    assert n_exchanges(plan) == 1
+
+
+def test_gaps_and_islands_single_shuffle(spark):
+    # both row_number windows and the island groupBy run on the
+    # custkey partitioning (narrower keys are satisfied by it).
+    plan = plan_of(spark, "priority_runs_per_customer")
+    assert n_exchanges(plan) == 1
+
+
+def test_stratified_sample_is_map_only(spark):
+    # hash-gated sampling must stay embarrassingly parallel: no
+    # exchange, no window, no aggregate.
+    plan = plan_of(spark, "stratified_sample_customers")
+    assert n_exchanges(plan) == 0
+    assert "Window" not in plan
