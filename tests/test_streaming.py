@@ -219,3 +219,80 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
     assert got == expected
+
+
+def test_stream_merge_into_matches_batch_merge(spark):
+    """Draining an update stream through the foreachBatch merge sink
+    must leave the target in the same state as one batch merge of all
+    updates (updates are key-unique across batches, so sequential
+    application is order-independent)."""
+    import os
+
+    from exceldatatransform_py_spark.operators.merge import merge_update
+    from exceldatatransform_py_spark.streaming.sinks import stream_merge_into
+
+    target_dir = tempfile.mkdtemp(prefix="merge_target_")
+    updates_dir = tempfile.mkdtemp(prefix="merge_updates_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
+    try:
+        orders = read_table(spark, SF, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        orders.write.mode("overwrite").parquet(target_dir)
+        target0 = spark.read.parquet(target_dir)
+
+        # Two disjoint-key update files → two micro-batches.
+        upd = (
+            target0.filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)  # pin before the target is rewritten
+        )
+        upd.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(updates_dir, "b0")
+        )
+        upd.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(updates_dir, "b1")
+        )
+
+        expected = {
+            r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in merge_update(
+                target0,
+                upd,
+                on=["o_orderkey"],
+                update_cols=["o_orderstatus", "o_totalprice"],
+            ).collect()
+        }
+
+        writer = stream_merge_into(
+            spark,
+            os.path.join(updates_dir, "*"),
+            schema=upd.schema,
+            target_path=target_dir,
+            on=["o_orderkey"],
+            update_cols=["o_orderstatus", "o_totalprice"],
+            max_files_per_trigger=1,
+        )
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in spark.read.parquet(target_dir).collect()
+        }
+        assert got == expected
+        # the status flip lands on exactly the matched keys
+        n_flipped = sum(1 for v in got.values() if v[0] == "X")
+        assert n_flipped == upd.count()
+    finally:
+        shutil.rmtree(target_dir, ignore_errors=True)
+        shutil.rmtree(updates_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
