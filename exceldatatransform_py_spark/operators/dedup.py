@@ -131,6 +131,14 @@ def shingle_index(
     element, so they must read the arrays as materialized attributes
     (see ``hashed_shingles``'s eval-once contract — inlining the
     token-hash transform into the fold is a 10-50x blowup).
+
+    An exploded reformulation (posexplode + codegen'd per-token md5 +
+    lead-window folds + groupBy distinct) was tried and REVERTED: its
+    isolated build is ~1.5x faster, but persisting a window-terminated
+    shuffle plan made every cache consumer (banding self-join, exact
+    verification, signature aggregates) 4-15x slower end-to-end in
+    fresh-JVM benchmarks. Keep the map-side HOF pipeline; it persists
+    cheap and scans cheap.
     """
     toks = ws_tokens(text_col)
     staged = df.select(
@@ -344,7 +352,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Stage h0/h1 as real columns: aggregate expressions are not
     # common-subexpression-eliminated across each other, so inlining
     # md5_hash32 into the 63 bit-sums would md5 every token 63 times.
-    toks = df.select(
+    # Repartition by doc BEFORE exploding (one shuffled row per doc,
+    # not per token) so the per-doc aggregate needs no further
+    # exchange — and no ENSURE_REQUIREMENTS shuffle exists for AQE to
+    # coalesce into a single-task aggregate stage.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
     ).select(
         id_col,
