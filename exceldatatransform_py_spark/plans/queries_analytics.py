@@ -176,3 +176,70 @@ def stratified_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(_DEFAULT_RATE))
     keep = md5_hash32(F.col("c_custkey"), seed=7) % 100 < rate
     return cust.filter(keep).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-quantile profile without interpolation drift: one ranked
+# window per group, then each requested quantile picks the lower order
+# statistic rn = floor((n-1)*p) + 1. Cross-engine-exact (selected
+# values are actual data cells, never interpolated doubles) and one
+# shuffle; the quantile spec is a tiny exploded literal array, so
+# adding quantiles costs nothing. approx_percentile remains the
+# sketch-based 100 TB default (price_stats_by_priority); this is the
+# exact-answer variant, same trade as exact median.
+# ---------------------------------------------------------------------------
+
+_QUANTILES: tuple[tuple[str, float], ...] = (
+    ("p25", 0.25),
+    ("p50", 0.50),
+    ("p75", 0.75),
+    ("p90", 0.90),
+)
+
+
+@register(
+    "quantile_profile_by_priority",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    spec(q, p) AS (VALUES {", ".join(f"('{q}', {p})" for q, p in _QUANTILES)})
+    SELECT w.o_orderpriority, spec.q AS quantile,
+           w.o_totalprice AS price
+    FROM w JOIN spec ON w.rn = CAST(floor((w.n - 1) * spec.p) AS BIGINT) + 1
+    """,
+)
+def quantile_profile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    spec = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(q).alias("q"), F.lit(p).alias("p"))
+                for q, p in _QUANTILES
+            ]
+        )
+    )
+    return (
+        ranked.select("*", spec.alias("s"))
+        .filter(
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * F.col("s.p")).cast("bigint") + 1
+        )
+        .select(
+            "o_orderpriority",
+            F.col("s.q").alias("quantile"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )

@@ -296,3 +296,10 @@ def test_stratified_sample_is_map_only(spark):
     plan = plan_of(spark, "stratified_sample_customers")
     assert n_exchanges(plan) == 0
     assert "Window" not in plan
+
+
+def test_quantile_profile_single_shuffle(spark):
+    # ranked window + count window + quantile-spec explode all run on
+    # the one o_orderpriority partitioning.
+    plan = plan_of(spark, "quantile_profile_by_priority")
+    assert n_exchanges(plan) == 1
