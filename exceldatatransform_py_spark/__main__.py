@@ -1,0 +1,5 @@
+"""``python -m exceldatatransform_py_spark`` — see cli.py."""
+
+from exceldatatransform_py_spark.cli import main
+
+main()

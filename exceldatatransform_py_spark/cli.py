@@ -1,0 +1,148 @@
+"""Command-line entry point — the reference tool's user workflows.
+
+The reference is an interactive script: tkinter file pickers choose a
+weekly-timesheet workbook, a code-mapping file, and (in the final
+version) an existing target workbook to update in place
+(``timesheet_transform.py:140-179``; v1 instead writes one sheet per
+surname, ``timesheet_transform_v1.py:92-100``). A user of the
+reference runs exactly two workflows, restated here as subcommands
+with file arguments instead of dialogs:
+
+``transform`` — v1/v2 behavior::
+
+    python -m exceldatatransform_py_spark transform \
+        --input timesheets.xlsx --mapping codes.csv --output out/
+
+    reads every sheet, builds the daily ledger, writes one partition
+    per surname (the Spark analogue of one-sheet-per-surname).
+
+``update`` — final-version behavior::
+
+    python -m exceldatatransform_py_spark update \
+        --input timesheets.xlsx --mapping codes.csv --target ledger/
+
+    builds the same ledger, then update-only-merges it into the
+    stored target table: matched (surname, date) rows get commessa/
+    ore overwritten, nothing is inserted, unmatched updates are
+    discarded.
+
+Input formats (decided by extension):
+
+* ``.xlsx``/``.xls`` — whole workbook, one source per sheet
+  (needs pandas+openpyxl; gated exactly like ``read_excel_workbook``)
+* a directory — every ``*.csv`` inside is one "sheet" named by its
+  file stem
+* a single ``.csv``/``.parquet`` — a one-sheet workbook
+
+The mapping file is any of those with the key in column 1 and the
+replacement in column 2 (``timesheet_transform.py:17-18``). The target
+is a parquet directory with at least (surname, data, commessa, ore).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from exceldatatransform_py_spark.plans.pipeline import (
+    build_daily_ledger,
+    merge_ledger_into_target,
+)
+from exceldatatransform_py_spark.session import get_spark
+from exceldatatransform_py_spark.sources.readers import read_excel_workbook
+from exceldatatransform_py_spark.sources.writers import write_partitioned_by_key
+
+
+def _read_one(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    # Deliberately untyped (all strings), like the reference's Excel
+    # cells: per-sheet inference would give the same column different
+    # types on different sheets (one sheet's dirty hours column infers
+    # string, another's infers bigint) and the union's coercion then
+    # hard-fails on the dirty cells under ANSI. The pipeline owns the
+    # typing: week_start_date parses dates, clean_numeric parses hours.
+    return spark.read.option("header", "true").csv(path)
+
+
+def read_sheets(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Input file/dir → {sheet name: DataFrame} (see module doc)."""
+    if path.endswith((".xlsx", ".xls")):
+        return read_excel_workbook(spark, path)
+    if os.path.isdir(path) and not path.endswith(".parquet"):
+        sheets = {
+            os.path.splitext(f)[0]: _read_one(spark, os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".csv")
+        }
+        if not sheets:
+            raise SystemExit(f"no *.csv sheets found in {path}")
+        return sheets
+    name = os.path.splitext(os.path.basename(path))[0]
+    return {name: _read_one(spark, path)}
+
+
+def _build_ledger(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
+    sheets = read_sheets(spark, args.input)
+    mapping = _read_one(spark, args.mapping)
+    return build_daily_ledger(
+        sheets,
+        mapping,
+        week_range_col=args.week_range_col,
+        code_col=args.code_col,
+        author_col=args.author_col,
+    )
+
+
+def cmd_transform(spark: SparkSession, args: argparse.Namespace) -> None:
+    ledger = _build_ledger(spark, args)
+    # v1 writes one sheet per surname with the surname column dropped
+    # and the sheet name capped at Excel's 31 chars — partitionBy is
+    # the exact analogue (partition col removed from data files).
+    write_partitioned_by_key(
+        ledger, args.output, ["surname"], sanitize_len=31
+    )
+    print(f"wrote per-surname partitions to {args.output}", file=sys.stderr)
+
+
+def cmd_update(spark: SparkSession, args: argparse.Namespace) -> None:
+    ledger = _build_ledger(spark, args)
+    if ledger.isEmpty():
+        # the reference's empty-result short-circuit (":173-175").
+        raise SystemExit("no valid records found in the input; target untouched")
+    target = spark.read.parquet(args.target)
+    merged = merge_ledger_into_target(target, ledger).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(args.target)
+    print(f"updated matched rows in {args.target}", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="exceldatatransform_py_spark",
+        description="weekly timesheets -> daily ledger (Spark-native)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--input", required=True, help="workbook/dir/csv/parquet")
+    common.add_argument("--mapping", required=True, help="2-column code mapping")
+    common.add_argument("--week-range-col", default="WeekRange")
+    common.add_argument("--code-col", default="Codice Commessa")
+    common.add_argument("--author-col", default="Autore")
+
+    t = sub.add_parser("transform", parents=[common],
+                       help="write one partition per surname (v1 workflow)")
+    t.add_argument("--output", required=True)
+    u = sub.add_parser("update", parents=[common],
+                       help="update-only merge into a stored target (final workflow)")
+    u.add_argument("--target", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"edt-{args.cmd}")
+    {"transform": cmd_transform, "update": cmd_update}[args.cmd](spark, args)
+
+
+if __name__ == "__main__":
+    main()

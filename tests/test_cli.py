@@ -1,0 +1,115 @@
+"""End-to-end CLI: the reference user's two workflows
+(``transform`` = v1 one-output-per-surname; ``update`` = final
+in-place merge), driven through ``cli.main`` on CSV "sheets"."""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import os
+
+import pytest
+
+from exceldatatransform_py_spark.cli import main
+
+HEADER = [
+    "WeekRange",
+    "Autore",
+    "Codice Commessa",
+    "Lunedì",
+    "Martedì",
+    "Mercoledì",
+    "Giovedì",
+    "Venerdì",
+    "Sabato",
+    "Domenica",
+]
+
+ROWS_SHEET_A = [
+    # Mario Rossi: Mon 2h + Tue 3h on C100 (mapped to PROJ-ALPHA)
+    ["06/01/2025 al 12/01/2025", "Mario Rossi", "C100", "2", "3", "", "", "", "", ""],
+    # dirty numeric (\xa0) and zero cells must be cleaned/dropped
+    ["06/01/2025 al 12/01/2025", "Anna Bianchi", "C200", "\xa05\xa0", "0", "", "", "", "", ""],
+    # malformed week range -> row skipped entirely
+    ["bogus", "Mario Rossi", "C100", "9", "", "", "", "", "", ""],
+]
+
+# second sheet lacks the code column on purpose: the sheet NAME is the
+# code (timesheet_transform.py:24-25)
+ROWS_SHEET_B = [
+    ["06/01/2025 al 12/01/2025", "Mario Rossi", "4", "", "", "", "", "", ""],
+]
+
+
+def _write_csv(path: str, header: list[str], rows: list[list[str]]) -> None:
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = os.path.join(str(tmp_path), "sheets")
+    os.makedirs(d, exist_ok=True)
+    _write_csv(os.path.join(d, "Foglio1.csv"), HEADER, ROWS_SHEET_A)
+    no_code = [c for c in HEADER if c != "Codice Commessa"]
+    _write_csv(
+        os.path.join(d, "C300.csv"),
+        no_code,
+        ROWS_SHEET_B,
+    )
+    m = os.path.join(str(tmp_path), "mapping.csv")
+    _write_csv(m, ["code", "name"], [["C100", "PROJ-ALPHA"]])
+    return d, m
+
+
+def test_cli_transform_partitions_by_surname(spark, tmp_path, input_dir):
+    sheets, mapping = input_dir
+    out = os.path.join(str(tmp_path), "out")
+    main(["transform", "--input", sheets, "--mapping", mapping, "--output", out])
+
+    got = spark.read.parquet(out)
+    # partition column present as directory key, not in data files
+    assert sorted(p for p in os.listdir(out) if p.startswith("surname=")) == [
+        "surname=bianchi",
+        "surname=rossi",
+    ]
+    rows = {
+        (r["surname"], r["data"].isoformat()): (r["commessa"], r["ore"])
+        for r in got.collect()
+    }
+    # C100 mapped via the lookup; C300 synthesized from the sheet name
+    # and passed through unmatched; week starts Mon 2025-01-06.
+    assert rows[("rossi", "2025-01-06")] == ("C300; PROJ-ALPHA", 6.0)
+    assert rows[("rossi", "2025-01-07")] == ("PROJ-ALPHA", 3.0)
+    # dirty "\xa05\xa0" cleaned to 5.0; the zero cell dropped
+    assert rows[("bianchi", "2025-01-06")] == ("C200", 5.0)
+    # malformed WeekRange row contributed nothing
+    assert len(rows) == 3
+
+
+def test_cli_update_merges_only_matches(spark, tmp_path, input_dir):
+    sheets, mapping = input_dir
+    target = os.path.join(str(tmp_path), "target")
+    seed = spark.createDataFrame(
+        [
+            # matched (case-insensitive surname, day-granularity date)
+            ("ROSSI", datetime.date(2025, 1, 6), "old", 0.0),
+            # unmatched target row must survive untouched
+            ("verdi", datetime.date(2025, 1, 6), "keep", 1.5),
+        ],
+        "surname string, data date, commessa string, ore double",
+    )
+    seed.write.parquet(target)
+
+    main(["update", "--input", sheets, "--mapping", mapping, "--target", target])
+
+    rows = {
+        (r["surname"], r["data"].isoformat()): (r["commessa"], r["ore"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # overwritten in place, original casing preserved, nothing inserted
+    assert rows[("ROSSI", "2025-01-06")] == ("C300; PROJ-ALPHA", 6.0)
+    assert rows[("verdi", "2025-01-06")] == ("keep", 1.5)
+    assert len(rows) == 2
