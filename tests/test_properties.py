@@ -164,3 +164,101 @@ def test_salted_join_invisible(spark, rows, buckets):
         for r in salted_join(left, right, on=["k"], salt_buckets=buckets).collect()
     )
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# Sessionization invariants against a literal Python restatement: for
+# arbitrary (user, timestamp) streams, the session assignment from the
+# lag+cumsum plan must equal single-threaded sequential grouping.
+# ---------------------------------------------------------------------------
+
+event_times = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=200_000),    # seconds offset
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _expected_sessions(rows, gap_s=1800):
+    """Sequential reference: sort per user by (ts, event_id); a new
+    session starts when the gap exceeds gap_s."""
+    by_user: dict = {}
+    for eid, (u, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off, eid))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for off, eid in evs:
+            if prev is not None and off - prev > gap_s:
+                sid += 1
+            out[eid] = (u, sid)
+            prev = off
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(event_times)
+def test_sessionization_matches_sequential_python(spark, rows):
+    from pyspark.sql import Window
+
+    base = datetime.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, u, base + datetime.timedelta(seconds=off))
+            for eid, (u, off) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES"))).cast("int")
+    got = {
+        r["event_id"]: (r["user_id"], r["sid"])
+        for r in df.select(
+            "event_id",
+            "user_id",
+            (
+                F.sum(is_new).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - 1
+            ).alias("sid"),
+        ).collect()
+    }
+    assert got == _expected_sessions(rows)
+
+
+# ---------------------------------------------------------------------------
+# Merge invariants for arbitrary key overlaps: cardinality preserved,
+# matched rows overwritten, unmatched target rows untouched, unmatched
+# update rows discarded.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(0, 12), min_size=0, max_size=15, unique=True),
+)
+def test_merge_update_invariants(spark, target_keys, update_keys):
+    from exceldatatransform_py_spark.operators.merge import merge_update
+
+    target = spark.createDataFrame(
+        [(k, f"t{k}", float(k)) for k in target_keys], "k int, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(k, f"u{k}") for k in update_keys], "k int, v string"
+    ) if update_keys else spark.createDataFrame([], "k int, v string")
+
+    got = {r["k"]: (r["v"], r["x"]) for r in
+           merge_update(target, updates, on=["k"], update_cols=["v"]).collect()}
+
+    assert set(got) == set(target_keys)          # cardinality preserved
+    for k in target_keys:
+        expect_v = f"u{k}" if k in update_keys else f"t{k}"
+        assert got[k] == (expect_v, float(k))    # overwrite vs untouched
