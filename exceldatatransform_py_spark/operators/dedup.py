@@ -314,6 +314,17 @@ def connected_components(
     sym = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=True)
+    # Size each round to the materialized edge count: near-dup edge
+    # sets are tiny next to the corpus (often a few thousand rows),
+    # and every propagation round is 2-3 shuffles — paying 32-partition
+    # scheduling overhead per round on a few-KB frame dominates the
+    # loop's wall clock. ~100k edges per partition keeps a partition
+    # comfortably in memory at any scale; at 100 TB (billions of
+    # edges) this yields thousands of partitions, exactly as before.
+    n_edges = sym.count()
+    spark = sym.sparkSession
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
+    sym = sym.repartition(parts, "d")
     labels = (
         sym.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint(eager=True)

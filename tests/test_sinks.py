@@ -8,10 +8,13 @@ import tempfile
 
 import pytest
 
+from exceldatatransform_py_spark.sources.readers import read_table
 from exceldatatransform_py_spark.sources.writers import (
     merge_update_write,
     write_partitioned_by_key,
 )
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture()
@@ -142,3 +145,39 @@ def test_csv_json_orc_same_values(spark, tmpdir_):
         back = spark.read.format(fmt).load(p) if fmt != "csv" else r.load(p)
         got = {(int(row["k"]), int(row["g"])) for row in back.collect()}
         assert got == expect, fmt
+
+
+def test_range_clustered_files_are_disjoint(spark, tmpdir_):
+    """Every output file must cover a non-overlapping l_shipdate range
+    (that disjointness is exactly what makes parquet min/max stats
+    prune files on a shipdate predicate)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from exceldatatransform_py_spark.sources.writers import write_range_clustered
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    out = os.path.join(str(tmpdir_), "clustered")
+    write_range_clustered(li, out, ["l_shipdate"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.read_metadata(f)
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "l_shipdate"
+        ]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(col_idx).statistics
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint (boundary touch allowed)
+
+    # and the clustered copy is lossless
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
