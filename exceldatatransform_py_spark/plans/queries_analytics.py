@@ -243,3 +243,45 @@ def quantile_profile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC keep-latest compaction: collapse an append-only change stream to
+# the newest record per key — the read-side of log-structured upserts
+# (and the batch twin of the streaming merge sink). One ranked window,
+# WindowGroupLimit pushes the rank-1 filter into the sort, so
+# partitions drop superseded versions before the window buffers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id", "ts", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -184,3 +184,41 @@ def read_excel_workbook(
             "as CSV/parquet instead (same downstream pipeline)"
         ) from exc
     return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
+
+
+def read_json_with_badrows(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan with an explicit bad-row side channel.
+
+    The reference tolerates malformed rows by skipping them with a
+    logged reason (``timesheet_transform.py:47-52``) — P6's
+    error-tolerant cast generalized to ingestion: parse what parses,
+    capture what doesn't, fail nothing. Returns ``(good, bad)``:
+    ``good`` has the data columns of rows that parsed, ``bad`` has the
+    raw text of rows that didn't.
+
+    A schema (DDL string) should be passed at scale — without one the
+    reader runs an extra inference pass over the data. The corrupt
+    column must be queried from a cached/materialized frame in Spark
+    4: a bare select of only the corrupt column from a lazy scan is
+    rejected (the analyzer forbids plans that would *only* keep
+    corrupt records without the parse attempt) — the persist here is
+    the documented pattern and bounds the extra cost to one scan.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        df = reader.schema(f"{schema}, {corrupt_col} string").json(path)
+    else:
+        df = reader.json(path)
+        if corrupt_col not in df.columns:  # everything parsed
+            return df, df.limit(0).select(F.lit("").alias(corrupt_col)).limit(0)
+    df = df.persist()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

@@ -303,3 +303,10 @@ def test_quantile_profile_single_shuffle(spark):
     # the one o_orderpriority partitioning.
     plan = plan_of(spark, "quantile_profile_by_priority")
     assert n_exchanges(plan) == 1
+
+
+def test_keep_latest_uses_window_group_limit(spark):
+    # rank-1 filter must push into the sort (WindowGroupLimit) so
+    # superseded versions are dropped before the window buffers.
+    plan = plan_of(spark, "latest_event_per_user")
+    assert "WindowGroupLimit" in plan

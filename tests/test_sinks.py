@@ -181,3 +181,25 @@ def test_range_clustered_files_are_disjoint(spark, tmpdir_):
     # and the clustered copy is lossless
     back = spark.read.parquet(out)
     assert back.count() == li.count()
+
+
+def test_json_badrow_side_channel(spark, tmpdir_):
+    """PERMISSIVE ingest: parsed rows land in `good`, malformed lines
+    are captured verbatim in `bad`, nothing is dropped silently."""
+    from exceldatatransform_py_spark.sources.readers import read_json_with_badrows
+
+    path = os.path.join(tmpdir_, "events.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{"id": 1, "v": 10.5}\n')
+        f.write('{"id": 2, "v": "not-a-number"}\n')  # type mismatch -> corrupt
+        f.write("this is not json at all\n")
+        f.write('{"id": 4, "v": 2.0}\n')
+
+    good, bad = read_json_with_badrows(spark, path, schema="id bigint, v double")
+    good_rows = {r["id"]: r["v"] for r in good.collect()}
+    bad_rows = sorted(r["_corrupt_record"] for r in bad.collect())
+
+    assert good_rows == {1: 10.5, 4: 2.0}
+    assert len(bad_rows) == 2
+    assert "not-a-number" in bad_rows[0] or "not-a-number" in bad_rows[1]
+    assert any("not json at all" in b for b in bad_rows)
