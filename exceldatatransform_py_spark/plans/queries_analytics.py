@@ -285,3 +285,71 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: each observation holds until the next one, so
+# its weight is the seconds until the successor (last event carries no
+# weight). The standard downsampling aggregate for irregular
+# time-series (sensor/price data). Determinism: weights are integer
+# seconds, weighted sums accumulate in DECIMAL (associative), and the
+# final division is one IEEE double op on identical operands in both
+# engines. The weighted sum must survive a decimal->double cast
+# BIT-IDENTICALLY in both engines, which only holds while the scaled
+# integer stays below 2^53 (above that, Spark's correctly-rounded
+# BigDecimal conversion and DuckDB's int/10^scale double division can
+# differ in the last ulp — observed). So: values quantized to 2
+# decimals, weights in whole SECONDS (floored micro diffs — DuckDB's
+# epoch() returns fractional doubles, so integer micros are the
+# common ground), keeping per-user scaled sums ~1e13 << 2^53, exactly
+# double-representable. One user_id shuffle end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_value_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS ep,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS ep_next
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))
+                      * CAST((ep_next - ep) // 1000000 AS DECIMAL(15,0))) AS DOUBLE) AS num,
+             CAST((MAX(ep) - MIN(ep)) // 1000000 AS BIGINT) AS obs_seconds
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, obs_seconds,
+           num / CAST(obs_seconds AS DOUBLE) AS twa_value
+    FROM agg WHERE obs_seconds > 0
+    """,
+)
+def time_weighted_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = events.select(
+        "user_id",
+        "value",
+        ep.alias("ep"),
+        F.lead(ep).over(w).alias("ep_next"),
+    )
+    dur_s = F.expr("(ep_next - ep) div 1000000").cast("decimal(15,0)")
+    agg = seq.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)") * dur_s)
+        .cast("double")
+        .alias("num"),
+        (F.max("ep") - F.min("ep")).alias("obs_us"),
+    )
+    agg = agg.select(
+        "user_id", "num", F.expr("obs_us div 1000000").cast("bigint").alias("obs_seconds")
+    )
+    return agg.filter(F.col("obs_seconds") > 0).select(
+        "user_id",
+        "obs_seconds",
+        (F.col("num") / F.col("obs_seconds").cast("double")).alias("twa_value"),
+    )
