@@ -310,3 +310,18 @@ def test_keep_latest_uses_window_group_limit(spark):
     # superseded versions are dropped before the window buffers.
     plan = plan_of(spark, "latest_event_per_user")
     assert "WindowGroupLimit" in plan
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Global invariants over EVERY registered query's physical plan:
+    no CartesianProduct (unbounded pair blowup) and no BatchEvalPython
+    (row-at-a-time Python in a hot path). Arrow-batched Python
+    (mapInPandas) is allowed — that's the sanctioned slow path."""
+    offenders = []
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
