@@ -1008,3 +1008,119 @@ def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data chunking: split each document into token windows of
+# CHUNK tokens with OVERLAP-token overlap (stride = CHUNK - OVERLAP) —
+# the standard context-window preparation step. Pure expressions:
+# sequence() generates start offsets, posexplode fans out, slice +
+# array_join build each chunk; no shuffle at all (map-side fan-out,
+# like the reference's unpivot).
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 50, 10
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_FP_TOKS} AS toks FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((s.start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least(CAST({_CHUNK} AS BIGINT), n - s.start + 1) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(toks, s.start, s.start + {_CHUNK - 1}), ' ') AS chunk
+    FROM sized, LATERAL (SELECT unnest(range(1, CAST(n AS BIGINT) + 1, {_STRIDE})) AS start) s
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = ws_tokens("text")
+    sized = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE))
+    ex = sized.select(
+        "doc_id", "toks", "n", F.explode(starts).alias("start")
+    )
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(
+            F.lit(_CHUNK).cast("bigint"), (F.col("n") - F.col("start") + 1).cast("bigint")
+        ).alias("n_tok"),
+        F.array_join(F.slice(F.col("toks"), F.col("start"), _CHUNK), " ").alias(
+            "chunk"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-length packing: assign documents to fixed-capacity bins by
+# running token count. Scale shape: a global sequential pack would be
+# one partition — instead docs are hash-bucketed first and each bucket
+# packs independently (deterministic, embarrassingly parallel, and the
+# standard practice for sharded training data). bin = bucket-local
+# floor(preceding-tokens / capacity); a doc may straddle its bin
+# boundary (streaming fill, no fragmentation).
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 2048
+_PACK_BUCKETS = 16
+
+
+@register(
+    "pack_documents_into_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % {_PACK_BUCKETS} AS bucket,
+             CAST(len({_FP_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    runs AS (
+      SELECT bucket, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tok
+      FROM t
+    )
+    SELECT bucket,
+           CAST(before_tok // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens
+    FROM runs GROUP BY bucket, CAST(before_tok // {_PACK_CAPACITY} AS BIGINT)
+    """,
+)
+def pack_documents_into_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (md5_hash32(F.col("doc_id"), seed=11) % _PACK_BUCKETS).alias("bucket"),
+        F.size(ws_tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = t.select(
+        "bucket",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("before_tok"),
+    )
+    binned = runs.select(
+        "bucket",
+        F.expr(f"before_tok div {_PACK_CAPACITY}").cast("bigint").alias("bin_id"),
+        "n_tok",
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
