@@ -22,7 +22,7 @@ Parallelism: ``$SPARK_GRAFT_BENCH_WORKERS`` (default 4) children run
 at once, each on ``local[total_cpus / workers]`` — the pool always
 sums to the machine, so per-query numbers stay comparable run-to-run
 while wall-clock amortizes the ~15s JVM+warm-up cost per child
-(serial, 35 queries × ~20s overhead alone would blow the driver's
+(serial, 100+ queries × ~20s overhead alone would blow the driver's
 bench budget).
 """
 
