@@ -325,8 +325,15 @@ def connected_components(
     spark = sym.sparkSession
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
     sym = sym.repartition(parts, "d")
+    # Seed labels with min(v, min direct neighbor) — the first
+    # propagation round folded into initialization (one groupBy on the
+    # already-partitioned edges instead of a join+groupBy+checkpoint
+    # round). Dense near-dup clusters then typically converge in ONE
+    # loop iteration plus the no-change confirmation.
     labels = (
-        sym.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+        sym.groupBy(F.col("s").alias("v"))
+        .agg(F.min("d").alias("__nmin"))
+        .select("v", F.least(F.col("v"), F.col("__nmin")).alias("lbl"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.d == labels.v).groupBy("s").agg(
