@@ -353,3 +353,108 @@ def time_weighted_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs_seconds",
         (F.col("num") / F.col("obs_seconds").cast("double")).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics, cross-engine-exact: built-in stddev/corr sum
+# doubles in partition order (nondeterministic), so both are restated
+# from DECIMAL power sums — associative, partition-order-independent —
+# with the final variance/correlation formulas as identical IEEE
+# double expressions in both engines. Scaled sums stay < 2^53 (see
+# NOTES.md), so every decimal->double cast is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_stats_by_event_type",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sx,
+             SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) / 10000.0 AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / CAST(n AS DOUBLE) AS mean_value,
+           (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_value,
+           sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_value
+    FROM m WHERE n > 1
+    """,
+)
+def value_stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-point moments: quantize to integer cents, sum LONGS (exact,
+    # associative, and tiny codegen — the decimal-sum variant JIT'd so
+    # slowly its first sf0.1 pass ran 15s interpreted), divide once at
+    # the end. Scaled sums stay < 2^53 so the long->double conversions
+    # are exact in both engines.
+    events = _t(spark, sf_dir, "events")
+    vl = F.round(F.col("value") * 100).cast("bigint")
+    staged = events.select("event_type", vl.alias("vl"))
+    m = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("vl") / 100.0).alias("sx"),
+        (F.sum(F.col("vl") * F.col("vl")) / 10000.0).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (F.col("n") - 1).cast(
+        "double"
+    )
+    return m.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        (F.col("sx") / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+@register(
+    "discount_quantity_corr_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(round(l_discount * 10000) AS BIGINT) AS xl,
+             CAST(round(l_quantity * 100) AS BIGINT) AS yl
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(xl) / 10000.0 AS sx,
+             SUM(yl) / 100.0 AS sy,
+             SUM(xl * yl) / 1000000.0 AS sxy,
+             SUM(xl * xl) / 100000000.0 AS sxx,
+             SUM(yl * yl) / 10000.0 AS syy
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+           AS corr_discount_qty
+    FROM m WHERE n > 1
+    """,
+)
+def discount_quantity_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("xl"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("yl"),
+    )
+    m = staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xl") / 10000.0).alias("sx"),
+        (F.sum("yl") / 100.0).alias("sy"),
+        (F.sum(F.col("xl") * F.col("yl")) / 1000000.0).alias("sxy"),
+        (F.sum(F.col("xl") * F.col("xl")) / 100000000.0).alias("sxx"),
+        (F.sum(F.col("yl") * F.col("yl")) / 10000.0).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.filter(F.col("n") > 1).select(
+        "l_returnflag", "n", corr.alias("corr_discount_qty")
+    )
