@@ -458,3 +458,79 @@ def discount_quantity_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
     return m.filter(F.col("n") > 1).select(
         "l_returnflag", "n", corr.alias("corr_discount_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence / market-basket: part pairs ordered together more
+# often than chance. Pair generation is an orderkey self-join — work
+# is O(items² per order) with order size bounded (≤7 lineitems), never
+# a global cross join; support/lift are integer-count ratios, so the
+# only doubles are single divisions on identical operands. The same
+# plan shape is the inner loop of co-occurrence embedding training
+# (PMI matrices) at corpus scale.
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR_SUPPORT = 3
+
+
+@register(
+    "part_cooccurrence_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM items),
+    part_cnt AS (
+      SELECT l_partkey, COUNT(*) AS n_ord FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) * CAST(n_orders.total AS DOUBLE)
+           / (CAST(ca.n_ord AS DOUBLE) * CAST(cb.n_ord AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN part_cnt ca ON p.part_a = ca.l_partkey
+    JOIN part_cnt cb ON p.part_b = cb.l_partkey
+    CROSS JOIN n_orders
+    WHERE p.n_pair >= {_MIN_PAIR_SUPPORT}
+    """,
+)
+def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    total = items.select(
+        F.countDistinct("l_orderkey").alias("total")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")
+    )
+    out = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (
+        F.col("n_pair").cast("double") * F.col("total").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return out.select("part_a", "part_b", "n_pair", lift.alias("lift"))
