@@ -534,3 +534,61 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pair").cast("double") * F.col("total").cast("double")
     ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     return out.select("part_a", "part_b", "n_pair", lift.alias("lift"))
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics beyond connected components: triangle enumeration
+# over the co-occurrence graph. Edges are ORIENTED (a < b), so each
+# triangle is emitted exactly once as (a<b<c) and the two-hop join
+# never doubles back — the standard distributed triangle algorithm
+# (wedge join + closing-edge semi-check). Work is O(sum of deg² )
+# wedges, bounded here by the support threshold; at web scale the same
+# plan runs with the edge list hash-partitioned on the join vertex.
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2
+
+
+@register(
+    "cooccurrence_triangles",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM pairs WHERE n >= {_TRI_SUPPORT})
+    SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+    FROM e e1
+    JOIN e e2 ON e1.pb = e2.pa
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+    e2 = e.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
+    e3 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_c"))
+    wedges = e1.join(e2, "part_b")
+    return wedges.join(e3, ["part_a", "part_c"]).select(
+        "part_a", "part_b", "part_c"
+    )

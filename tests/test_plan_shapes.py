@@ -325,3 +325,40 @@ def test_no_query_plans_cartesian_or_row_python(spark):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """Runtime row-level filtering: a selective dim-side predicate
+    injects a bloom filter (`might_contain`) on the fact side of a
+    shuffle join, pruning fact rows before the exchange. Locally the
+    10GB application-side threshold must be forced down; at 100 TB the
+    defaults trigger this on any selective fact⋈fact join."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_totalprice"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
