@@ -592,3 +592,54 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(e3, ["part_a", "part_c"]).select(
         "part_a", "part_b", "part_c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching: near-identical part names by edit distance
+# within a blocking key. The join is equi on the block (brand) so it
+# shuffles normally; levenshtein only runs inside blocks — the classic
+# record-linkage shape (never all-pairs). At 100 TB the blocking key
+# is the knob: tighter blocks (brand × name length bucket) bound the
+# per-block quadratic cost exactly like max_shingle_docs bounds LSH.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle=f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
+      AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    # result-preserving prefilter: edit distance >= |length diff|, and
+    # the length check is ~free while levenshtein is O(len^2) — the
+    # conjunct order matters, codegen short-circuits left to right.
+    len_ok = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(len_ok & (dist <= _FUZZY_MAX_DIST))
+        .select("part_a", "part_b", "name_a", "name_b", dist.alias("edit_dist"))
+    )
