@@ -111,3 +111,29 @@ def write_range_clustered(
         .mode(mode)
         .save(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ``ceil(rows / target_rows_per_file)`` files and return that count.
+
+    The operational fix for the small-files problem streaming and
+    per-key sinks create: thousands of KB-sized files make listing,
+    scheduling, and row-group overhead dominate scans. Compaction uses
+    ``coalesce`` (narrow — folds existing partitions without a
+    shuffle) rather than ``repartition``; at 100 TB this runs
+    per-partition-directory behind the table format's transaction
+    (Delta OPTIMIZE / Iceberg rewrite_data_files are this exact
+    operation with a metadata commit).
+    """
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    compacted = df.coalesce(n_files).localCheckpoint(eager=True)
+    compacted.write.format(fmt).mode("overwrite").save(path)
+    return n_files

@@ -203,3 +203,21 @@ def test_json_badrow_side_channel(spark, tmpdir_):
     assert len(bad_rows) == 2
     assert "not-a-number" in bad_rows[0] or "not-a-number" in bad_rows[1]
     assert any("not json at all" in b for b in bad_rows)
+
+
+def test_compact_files_reduces_file_count(spark, tmpdir_):
+    """Many tiny files in, ceil(rows/target) files out, same rows."""
+    import glob
+
+    from exceldatatransform_py_spark.sources.writers import compact_files
+
+    path = os.path.join(tmpdir_, "fragmented")
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.parquet(path)  # simulate a small-files mess
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) >= 32
+    before = li.count()
+
+    n_files = compact_files(spark, path, target_rows_per_file=2000)
+    got = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(got) == n_files == -(-before // 2000)
+    assert spark.read.parquet(path).count() == before
