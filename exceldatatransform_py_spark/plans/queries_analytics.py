@@ -643,3 +643,64 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(len_ok & (dist <= _FUZZY_MAX_DIST))
         .select("part_a", "part_b", "name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join with staleness tolerance — the feature-store
+# rule: serve the latest feature at-or-before the observation time,
+# but only if it is fresh enough (here ≤90 days), else NULL. Same
+# single-shuffle as-of machinery (operators.asof), with the matched
+# timestamp carried through so freshness is a plain post-projection —
+# no second join, no interval explosion.
+# ---------------------------------------------------------------------------
+
+_MAX_STALENESS_DAYS = 90
+
+
+@register(
+    "asof_latest_order_fresh",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) AS staleness_days,
+             o.o_orderkey
+      FROM events e
+      ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id,
+           CASE WHEN staleness_days <= {_MAX_STALENESS_DAYS} THEN o_orderkey END AS fresh_orderkey,
+           CASE WHEN staleness_days <= {_MAX_STALENESS_DAYS} THEN CAST(staleness_days AS BIGINT) END AS staleness_days
+    FROM m
+    """,
+)
+def asof_latest_order_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+    )
+    staleness = F.datediff(F.to_date("ts"), F.to_date("o_orderdate"))
+    fresh = staleness <= _MAX_STALENESS_DAYS
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("fresh_orderkey"),
+        F.when(fresh, staleness.cast("bigint")).alias("staleness_days"),
+    )
