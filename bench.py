@@ -110,14 +110,29 @@ def main() -> None:
         times = dict(zip(names, pool.map(run_child, names)))
 
     total = round(sum(times.values()), 3)
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump({"total": total, "sf": sf, "n_queries": len(times),
+                   "queries": times}, f, indent=1, sort_keys=True)
+
+    # Final stdout line must stay SHORT (the driver truncates long tails
+    # and recorded parsed:null in round 1): total + a handful of headline
+    # queries only; the full per-query map lives in bench_details.json.
+    headline = [
+        "flagship_daily_segment_ledger", "q1_pricing_summary",
+        "minhash_lsh_near_dup", "dedup_cluster_assign",
+        "cosine_topk_bruteforce",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "queries": {k: times[k] for k in headline if k in times},
             }
         )
     )

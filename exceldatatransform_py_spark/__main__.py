@@ -2,4 +2,5 @@
 
 from exceldatatransform_py_spark.cli import main
 
-main()
+if __name__ == "__main__":
+    main()

@@ -427,19 +427,38 @@ def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A5 — approximate distinct counting (HyperLogLog++). No value oracle:
-# approx sketches differ across engines by design — the driver records
-# a rows-only check; the pytest layer asserts the estimate lands
-# within the advertised rsd of the exact count.
+# A5 — approximate distinct counting (HyperLogLog++). HLL estimates
+# differ across engines by design, so the estimate itself can't be
+# hash-compared; instead the query emits the exact count plus a
+# Spark-computed boolean `within_rsd` (estimate within 3x the 2%
+# configured rsd of the exact count). The DuckDB twin computes the
+# exact count and literal TRUE — hash-comparable, and a wrong/absent
+# HLL estimate flips the boolean and fails the hash.
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_parts")
+@register(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= F.greatest(0.06 * F.col("exact_parts"), F.lit(2.0))
+        ).alias("within_rsd"),
     )
 
 

@@ -206,8 +206,13 @@ def read_json_with_badrows(
     column must be queried from a cached/materialized frame in Spark
     4: a bare select of only the corrupt column from a lazy scan is
     rejected (the analyzer forbids plans that would *only* keep
-    corrupt records without the parse attempt) — the persist here is
-    the documented pattern and bounds the extra cost to one scan.
+    corrupt records without the parse attempt) — the materialization
+    here is the documented pattern and bounds the extra cost to one
+    scan. ``localCheckpoint`` + immediate ``unpersist`` is used
+    instead of a bare ``persist`` so repeated ingest calls in one
+    session don't accumulate cached frames for the session lifetime:
+    the checkpoint cuts lineage to the materialized blocks, and the
+    returned frames own their storage independently of the cache.
     """
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", corrupt_col
@@ -218,7 +223,7 @@ def read_json_with_badrows(
         df = reader.json(path)
         if corrupt_col not in df.columns:  # everything parsed
             return df, df.limit(0).select(F.lit("").alias(corrupt_col)).limit(0)
-    df = df.persist()
+    df = df.localCheckpoint(eager=True)
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad

@@ -126,14 +126,26 @@ def compact_files(
     per-key sinks create: thousands of KB-sized files make listing,
     scheduling, and row-group overhead dominate scans. Compaction uses
     ``coalesce`` (narrow — folds existing partitions without a
-    shuffle) rather than ``repartition``; at 100 TB this runs
-    per-partition-directory behind the table format's transaction
-    (Delta OPTIMIZE / Iceberg rewrite_data_files are this exact
-    operation with a metadata commit).
+    shuffle) when shrinking; ``coalesce`` cannot grow a partition
+    count, so when the target exceeds the scan's partition count the
+    rewrite uses ``repartition`` (one round-robin exchange — the data
+    is being rewritten anyway, and compaction-to-MORE-files only
+    happens when existing files are oversized, where even sizing is
+    the point). At 100 TB this runs per-partition-directory behind the
+    table format's transaction (Delta OPTIMIZE / Iceberg
+    rewrite_data_files are this exact operation with a metadata
+    commit). Returns the actual file count written.
     """
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    compacted = df.coalesce(n_files).localCheckpoint(eager=True)
+    n_parts = df.rdd.getNumPartitions()  # metadata only — no job
+    if n_files < n_parts:
+        compacted = df.coalesce(n_files)
+    elif n_files > n_parts:
+        compacted = df.repartition(n_files)
+    else:
+        compacted = df
+    compacted = compacted.localCheckpoint(eager=True)
     compacted.write.format(fmt).mode("overwrite").save(path)
     return n_files

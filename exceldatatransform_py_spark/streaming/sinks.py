@@ -42,6 +42,7 @@ def stream_merge_into(
     update_cols: Sequence[str],
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    version_col: str | None = None,
 ) -> DataStreamWriter:
     """File-source update stream → update-only merge into ``target_path``.
 
@@ -50,9 +51,15 @@ def stream_merge_into(
     unmatched batch rows are discarded (the reference's "we don't
     create new rows", ``timesheet_transform_v3.py:105``). If a batch
     carries several updates for one key they are first collapsed to
-    one row per key (per-column MAX — deterministic regardless of
-    file/partition order; J3's collapse-before-join, so one batch can
-    never fan out target rows).
+    one row per key (J3's collapse-before-join, so one batch can
+    never fan out target rows). With ``version_col`` (an event-time /
+    sequence column) the collapse is latest-wins CDC: every update
+    column comes from the single newest update row
+    (``max_by(col, version)``). Without it the collapse falls back to
+    independent per-column MAX — deterministic regardless of
+    file/partition order, but a key updated twice in one batch can
+    yield a row mixing columns from different updates; pass
+    ``version_col`` whenever the source carries one.
 
     Returns the un-started ``DataStreamWriter``; the caller sets the
     checkpoint location and trigger, then ``.start()``s it.
@@ -63,9 +70,19 @@ def stream_merge_into(
     stream = reader.parquet(source_dir)
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        collapsed = batch_df.groupBy(*on).agg(
-            *[F.max(c).alias(c) for c in update_cols]
-        )
+        if version_col is not None:
+            # struct-max = max_by(c, version) with a deterministic
+            # tie-break on the value itself when versions collide.
+            collapsed = batch_df.groupBy(*on).agg(
+                *[
+                    F.max(F.struct(version_col, c)).getField(c).alias(c)
+                    for c in update_cols
+                ]
+            )
+        else:
+            collapsed = batch_df.groupBy(*on).agg(
+                *[F.max(c).alias(c) for c in update_cols]
+            )
         merge_update_write(
             batch_df.sparkSession,
             target_path,

@@ -262,3 +262,72 @@ def test_merge_update_invariants(spark, target_keys, update_keys):
     for k in target_keys:
         expect_v = f"u{k}" if k in update_keys else f"t{k}"
         assert got[k] == (expect_v, float(k))    # overwrite vs untouched
+
+
+# ---------------------------------------------------------------------------
+# Connected components: pointer-doubling must converge in O(log n)
+# rounds on the adversarial chain shape (pure min-propagation needs
+# O(diameter) rounds there and would silently truncate at max_iter),
+# and must agree with a sequential union-find on arbitrary graphs.
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    from exceldatatransform_py_spark.operators.dedup import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # max_iter=12 is the round budget: a 1000-node chain needs ~10
+    # pointer-doubling rounds (+1 no-change confirmation); if the
+    # algorithm regressed to diameter-bound propagation, 12 rounds
+    # reach only ~24 hops and the assertion fails.
+    labels = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    # min-id per component, only for nodes that appear in an edge
+    roots = {}
+    for v in sorted(touched):
+        roots.setdefault(find(v), v)
+    return {v: roots[find(v)] for v in touched}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    from exceldatatransform_py_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["v"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(25, edges)

@@ -32,12 +32,10 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    # approx_count_distinct has no cross-engine value oracle; assert
-    # the HLL++ estimate lands within ~3x the configured 2% rsd of the
-    # exact count computed in the same query.
+    # The query emits within_rsd = |HLL estimate - exact| <= max(6%, 2)
+    # computed Spark-side; the oracle twin hash-compares it as TRUE, and
+    # this test keeps a direct assertion for clearer failure messages.
     rows = QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
-            0.06 * r["exact_parts"], 2.0
-        )
+        assert r["within_rsd"] is True, r
