@@ -53,7 +53,11 @@ from exceldatatransform_py_spark.plans.pipeline import (
 )
 from exceldatatransform_py_spark.session import get_spark
 from exceldatatransform_py_spark.sources.readers import read_excel_workbook
-from exceldatatransform_py_spark.sources.writers import write_partitioned_by_key
+from exceldatatransform_py_spark.sources.writers import (
+    update_excel_workbook_in_place,
+    write_excel_workbook,
+    write_partitioned_by_key,
+)
 
 
 def _read_one(spark: SparkSession, path: str) -> DataFrame:
@@ -100,12 +104,20 @@ def _build_ledger(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
 def cmd_transform(spark: SparkSession, args: argparse.Namespace) -> None:
     ledger = _build_ledger(spark, args)
     # v1 writes one sheet per surname with the surname column dropped
-    # and the sheet name capped at Excel's 31 chars — partitionBy is
-    # the exact analogue (partition col removed from data files).
-    write_partitioned_by_key(
-        ledger, args.output, ["surname"], sanitize_len=31
-    )
-    print(f"wrote per-surname partitions to {args.output}", file=sys.stderr)
+    # and the sheet name capped at Excel's 31 chars. --format xlsx (or
+    # an .xlsx output path) emits the reference's literal artifact —
+    # one workbook, one sheet per surname; the default partitionBy
+    # parquet sink is the exact distributed analogue (partition col
+    # removed from data files).
+    fmt = args.format or ("xlsx" if args.output.endswith(".xlsx") else "parquet")
+    if fmt == "xlsx":
+        write_excel_workbook(ledger, args.output, "surname")
+        print(f"wrote per-surname workbook to {args.output}", file=sys.stderr)
+    else:
+        write_partitioned_by_key(
+            ledger, args.output, ["surname"], sanitize_len=31
+        )
+        print(f"wrote per-surname partitions to {args.output}", file=sys.stderr)
 
 
 def cmd_update(spark: SparkSession, args: argparse.Namespace) -> None:
@@ -113,6 +125,12 @@ def cmd_update(spark: SparkSession, args: argparse.Namespace) -> None:
     if ledger.isEmpty():
         # the reference's empty-result short-circuit (":173-175").
         raise SystemExit("no valid records found in the input; target untouched")
+    if args.target.endswith(".xlsx"):
+        # the reference's literal final workflow: formatting-preserving
+        # cell-level update of an existing workbook.
+        update_excel_workbook_in_place(args.target, ledger)
+        print(f"updated matched cells in {args.target}", file=sys.stderr)
+        return
     target = spark.read.parquet(args.target)
     merged = merge_ledger_into_target(target, ledger).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(args.target)
@@ -135,6 +153,9 @@ def main(argv: list[str] | None = None) -> None:
     t = sub.add_parser("transform", parents=[common],
                        help="write one partition per surname (v1 workflow)")
     t.add_argument("--output", required=True)
+    t.add_argument("--format", choices=["parquet", "xlsx"], default=None,
+                   help="output format (default: by extension; xlsx = one "
+                        "workbook, one sheet per surname)")
     u = sub.add_parser("update", parents=[common],
                        help="update-only merge into a stored target (final workflow)")
     u.add_argument("--target", required=True)

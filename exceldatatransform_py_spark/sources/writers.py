@@ -19,6 +19,9 @@ be oracle-checked without filesystem effects.
 
 from __future__ import annotations
 
+import os
+import shutil
+import urllib.parse
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +53,179 @@ def write_partitioned_by_key(
         for c in partition_cols:
             out = out.withColumn(c, F.substring(F.col(c).cast("string"), 1, sanitize_len))
     out.write.partitionBy(*partition_cols).format(fmt).mode(mode).save(path)
+
+
+def stage_sheet_partitions(
+    df: DataFrame,
+    staging_dir: str,
+    sheet_col: str,
+    sheet_name_len: int = 31,
+) -> dict[str, str]:
+    """Distributed half of the Excel workbook sink: partition the data
+    one-directory-per-sheet and return ``{sheet name: partition dir}``.
+
+    All the Spark-visible semantics of the reference's per-surname
+    workbook write (``timesheet_transform_v1.py:92-100``) happen here,
+    scale-safely: grouping by the sheet key, dropping the key column
+    from each sheet's data (``:97``), and truncating the sheet name to
+    Excel's 31-char cap (``:99``). The xlsx packaging step
+    (``write_excel_workbook``) consumes this layout; so do tests in
+    environments without openpyxl.
+    """
+    write_partitioned_by_key(
+        df, staging_dir, [sheet_col], fmt="parquet", mode="overwrite",
+        sanitize_len=sheet_name_len,
+    )
+    out: dict[str, str] = {}
+    prefix = f"{sheet_col}="
+    for entry in sorted(os.listdir(staging_dir)):
+        if entry.startswith(prefix):
+            # Spark URL-escapes special chars in partition values.
+            name = urllib.parse.unquote(entry[len(prefix):])
+            out[name] = os.path.join(staging_dir, entry)
+    return out
+
+
+def write_excel_workbook(
+    df: DataFrame,
+    path: str,
+    sheet_col: str,
+    staging_dir: str | None = None,
+    sheet_name_len: int = 31,
+) -> None:
+    """S4 in its native format: ONE workbook with one sheet per
+    ``sheet_col`` value, the sheet column dropped from each sheet and
+    sheet names truncated to 31 chars — the reference's output
+    (``timesheet_transform_v1.py:92-100``).
+
+    Two halves: (1) a distributed ``partitionBy`` parquet stage
+    (``stage_sheet_partitions`` — every Spark-side semantic lives
+    there); (2) a driver-side packaging step that zips the staged
+    partitions into one xlsx. xlsx is a zipped-XML container — not
+    splittable, not appendable — so a single workbook can only ever be
+    emitted by one writer process regardless of engine; the packaging
+    streams one sheet's (already aggregated, human-scale) rows at a
+    time and nothing flows through Spark's driver. Import-gated
+    exactly like ``readers.read_excel_workbook``: without
+    pandas+openpyxl this raises ``NotImplementedError`` before doing
+    any work.
+    """
+    import pandas as pd
+
+    try:
+        import openpyxl  # noqa: F401 — probe before any Spark work
+    except ImportError as exc:
+        raise NotImplementedError(
+            "write_excel_workbook needs pandas+openpyxl; use the "
+            "partitionBy parquet sink (write_partitioned_by_key) instead "
+            "(same grouping/truncation semantics)"
+        ) from exc
+
+    if staging_dir is None:
+        staging_dir = path + ".staging"
+    parts = stage_sheet_partitions(
+        df, staging_dir, sheet_col, sheet_name_len=sheet_name_len
+    )
+    try:
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for name, part_dir in parts.items():
+                pd.read_parquet(part_dir).to_excel(
+                    writer, sheet_name=name[:sheet_name_len], index=False
+                )
+    finally:
+        shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def update_excel_workbook_in_place(
+    path: str,
+    updates: DataFrame,
+    surname_col: str = "surname",
+    date_col: str = "data",
+    update_cols: Sequence[str] = ("commessa", "ore"),
+    staging_dir: str | None = None,
+) -> None:
+    """S5 in its native format: formatting-preserving in-place workbook
+    update (``timesheet_transform.py:105-138``) — load the workbook
+    with openpyxl (keeps formatting), overwrite ONLY matched cells,
+    never insert rows, save the same file.
+
+    Reference semantics preserved: sheet↔surname match is
+    case-insensitive (``:109``); the sheet layout is assumed to be
+    headers in row 1 with columns A/B/C = DATA/COMMESSA/ORE
+    (``:115``); date cells may be strings or datetimes and compare at
+    day granularity (``:118-128``); several update rows hitting one
+    date are re-aggregated, not multiplied (``:129-134``) — that
+    re-agg runs SPARK-side here (J3 collapse-before-merge: distinct-
+    sorted commessa concat + ore sum per (surname, date)), so the
+    driver probe is a plain dict lookup.
+
+    Split like ``write_excel_workbook``: the collapse + per-surname
+    staging is a distributed job; only the cell-level patching of one
+    small human-facing workbook is driver-side, and it is import-gated.
+    """
+    try:
+        import openpyxl
+        import pandas as pd
+    except ImportError as exc:
+        raise NotImplementedError(
+            "update_excel_workbook_in_place needs openpyxl; use "
+            "merge_update_write on a parquet target instead "
+            "(same update-only merge semantics)"
+        ) from exc
+
+    from exceldatatransform_py_spark.functions.columns import (
+        dec_sum,
+        distinct_sorted_concat,
+    )
+
+    collapsed = (
+        updates.withColumn("__sheet", F.lower(F.col(surname_col)))
+        .withColumn("__date", F.to_date(F.col(date_col)))
+        .groupBy("__sheet", "__date")
+        .agg(
+            distinct_sorted_concat(update_cols[0]).alias(update_cols[0]),
+            dec_sum(update_cols[1]).alias(update_cols[1]),
+        )
+    )
+    if staging_dir is None:
+        staging_dir = path + ".updates"
+    parts = stage_sheet_partitions(collapsed, staging_dir, "__sheet")
+    try:
+        wb = openpyxl.load_workbook(path)
+        for sheet_name in wb.sheetnames:
+            part_dir = parts.get(sheet_name.lower())
+            if part_dir is None:
+                continue
+            pdf = pd.read_parquet(part_dir)
+            # .tolist() converts numpy scalars to Python natives —
+            # openpyxl rejects numpy types on direct cell assignment.
+            by_date = dict(
+                zip(
+                    pdf["__date"].tolist(),
+                    zip(
+                        pdf[update_cols[0]].tolist(),
+                        pdf[update_cols[1]].tolist(),
+                    ),
+                )
+            )
+            ws = wb[sheet_name]
+            for date_cell, commessa_cell, ore_cell in ws.iter_rows(
+                min_row=2, max_col=3, values_only=False
+            ):
+                cell_value = date_cell.value
+                if isinstance(cell_value, str):
+                    try:
+                        cell_value = pd.to_datetime(cell_value).date()
+                    except (ValueError, TypeError):
+                        continue
+                elif hasattr(cell_value, "date"):
+                    cell_value = cell_value.date()
+                hit = by_date.get(cell_value)
+                if hit is not None:
+                    commessa_cell.value, ore_cell.value = hit
+        wb.save(path)
+    finally:
+        shutil.rmtree(staging_dir, ignore_errors=True)
 
 
 def merge_update_write(

@@ -221,3 +221,126 @@ def test_compact_files_reduces_file_count(spark, tmpdir_):
     got = glob.glob(os.path.join(path, "*.parquet"))
     assert len(got) == n_files == -(-before // 2000)
     assert spark.read.parquet(path).count() == before
+
+
+def test_compact_files_grow_path(spark, tmpdir_):
+    """Target count above the scan's partition count: coalesce cannot
+    grow, so compaction must repartition — the returned count has to
+    match the files actually written."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.sources.writers import compact_files
+
+    path = os.path.join(tmpdir_, "one_big_file")
+    spark.range(0, 1000).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        path
+    )
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+
+    n_files = compact_files(spark, path, target_rows_per_file=100)
+    got = glob.glob(os.path.join(path, "*.parquet"))
+    assert n_files == 10
+    assert len(got) == n_files
+    assert spark.read.parquet(path).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# Excel workbook sink (S4/S5 in their native format). The Spark-side
+# semantics — per-sheet partitioning, key-column drop, 31-char name
+# truncation, update collapse — are always tested via the staging
+# layout; the xlsx emit itself is import-gated and only round-trips
+# where openpyxl exists.
+# ---------------------------------------------------------------------------
+
+import importlib.util
+
+HAS_OPENPYXL = importlib.util.find_spec("openpyxl") is not None
+
+
+def test_stage_sheet_partitions_semantics(spark, tmpdir_):
+    from exceldatatransform_py_spark.sources.writers import stage_sheet_partitions
+
+    df = spark.createDataFrame(
+        [
+            ("averyveryverylongsurnamethatneedstruncating", "2025-01-06", 8.0),
+            ("rossi", "2025-01-06", 4.0),
+            ("rossi", "2025-01-07", 2.0),
+        ],
+        ["surname", "data", "ore"],
+    )
+    staging = os.path.join(tmpdir_, "staging")
+    parts = stage_sheet_partitions(df, staging, "surname")
+    # sheet names truncated to Excel's 31-char cap, one dir per sheet
+    assert sorted(parts) == ["averyveryverylongsurnamethatnee", "rossi"]
+    # the sheet key lives in the directory name, not the sheet data
+    rossi = spark.read.parquet(parts["rossi"])
+    assert sorted(rossi.columns) == ["data", "ore"]
+    assert rossi.count() == 2
+
+
+def test_excel_writer_gate_raises_before_work(spark, tmpdir_):
+    if HAS_OPENPYXL:
+        pytest.skip("openpyxl present; gate not reachable")
+    from exceldatatransform_py_spark.sources.writers import write_excel_workbook
+
+    df = spark.createDataFrame([("rossi", 1.0)], ["surname", "ore"])
+    out = os.path.join(tmpdir_, "book.xlsx")
+    with pytest.raises(NotImplementedError):
+        write_excel_workbook(df, out, "surname")
+    # the gate fires BEFORE any Spark work: no staging dir, no output
+    assert not os.path.exists(out)
+    assert not os.path.exists(out + ".staging")
+
+
+@pytest.mark.skipif(not HAS_OPENPYXL, reason="needs openpyxl")
+def test_excel_writer_roundtrip(spark, tmpdir_):
+    from exceldatatransform_py_spark.sources.readers import read_excel_workbook
+    from exceldatatransform_py_spark.sources.writers import write_excel_workbook
+
+    df = spark.createDataFrame(
+        [("rossi", "A; B", 8.0), ("fava", "C", 4.0)],
+        ["surname", "commessa", "ore"],
+    )
+    out = os.path.join(tmpdir_, "book.xlsx")
+    write_excel_workbook(df, out, "surname")
+    sheets = read_excel_workbook(spark, out)
+    assert sorted(sheets) == ["fava", "rossi"]
+    assert {r["commessa"] for r in sheets["rossi"].collect()} == {"A; B"}
+
+
+@pytest.mark.skipif(not HAS_OPENPYXL, reason="needs openpyxl")
+def test_excel_update_in_place_touches_only_matches(spark, tmpdir_):
+    import datetime
+
+    import openpyxl
+
+    from exceldatatransform_py_spark.sources.writers import (
+        update_excel_workbook_in_place,
+    )
+
+    path = os.path.join(tmpdir_, "target.xlsx")
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.title = "Rossi"  # sheet match is case-insensitive
+    ws.append(["DATA", "COMMESSA", "ORE"])
+    ws.append([datetime.datetime(2025, 1, 6), "OLD", 1.0])
+    ws.append([datetime.datetime(2025, 1, 7), "KEEP", 2.0])
+    wb.save(path)
+
+    updates = spark.createDataFrame(
+        [
+            ("ROSSI", datetime.date(2025, 1, 6), "X", 3.0),
+            ("ROSSI", datetime.date(2025, 1, 6), "A", 4.0),  # re-aggregated
+            ("ROSSI", datetime.date(2025, 1, 9), "NOMATCH", 9.0),  # discarded
+        ],
+        ["surname", "data", "commessa", "ore"],
+    )
+    update_excel_workbook_in_place(path, updates)
+
+    back = openpyxl.load_workbook(path)["Rossi"]
+    rows = [[c.value for c in r] for r in back.iter_rows(min_row=2, max_col=3)]
+    assert rows[0] == [datetime.datetime(2025, 1, 6), "A; X", 7.0]
+    assert rows[1] == [datetime.datetime(2025, 1, 7), "KEEP", 2.0]
+    assert len(rows) == 2  # never inserts
