@@ -2,10 +2,28 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side machinery — schema, Arrow batch
-transfer, ``mapInPandas`` signatures, partitioning — is real and
-tested; the actual media *decoding* is stubbed (the codec libraries
-are not in this environment) behind ``decode_stub`` so swapping in
-PIL/ffmpeg later changes one function, not the plumbing.
+transfer, ``mapInPandas`` signatures, partitioning — is the real
+thing, and so is the container codec: payloads are packed into and
+demuxed out of SVC ("synthetic video container"), a minimal but real
+binary format with a magic number, a fixed header, and a per-frame
+offset/length index that the demuxer actually parses (no digest
+fakes). What remains environment-stubbed is only pixel/sample
+*decoding* (PIL / pyav are not in this container): a real deployment
+swaps the frame-bytes passthrough for a codec call, changing one
+line, not the plumbing — and the per-batch CPU/memory profile
+(header decode + index walk + frame slicing per payload) is already
+representative.
+
+SVC layout (big-endian)::
+
+    0   4  magic  b"SVC1"
+    4   1  version (=1)
+    5   2  width   u16
+    7   2  height  u16
+    9   4  n_frames u32
+    13  8*n_frames  index: (offset u32, length u32) per frame,
+                    offsets relative to the end of the index
+    ...  frame payloads
 
 Scale posture: ``mapInPandas`` streams Arrow record batches through
 one Python worker per core with constant memory per batch; featurize
@@ -16,27 +34,169 @@ never cross more than once and never shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 
+SVC_MAGIC = b"SVC1"
+SVC_VERSION = 1
+_SVC_HDR = struct.Struct(">4sBHHI")  # magic, version, width, height, n_frames
+_SVC_IDX = struct.Struct(">II")      # per-frame (offset, length)
 
-def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake "decode" standing in for an image/audio codec.
 
-    Real deployments replace this with PIL / torchaudio / pyav decode;
-    everything else in the pipeline (schema, batching, partitioning)
-    is agnostic to what runs here. Raises on None to mirror a codec
-    error path.
+def svc_encode(frames: list[bytes], width: int, height: int) -> bytes:
+    """Pack frame blobs into one SVC container (header + index + data)."""
+    header = _SVC_HDR.pack(SVC_MAGIC, SVC_VERSION, width, height, len(frames))
+    index = bytearray()
+    offset = 0
+    for fr in frames:
+        index += _SVC_IDX.pack(offset, len(fr))
+        offset += len(fr)
+    return header + bytes(index) + b"".join(frames)
+
+
+def svc_decode_header(payload: bytes) -> dict:
+    """Parse and validate an SVC header + frame index.
+
+    Returns ``{width, height, n_frames, frames: [(abs_offset, length)]}``.
+    Raises ``ValueError`` on bad magic/version/truncation — the codec
+    error path a real demuxer has.
     """
     if payload is None:
-        raise NotImplementedError("decode_stub: NULL payload (codec error path)")
+        raise NotImplementedError("svc_decode_header: NULL payload")
+    if len(payload) < _SVC_HDR.size:
+        raise ValueError("SVC: truncated header")
+    magic, version, width, height, n_frames = _SVC_HDR.unpack_from(payload, 0)
+    if magic != SVC_MAGIC:
+        raise ValueError(f"SVC: bad magic {magic!r}")
+    if version != SVC_VERSION:
+        raise ValueError(f"SVC: unsupported version {version}")
+    idx_end = _SVC_HDR.size + _SVC_IDX.size * n_frames
+    if len(payload) < idx_end:
+        raise ValueError("SVC: truncated frame index")
+    frames = []
+    for i in range(n_frames):
+        off, length = _SVC_IDX.unpack_from(payload, _SVC_HDR.size + _SVC_IDX.size * i)
+        abs_off = idx_end + off
+        if abs_off + length > len(payload):
+            raise ValueError(f"SVC: frame {i} out of bounds")
+        frames.append((abs_off, length))
     return {
-        "n_bytes": len(payload),
-        "digest": hashlib.md5(payload).hexdigest(),
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "frames": frames,
     }
+
+
+def svc_extract_frames(payload: bytes) -> list[bytes]:
+    """Demux all frame blobs by walking the parsed offset index."""
+    meta = svc_decode_header(payload)
+    return [payload[off : off + ln] for off, ln in meta["frames"]]
+
+
+def pack_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_bytes: int = 128,
+) -> DataFrame:
+    """Pack a raw byte payload into an SVC container: consecutive
+    ``frame_bytes`` chunks become frames (the deterministic stand-in
+    for an encoder's GOP structure), with per-row width/height metadata
+    derived from the id so the header carries real, checkable values.
+
+    Output: ``(id_col long, media binary)``. Map-only — the payload
+    bytes stay in the partition that scanned them.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    raise NotImplementedError("pack_media: NULL payload")
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                medias.append(
+                    svc_encode(frames, width=media_width(int(rid)),
+                               height=media_height(int(rid)))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media": medias,
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, media binary")
+
+
+def media_width(rid: int) -> int:
+    """Deterministic per-id frame width (stand-in for real metadata)."""
+    return 64 + (rid % 4) * 32
+
+
+def media_height(rid: int) -> int:
+    """Deterministic per-id frame height (stand-in for real metadata)."""
+    return 48 + (rid % 3) * 24
+
+
+def media_metadata(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Parse each SVC container's header + index (a REAL binary parse
+    — magic check, fixed-header unpack, offset-table walk) and emit
+    the typed metadata a real probe (ffprobe-style) would.
+
+    Output: ``(id_col long, width int, height int, n_frames int,
+    media_bytes long, frame_bytes long)`` where ``frame_bytes`` is the
+    summed length of all indexed frames — wrong offset arithmetic
+    anywhere breaks it.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                id_col: pdf[id_col].astype("int64"),
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "media_bytes": [],
+                "frame_bytes": [],
+            }
+            for payload in pdf[media_col]:
+                meta = svc_decode_header(payload)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["media_bytes"].append(len(payload))
+                rows["frame_bytes"].append(
+                    sum(ln for _, ln in meta["frames"])
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: rows[id_col],
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "media_bytes": pd.Series(rows["media_bytes"], dtype="int64"),
+                    "frame_bytes": pd.Series(rows["frame_bytes"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, width int, height int, n_frames int, "
+            "media_bytes long, frame_bytes long"
+        ),
+    )
 
 
 def binary_featurize(
@@ -51,14 +211,16 @@ def binary_featurize(
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf[bin_col]]
+            payloads = list(pdf[bin_col])
+            if any(p is None for p in payloads):
+                raise NotImplementedError("binary_featurize: NULL payload")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "n_bytes": pd.Series(
-                        [f["n_bytes"] for f in feats], dtype="int64"
+                        [len(p) for p in payloads], dtype="int64"
                     ),
-                    "digest": [f["digest"] for f in feats],
+                    "digest": [hashlib.md5(p).hexdigest() for p in payloads],
                 }
             )
 
@@ -68,30 +230,21 @@ def binary_featurize(
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",
-    bin_col: str = "payload",
-    frame_bytes: int = 64,
-    stride: int = 2,
+    media_col: str = "media",
+    crop_bytes: int = 64,
 ) -> DataFrame:
-    """Sample "frames" from a media payload: one input row fans out to
-    0..N output rows (every ``stride``-th fixed-size chunk), the shape
-    of video frame-sampling / audio windowing.
+    """Demux SVC containers into frames: one input row fans out to
+    0..N output rows — the shape of video frame-sampling / audio
+    windowing. The demux is a real parse (header + offset-table walk,
+    ``svc_extract_frames``); each emitted frame is cropped to its
+    first ``crop_bytes`` bytes (the stand-in for thumbnail/feature
+    extraction — the one line a real pixel decoder would replace).
 
-    The chunker stands in for a real demuxer (pyav/ffmpeg — not in
-    this container; swap ``_chunks`` only). The plumbing is the real
-    thing: ``mapInPandas`` streams Arrow batches, each worker emits a
-    variable number of rows per input, nothing is collected, and the
+    Plumbing: ``mapInPandas`` streams Arrow batches, each worker emits
+    a variable number of rows per input, nothing is collected, and the
     fan-out happens AFTER the scan so the big payload bytes never
     shuffle — downstream aggregations shuffle only the small frames.
     """
-
-    def _chunks(payload: bytes) -> list[bytes]:
-        if payload is None:
-            raise NotImplementedError("frame_sample: NULL payload (demux error path)")
-        frames = [
-            payload[i : i + frame_bytes]
-            for i in range(0, len(payload), frame_bytes)
-        ]
-        return frames[::stride]
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,12 +252,13 @@ def frame_sample(
             idxs: list[int] = []
             blobs: list[bytes] = []
             sizes: list[int] = []
-            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
-                for i, fr in enumerate(_chunks(payload)):
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                for i, fr in enumerate(svc_extract_frames(payload)):
+                    crop = fr[:crop_bytes]
                     ids.append(int(rid))
                     idxs.append(i)
-                    blobs.append(fr)
-                    sizes.append(len(fr))
+                    blobs.append(crop)
+                    sizes.append(len(crop))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

@@ -594,14 +594,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing, scored end-to-end: frame sampling (1 row → N
-# frames) and resize-normalization (1 row → 1 fixed-size payload).
-# The corpus is pure ASCII, so the oracle's character-based substring
-# is byte-exact against the Python chunker.
+# Multimodal plumbing, scored end-to-end: container packing + demux
+# (1 row → N frames via a REAL header/offset-table parse — see
+# operators.multimodal SVC format), probe-style metadata extraction,
+# and resize-normalization (1 row → 1 fixed-size payload). The corpus
+# is pure ASCII, so the oracle's character-based substring/length
+# arithmetic is byte-exact against the Python codec.
 # ---------------------------------------------------------------------------
 
 from exceldatatransform_py_spark.operators.multimodal import (  # noqa: E402
     frame_sample,
+    media_metadata,
+    pack_media,
     resize_stub,
 )
 
@@ -623,11 +627,45 @@ from exceldatatransform_py_spark.operators.multimodal import (  # noqa: E402
     """,
 )
 def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pack the text bytes into SVC containers (128-byte frames), then
+    # demux them back by parsing the header + offset index and crop
+    # each frame to its first 64 bytes; the oracle recomputes the
+    # expected frames with pure substring arithmetic — any error in
+    # the encoder's index layout or the demuxer's offset walk breaks
+    # the byte-exact frame match.
     docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return frame_sample(docs, id_col="doc_id", bin_col="payload",
-                        frame_bytes=64, stride=2)
+    media = pack_media(docs, id_col="doc_id", bin_col="payload", frame_bytes=128)
+    return frame_sample(media, id_col="doc_id", media_col="media", crop_bytes=64)
+
+
+@register(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS width,
+           CAST(48 + (doc_id % 3) * 24 AS INTEGER) AS height,
+           CAST(ceil(length(text) / 128.0) AS INTEGER) AS n_frames,
+           CAST(13 + 8 * CAST(ceil(length(text) / 128.0) AS BIGINT)
+                + length(text) AS BIGINT) AS media_bytes,
+           CAST(length(text) AS BIGINT) AS frame_bytes
+    FROM documents
+    """,
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ffprobe-shaped metadata: pack containers, then parse the header
+    # (magic/version check, u16 dims, u32 frame count) and walk the
+    # offset table summing frame lengths. The oracle recomputes every
+    # field from first principles (header is 13 bytes + 8 per frame;
+    # width/height are the deterministic per-id values pack_media
+    # writes) — a parser that didn't really read the binary could not
+    # reproduce them.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = pack_media(docs, id_col="doc_id", bin_col="payload", frame_bytes=128)
+    return media_metadata(media, id_col="doc_id", media_col="media")
 
 
 @register(
