@@ -366,23 +366,28 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # Convergence check BEFORE the shortcut: a propagation fixpoint
+        # means labels are constant across every edge, i.e. already the
+        # component minima — the hop would be the identity. Near-dup
+        # graphs (mostly 2-3 node clusters) converge at the seed, so
+        # the common path pays one propagation round and no shortcut
+        # join; the count is a single cheap job over the checkpointed
+        # frame, and loop wall-clock is job latency, not data.
+        changed = prop.filter(F.col("plbl") < F.col("lbl")).count()
+        labels = prop.select("v", F.col("plbl").alias("lbl"))
+        if changed == 0:
+            break
         # (2) shortcut — chase one label hop: plbl is a node id, so a
         # left self-join resolves lbl[lbl[v]] (a component min M has
         # lbl[M] = M, so the hop is the identity at the root).
         hop = prop.select(F.col("v").alias("hv"), F.col("plbl").alias("hlbl"))
-        stepped = (
+        labels = (
             prop.join(hop, prop.plbl == hop.hv, "left")
             .select(
-                "v",
-                "lbl",
-                F.least("plbl", F.coalesce("hlbl", "plbl")).alias("lbl2"),
+                "v", F.least("plbl", F.coalesce("hlbl", "plbl")).alias("lbl")
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("lbl2") < F.col("lbl")).count()
-        labels = stepped.select("v", F.col("lbl2").alias("lbl"))
-        if changed == 0:
-            break
     return labels.select("v", F.col("lbl").alias("cluster_id"))
 
 
