@@ -35,6 +35,7 @@ from exceldatatransform_py_spark.operators.dedup import (
     shingle_index,
     simhash64,
 )
+from exceldatatransform_py_spark.operators.clustering import kmeans_assign
 from exceldatatransform_py_spark.operators.multimodal import binary_featurize
 from exceldatatransform_py_spark.operators.similarity import (
     cosine_topk,
@@ -1260,4 +1261,127 @@ def pack_documents_into_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("bucket", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings — an ITERATIVE algorithm with a full-value
+# oracle: fixed-point arithmetic makes every assignment decision
+# engine-exact, so the DuckDB twin simply unrolls the Lloyd iterations
+# as CTEs (see operators.clustering for the determinism argument).
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_SCALE = 8, 3, 1_000_000
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
+                   scale: int = _KM_SCALE) -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(p.xs) + 1), "
+        "i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * {scale}.0) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, xs AS cs FROM pts WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    s{t} AS (SELECT p.vec_id, c.cid, {d2} AS d2 FROM pts p CROSS JOIN c{t - 1} c),
+    a{t} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s{t})
+      WHERE rn = 1
+    )""")
+        if t < iters:
+            parts.append(f""",
+    e{t} AS (
+      SELECT a.cid, unnest(range(1, len(p.xs) + 1)) AS i, unnest(p.xs) AS x
+      FROM a{t} a JOIN pts p ON a.vec_id = p.vec_id
+    ),
+    m{t} AS (
+      SELECT cid, i,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM e{t} GROUP BY cid, i
+    ),
+    c{t} AS (SELECT cid, list(cx ORDER BY i) AS cs FROM m{t} GROUP BY cid)""")
+    parts.append(
+        f"\n    SELECT vec_id, cid AS cluster_id, d2 AS sqdist FROM a{iters}"
+    )
+    return "".join(parts)
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-shingle fraction — the CCNet-style boilerplate signal: how
+# much of a document's shingle set occurs in many other documents.
+# One document-frequency aggregate over the persisted inverted index,
+# then a semi-join back; shuffle keys are the 16-byte (h, g) pairs,
+# never text. High-fraction docs are templated/boilerplate content a
+# corpus pipeline down-weights before training.
+# ---------------------------------------------------------------------------
+
+_COMMON_SHINGLE_MIN_DF = 3
+
+
+@register(
+    "common_shingle_fraction",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    df_ AS (
+      SELECT h, g FROM inv GROUP BY h, g
+      HAVING count(*) >= {_COMMON_SHINGLE_MIN_DF}
+    ),
+    hits AS (
+      SELECT i.doc_id, count(*) AS n_common
+      FROM inv i JOIN df_ USING (h, g)
+      GROUP BY i.doc_id
+    ),
+    base AS (SELECT DISTINCT doc_id, n_sh FROM inv)
+    SELECT b.doc_id,
+           CAST(b.n_sh AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(h.n_common, 0) AS DOUBLE)
+             / CAST(b.n_sh AS DOUBLE) AS common_frac
+    FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+    """,
+)
+def common_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    common = (
+        inv.groupBy("h", "g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= _COMMON_SHINGLE_MIN_DF)
+        .select("h", "g")
+    )
+    hits = (
+        inv.join(common, ["h", "g"], "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    base = inv.select("doc", "n_sh").distinct()
+    return base.join(hits, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_sh").cast("bigint").alias("n_shingles"),
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        (
+            F.coalesce("n_common", F.lit(0)).cast("double")
+            / F.col("n_sh").cast("double")
+        ).alias("common_frac"),
     )
