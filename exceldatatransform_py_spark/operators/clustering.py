@@ -55,26 +55,15 @@ def _sqdist(xs: Column, cs: Column) -> Column:
     )
 
 
-def kmeans_assign(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 8,
-    iters: int = 3,
-    scale: int = KMEANS_SCALE,
-) -> DataFrame:
-    """Lloyd's k-means: ``iters`` assignment rounds with ``iters - 1``
-    centroid updates between them; returns the final assignment
-    ``(id_col, cluster_id, sqdist)``.
-
-    ``cluster_id`` is the id of the point that seeded the centroid
-    (the k smallest ids); ``sqdist`` is the exact fixed-point squared
-    distance to the final centroid.
-    """
-    pts = df.select(
-        F.col(id_col), quantize_vec(vec_col, scale).alias("xs")
-    ).persist()
-
+def _lloyd(
+    pts: DataFrame, id_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop over pre-quantized points ``(id_col, xs)``:
+    ``iters`` assignment rounds, ``iters - 1`` centroid updates.
+    Returns ``(cents, assigned)`` — the centroids the FINAL assignment
+    scored against (``cid``, ``cs array<bigint>``) and that assignment
+    (``id_col, xs, cid, d2``). Both are lazy; a caller consuming only
+    one never executes the other's tail."""
     # Centroids as ONE aggregated row holding array<struct<cid, cs>> —
     # the broadcast-scalar pattern: scoring is then a map-only pass
     # (BroadcastNestedLoopJoin of a 1-row side), never a shuffle of
@@ -121,6 +110,55 @@ def kmeans_assign(
                 lambda t: t["cx"],
             ).alias("cs")
         )
+    return cents, assigned
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Lloyd's k-means: ``iters`` assignment rounds with ``iters - 1``
+    centroid updates between them; returns the final assignment
+    ``(id_col, cluster_id, sqdist)``.
+
+    ``cluster_id`` is the id of the point that seeded the centroid
+    (the k smallest ids); ``sqdist`` is the exact fixed-point squared
+    distance to the final centroid.
+    """
+    pts = df.select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("xs")
+    ).persist()
+    _, assigned = _lloyd(pts, id_col, k, iters)
     return assigned.select(
         id_col, F.col("cid").alias("cluster_id"), F.col("d2").alias("sqdist")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """The trained coarse quantizer: centroids after ``iters - 1``
+    Lloyd updates, de-quantized back to double coordinates —
+    ``(cid bigint, cvec array<double>)``. This is the DataFrame an IVF
+    index plugs in as its centroid set (``similarity.ivf_topk``);
+    because training is engine-exact, the composed index remains fully
+    oracle-checkable end-to-end."""
+    pts = df.select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("xs")
+    ).persist()
+    cents, _ = _lloyd(pts, id_col, k, iters)
+    return cents.select(
+        "cid",
+        F.transform(
+            "cs", lambda c: c.cast("double") / F.lit(float(scale))
+        ).alias("cvec"),
     )

@@ -35,7 +35,10 @@ from exceldatatransform_py_spark.operators.dedup import (
     shingle_index,
     simhash64,
 )
-from exceldatatransform_py_spark.operators.clustering import kmeans_assign
+from exceldatatransform_py_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_centroids,
+)
 from exceldatatransform_py_spark.operators.multimodal import binary_featurize
 from exceldatatransform_py_spark.operators.similarity import (
     cosine_topk,
@@ -705,13 +708,11 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle(p: str = "") -> str:
-    """Standalone IVF-top-5 SELECT; ``p`` prefixes inner CTE names
-    (see ``_brute_topk_sql``)."""
+def _ivf_body(p: str, cents: str) -> str:
+    """IVF assign/probe/score CTEs + final top-5 SELECT over an
+    existing centroid CTE ``cents`` with columns ``(cid, cvec)``;
+    ``p`` prefixes inner CTE names (see ``_brute_topk_sql``)."""
     return f"""
-    WITH {p}cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
-    ),
     {p}asg AS (
       SELECT neighbor_id, cell FROM (
         SELECT e.vec_id AS neighbor_id, c.cid AS cell,
@@ -719,7 +720,7 @@ def _ivf_oracle(p: str = "") -> str:
                  PARTITION BY e.vec_id
                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
                ) AS ark
-        FROM embeddings e, {p}cents c
+        FROM embeddings e, {cents} c
       ) WHERE ark = 1
     ),
     {p}probes AS (
@@ -729,7 +730,7 @@ def _ivf_oracle(p: str = "") -> str:
                  PARTITION BY q.vec_id
                  ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
                ) AS prk
-        FROM embeddings q, {p}cents c WHERE q.vec_id < 10
+        FROM embeddings q, {cents} c WHERE q.vec_id < 10
       ) WHERE prk <= 2
     ),
     {p}s AS (
@@ -746,6 +747,15 @@ def _ivf_oracle(p: str = "") -> str:
     FROM {p}s
     QUALIFY rk <= 5
     """
+
+
+def _ivf_oracle(p: str = "") -> str:
+    """Standalone IVF-top-5 SELECT with the fixed first-8 centroids
+    (deterministic stand-in for an offline-trained quantizer)."""
+    return f"""
+    WITH {p}cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),{_ivf_body(p, f"{p}cents")}"""
 
 
 @register("ann_ivf_topk", oracle=_ivf_oracle())
@@ -1274,15 +1284,33 @@ def pack_documents_into_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_SCALE = 8, 3, 1_000_000
 
 
-def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
-                   scale: int = _KM_SCALE) -> str:
-    d2 = (
-        "CAST(list_sum(list_transform(range(1, len(p.xs) + 1), "
-        "i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i]))) AS BIGINT)"
-    )
+_KM_D2 = (
+    "CAST(list_sum(list_transform(range(1, len(p.xs) + 1), "
+    "i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i]))) AS BIGINT)"
+)
+
+
+def _km_round(t: int) -> str:
+    """One assignment round: score every point against c{t-1}, keep
+    the (d2, cid)-lexicographic argmin."""
+    return f""",
+    s{t} AS (SELECT p.vec_id, c.cid, {_KM_D2} AS d2 FROM pts p CROSS JOIN c{t - 1} c),
+    a{t} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s{t})
+      WHERE rn = 1
+    )"""
+
+
+def _kmeans_train_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
+                       scale: int = _KM_SCALE) -> str:
+    """CTE chain (no WITH keyword) ending at the trained centroids
+    ``c{iters - 1}`` — mirrors ``operators.clustering._lloyd``'s
+    ``iters - 1`` update steps."""
     parts = [
-        f"""
-    WITH pts AS (
+        f"""pts AS (
       SELECT vec_id,
              list_transform(embedding,
                e -> CAST(floor(CAST(e AS DOUBLE) * {scale}.0) AS BIGINT)) AS xs
@@ -1290,18 +1318,9 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
     ),
     c0 AS (SELECT vec_id AS cid, xs AS cs FROM pts WHERE vec_id < {k})"""
     ]
-    for t in range(1, iters + 1):
+    for t in range(1, iters):
+        parts.append(_km_round(t))
         parts.append(f""",
-    s{t} AS (SELECT p.vec_id, c.cid, {d2} AS d2 FROM pts p CROSS JOIN c{t - 1} c),
-    a{t} AS (
-      SELECT vec_id, cid, d2 FROM (
-        SELECT vec_id, cid, d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM s{t})
-      WHERE rn = 1
-    )""")
-        if t < iters:
-            parts.append(f""",
     e{t} AS (
       SELECT a.cid, unnest(range(1, len(p.xs) + 1)) AS i, unnest(p.xs) AS x
       FROM a{t} a JOIN pts p ON a.vec_id = p.vec_id
@@ -1312,10 +1331,17 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
       FROM e{t} GROUP BY cid, i
     ),
     c{t} AS (SELECT cid, list(cx ORDER BY i) AS cs FROM m{t} GROUP BY cid)""")
-    parts.append(
-        f"\n    SELECT vec_id, cid AS cluster_id, d2 AS sqdist FROM a{iters}"
-    )
     return "".join(parts)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
+                   scale: int = _KM_SCALE) -> str:
+    return (
+        "\n    WITH "
+        + _kmeans_train_ctes(k, iters, scale)
+        + _km_round(iters)
+        + f"\n    SELECT vec_id, cid AS cluster_id, d2 AS sqdist FROM a{iters}"
+    )
 
 
 @register("kmeans_embeddings", oracle=_kmeans_oracle())
@@ -1384,4 +1410,41 @@ def common_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_common", F.lit(0)).cast("double")
             / F.col("n_sh").cast("double")
         ).alias("common_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a k-means-TRAINED coarse quantizer — the composition a real
+# vector index ships: Lloyd's k-means learns the cell centroids
+# (engine-exact, see above), then the IVF serving structure
+# (assign → probe → score) runs against them. Because training is
+# deterministic fixed-point, the whole composed index — training AND
+# serving — hash-matches one DuckDB query end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_kmeans_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _kmeans_train_ctes()
+        + f""",
+    kvcents AS (
+      SELECT cid,
+             list_transform(cs, c -> CAST(c AS DOUBLE) / {_KM_SCALE}.0) AS cvec
+      FROM c{_KM_ITERS - 1}
+    ),"""
+        + _ivf_body("kv", "kvcents")
+    )
+
+
+@register("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    trained = kmeans_centroids(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    ).select(F.col("cid").alias("cent_id"), F.col("cvec").alias("cent_vec"))
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, trained,
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
     )
