@@ -496,11 +496,25 @@ def window_running_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two countDistincts on DIFFERENT columns in one agg make Catalyst
+    # plan an Expand (every input row duplicated per distinct class)
+    # and push both through one fat distinct shuffle; two clean
+    # two-level aggregates joined on the tiny supplier key are ~2x
+    # faster and partial-aggregate map-side. Same rows, same values.
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    parts = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+    orders = (
+        li.groupBy("l_suppkey", "l_orderkey")
+        .agg(F.lit(1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return parts.join(orders, "l_suppkey")
 
 
 # ---------------------------------------------------------------------------
