@@ -137,6 +137,33 @@ def cmd_update(spark: SparkSession, args: argparse.Namespace) -> None:
     print(f"updated matched rows in {args.target}", file=sys.stderr)
 
 
+def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Print a registered query's physical plan plus a one-line cost
+    summary (shuffles / scans / codegen spans) — the plan-review loop
+    ("explain, then iterate until it's the plan you'd want") as a
+    first-class tool instead of an ad-hoc snippet."""
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+
+    if args.query == "list" or args.query not in QUERIES:
+        names = "\n".join(sorted(QUERIES))
+        if args.query == "list":
+            print(names)
+            return
+        raise SystemExit(f"unknown query {args.query!r}; one of:\n{names}")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+    txt = df._jdf.queryExecution().explainString(mode)
+    print(txt)
+    print(
+        f"-- summary: {txt.count('Exchange')} exchange(s), "
+        f"{txt.count('Scan parquet')} parquet scan(s), "
+        f"{txt.count('WholeStageCodegen')} codegen span(s), "
+        f"{txt.count('BroadcastExchange')} broadcast(s)",
+        file=sys.stderr,
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="exceldatatransform_py_spark",
@@ -159,10 +186,21 @@ def main(argv: list[str] | None = None) -> None:
     u = sub.add_parser("update", parents=[common],
                        help="update-only merge into a stored target (final workflow)")
     u.add_argument("--target", required=True)
+    e = sub.add_parser("explain",
+                       help="print a registered query's physical plan "
+                            "('explain list' lists query names)")
+    e.add_argument("query")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost", "codegen"])
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"edt-{args.cmd}")
-    {"transform": cmd_transform, "update": cmd_update}[args.cmd](spark, args)
+    {
+        "transform": cmd_transform,
+        "update": cmd_update,
+        "explain": cmd_explain,
+    }[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""Versioned snapshot tables: commit/read/time-travel/rollback/vacuum.
+
+Mirrors the operational contract of a table format's transaction log
+at its smallest: readers resolve a manifest then read immutable data;
+every write is a new version; rollback is metadata-only; vacuum drops
+only unreferenced data directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.sources.snapshots import (
+    latest_version,
+    rollback,
+    snapshot_merge_update,
+    snapshot_read,
+    snapshot_write,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_read_roundtrip_and_versioning(spark, table):
+    df0 = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert snapshot_write(table, df0) == 0
+    df1 = spark.range(3).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    assert snapshot_write(table, df1) == 1
+    assert latest_version(table) == 1
+    assert _rows(snapshot_read(spark, table)) == _rows(df1)
+    # time travel: version 0 still readable, bit-for-bit
+    assert _rows(snapshot_read(spark, table, version=0)) == _rows(df0)
+
+
+def test_merge_update_commits_new_version(spark, table):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, x double"
+    )
+    snapshot_write(table, base)
+    ups = spark.createDataFrame([(2, 99.0), (3, 7.0)], "k int, x double")
+    v = snapshot_merge_update(spark, table, ups, on=["k"], update_cols=["x"])
+    assert v == 1
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    # matched row updated, unmatched target kept, unmatched update dropped
+    assert got == {1: 10.0, 2: 99.0}
+    # prior version untouched
+    before = {r.k: r.x for r in snapshot_read(spark, table, version=0).collect()}
+    assert before == {1: 10.0, 2: 20.0}
+
+
+def test_rollback_is_metadata_only(spark, table):
+    df0 = spark.range(4).select("id")
+    df1 = spark.range(2).select("id")
+    snapshot_write(table, df0)
+    snapshot_write(table, df1)
+    v = rollback(table, 0)
+    assert v == 2
+    assert _rows(snapshot_read(spark, table)) == _rows(df0)
+    # no data was copied: v2 points at v0's directory
+    dirs = [d for d in os.listdir(table) if d.startswith("d")]
+    assert sorted(dirs) == ["d00000", "d00001"]
+
+
+def test_vacuum_drops_only_unreferenced(spark, table):
+    for n in (4, 5, 6):
+        snapshot_write(table, spark.range(n).select("id"))
+    rollback(table, 0)  # v3 references d00000
+    dropped = vacuum(table, keep_last=2)  # keeps v2 (d00002) + v3 (d00000)
+    assert dropped == [1]  # d00000 is shared with v3; d00001 dropped
+    assert _rows(snapshot_read(spark, table)) == _rows(
+        spark.range(4).select("id")
+    )
+    assert _rows(snapshot_read(spark, table, version=2)) == _rows(
+        spark.range(6).select("id")
+    )
+    with pytest.raises(Exception):
+        snapshot_read(spark, table, version=1).collect()
+
+
+def test_reader_never_sees_missing_version(spark, table):
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table)
+    snapshot_write(table, spark.range(1).select("id"))
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=9)
