@@ -94,3 +94,71 @@ def test_reader_never_sees_missing_version(spark, table):
     snapshot_write(table, spark.range(1).select("id"))
     with pytest.raises(ValueError):
         snapshot_read(spark, table, version=9)
+
+
+def test_streaming_cdc_into_snapshot_table(spark, tmp_path):
+    """foreachBatch committing each micro-batch as a snapshot version:
+    the streaming-CDC-into-versioned-table shape. After draining, the
+    latest version equals applying all updates in one batch merge, and
+    every intermediate version is still readable (audit trail)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from exceldatatransform_py_spark.operators.merge import merge_update
+
+    table = str(tmp_path / "tbl")
+    updates_dir = str(tmp_path / "updates")
+    os.makedirs(updates_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_snap_")
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, x double"
+    )
+    snapshot_write(table, base)
+
+    u0 = spark.createDataFrame([(1, 11.0)], "k int, x double")
+    u1 = spark.createDataFrame([(3, 33.0), (4, 44.0)], "k int, x double")
+    u0.coalesce(1).write.parquet(os.path.join(updates_dir, "b0"))
+    u1.coalesce(1).write.parquet(os.path.join(updates_dir, "b1"))
+
+    schema = StructType.fromDDL("k int, x double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(updates_dir, "*"))
+    )
+
+    def _commit_batch(batch_df, _bid):
+        if not batch_df.isEmpty():
+            snapshot_merge_update(
+                batch_df.sparkSession, table, batch_df,
+                on=["k"], update_cols=["x"],
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one version per non-empty micro-batch on top of the base commit
+    assert latest_version(table) == 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    expected = {
+        r.k: r.x
+        for r in merge_update(
+            base, u0.union(u1), on=["k"], update_cols=["x"]
+        ).collect()
+    }
+    assert got == expected == {1: 11.0, 2: 20.0, 3: 33.0}
+    # audit trail: base and the first CDC commit are both readable
+    assert {r.k: r.x for r in snapshot_read(spark, table, 0).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0
+    }
+    v1 = {r.k: r.x for r in snapshot_read(spark, table, 1).collect()}
+    assert v1 in ({1: 11.0, 2: 20.0, 3: 30.0}, {1: 10.0, 2: 20.0, 3: 33.0})
