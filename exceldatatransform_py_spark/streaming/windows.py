@@ -202,6 +202,62 @@ def stateful_user_totals(
     )
 
 
+def stateful_user_totals_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same per-key running (count, exact-cents sum) as
+    ``stateful_user_totals``, on Spark 4's ``transformWithStateInPandas``
+    — the arbitrary-state successor to ``applyInPandasWithState``:
+    named, independently-evolvable state variables behind a
+    ``StatefulProcessorHandle`` instead of one opaque tuple, plus
+    timers/TTL when needed. Requires the RocksDB state store provider
+    (the API validates this at query start) AND ``google.protobuf``
+    (the JVM↔Python state-server protocol — absent in this container,
+    so the pytest is import-gated exactly like the openpyxl Excel
+    paths; the ``applyInPandasWithState`` twin above runs everywhere).
+    State remains sharded by the grouping key, so it scales exactly
+    like the keyed aggregation it implements. Batch twin:
+    ``groupBy(key).agg(count, sum)``.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, cents bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # exact integer cents (value has <=6 decimals in
+                # testdata); floats would drift across batch boundaries.
+                cents += int(round(float(pdf[value_col].sum()) * 1_000_000))
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 1_000_000],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{key_col} bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def purchase_attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,
