@@ -1455,3 +1455,121 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb, trained,
         id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mixture sampling — the multi-source corpus-mixing step: each
+# source gets its own deterministic keep-rate (itself derived from a
+# hash of the source name, so the mixture spec needs no side table),
+# docs are kept by a content-hash gate, and the query reports the
+# achieved mixture next to the target rate. Map-only until the tiny
+# per-source summary aggregate; fully reproducible at any parallelism
+# (same property as stratified_sample_customers).
+# ---------------------------------------------------------------------------
+
+_MIX_RATE = (
+    "20 + CAST(concat('0x', substr(md5(concat('13:', {src})), 1, 8)) AS BIGINT) % 60"
+)
+_MIX_GATE = (
+    "CAST(concat('0x', substr(md5(concat('14:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "dataset_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             {_MIX_RATE.format(src="source")} AS rate_pct,
+             CAST({_MIX_GATE} < {_MIX_RATE.format(src="source")} AS BIGINT) AS kept
+      FROM documents
+    )
+    SELECT source,
+           CAST(rate_pct AS BIGINT) AS rate_pct,
+           COUNT(*) AS n_total,
+           SUM(kept) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_frac
+    FROM t GROUP BY source, rate_pct
+    """,
+)
+def dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.lit(20) + md5_hash32(F.col("source"), seed=13) % 60
+    kept = (md5_hash32(F.col("doc_id"), seed=14) % 100 < rate).cast("bigint")
+    t = docs.select(
+        "source", rate.cast("bigint").alias("rate_pct"), kept.alias("kept")
+    )
+    return t.groupBy("source", "rate_pct").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("kept").alias("n_kept"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("achieved_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota capping — keep at most N highest-quality docs per
+# source (the anti-domination rule large corpora apply so one crawl
+# domain cannot swamp the mixture). One ranked window per source;
+# WindowGroupLimit pushes the cap below the sort at scale.
+# ---------------------------------------------------------------------------
+
+_QUOTA_PER_SOURCE = 5
+
+_QUALITY_EXPR_SQL = """
+           CAST(n_chars >= 50 AND n_chars <= 10000 AS DOUBLE) * 0.4
+           + CAST(CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 2.0
+                  AND CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 12.0
+                  AS DOUBLE) * 0.3
+           + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 3.0, 1.0) * 0.2
+           + least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 20.0, 1.0) * 0.1
+"""
+
+
+@register(
+    "domain_quota_cap",
+    oracle=rf"""
+    WITH qt AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST({_stop_hits(_QTOKS, "en")} AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality FROM qt
+    )
+    SELECT source, doc_id, quality,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+    FROM q
+    QUALIFY rk <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits(toks, "en").cast("long").alias("n_stop"),
+    )
+    q = staged.select(
+        "doc_id",
+        "source",
+        quality_score(
+            F.col("n_chars"), F.col("n_tokens"), F.col("n_punct"), F.col("n_stop")
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+        .select("source", "doc_id", "quality", "rk")
+    )
