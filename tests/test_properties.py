@@ -331,3 +331,83 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         r["v"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == _union_find_components(25, edges)
+
+
+def test_kmeans_assignment_is_argmin_and_matches_python(spark):
+    """Self-consistency of the distributed Lloyd loop, independent of
+    the DuckDB oracle: re-running the exact fixed-point algorithm in
+    plain Python on the collected vectors must give the same final
+    assignment, and every point's cluster must be the true argmin over
+    the final centroids (ties to the lowest centroid id)."""
+    from exceldatatransform_py_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    k, iters, scale = 8, 3, 1_000_000
+    emb = read_table(spark, sf, "embeddings")
+    got = {
+        r.vec_id: (r.cluster_id, r.sqdist)
+        for r in kmeans_assign(
+            emb, id_col="vec_id", vec_col="embedding", k=k, iters=iters,
+            scale=scale,
+        ).collect()
+    }
+    cents = {
+        r.cid: r.cvec
+        for r in kmeans_centroids(
+            emb, id_col="vec_id", vec_col="embedding", k=k, iters=iters,
+            scale=scale,
+        ).collect()
+    }
+
+    import math
+
+    pts = {
+        r.vec_id: [math.floor(float(x) * scale) for x in r.embedding]
+        for r in emb.collect()
+    }
+
+    # Plain-Python Lloyd on the quantized points.
+    c = {i: pts[i][:] for i in sorted(pts) if i < k}
+
+    def assign(cs):
+        out = {}
+        for v, xs in pts.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(xs, cs[cid])), cid)
+                for cid in cs
+            )
+            out[v] = (best[1], best[0])
+        return out
+
+    for it in range(iters):
+        a = assign(c)
+        if it == iters - 1:
+            break
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for v, (cid, _) in a.items():
+            counts[cid] = counts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(pts[v]))
+            for i, x in enumerate(pts[v]):
+                s[i] += x
+        c = {
+            cid: [math.floor(s[i] / counts[cid]) for i in range(len(s))]
+            for cid, s in sums.items()
+        }
+
+    assert got == a
+    # centroid de-quantization: cvec == quantized coords / scale
+    for cid, cvec in cents.items():
+        assert [round(x * scale) for x in cvec] == c[cid]
+    # argmin property against the de-quantized centroids
+    for v, (cid, d2) in got.items():
+        dists = {
+            cc: sum((x - y) * (x - y) for x, y in zip(pts[v], c[cc]))
+            for cc in c
+        }
+        best = min((dv, cc) for cc, dv in dists.items())
+        assert (best[1], best[0]) == (cid, d2)
