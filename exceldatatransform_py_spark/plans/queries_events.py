@@ -603,3 +603,100 @@ def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("first_purchase") >= F.col("first_view"))
         ).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (Spark 4 DataSketches surface) — the property that
+# matters at 100 TB is RE-AGGREGATABILITY: a plain countDistinct/
+# approx_count_distinct RESULT cannot be rolled up further, but theta/
+# HLL sketches union losslessly across partitions, days, or tables.
+# Oracle pattern as approx_distinct_parts: emit the exact value (hash-
+# matched) plus a Spark-computed within-tolerance boolean the DuckDB
+# twin asserts as literal TRUE — a wrong/absent estimate flips it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theta_sketch_repeat_customers",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1994-01-01'
+                 AND o_orderdate < DATE '1995-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1996-01-01')
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS exact_both,
+           TRUE AS within_tol
+    """,
+)
+def theta_sketch_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers active in BOTH 1994 and 1995, estimated by
+    intersecting two theta sketches built independently per year —
+    the set-operation capability HLL lacks. Each year's sketch is one
+    partial-aggregatable pass; the intersection and estimate are a
+    broadcast-scalar join of two 1-row frames."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    y94 = o.filter((F.col("od") >= "1994-01-01") & (F.col("od") < "1995-01-01"))
+    y95 = o.filter((F.col("od") >= "1995-01-01") & (F.col("od") < "1996-01-01"))
+    sk94 = y94.agg(F.theta_sketch_agg("o_custkey").alias("sk_a"))
+    sk95 = y95.agg(F.theta_sketch_agg("o_custkey").alias("sk_b"))
+    est = sk94.crossJoin(F.broadcast(sk95)).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_both")
+    )
+    exact = (
+        y94.select("o_custkey")
+        .distinct()
+        .join(y95.select("o_custkey").distinct(), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_both",
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            <= F.greatest(0.05 * F.col("exact_both"), F.lit(8.0))
+        ).alias("within_tol"),
+    )
+
+
+@register(
+    "hll_union_rollup_parts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_returnflag) AS n_groups,
+           COUNT(DISTINCT l_partkey) AS exact_global,
+           TRUE AS within_rsd
+    FROM lineitem
+    """,
+)
+def hll_union_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per returnflag as HLL SKETCHES, then rolled up to
+    the global distinct by unioning the sketches — the two-level
+    re-aggregation a stored approx_count_distinct NUMBER cannot do
+    (max/sum of per-group distincts is simply wrong under overlap).
+    This is how a 100 TB pipeline keeps per-partition distinct stats
+    that remain mergeable into any coarser rollup."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    rolled = per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_global"),
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.lit(1))
+        .agg(F.count(F.lit(1)).alias("exact_global"))
+    )
+    return exact.crossJoin(F.broadcast(rolled)).select(
+        "n_groups",
+        "exact_global",
+        (
+            F.abs(F.col("est_global") - F.col("exact_global"))
+            <= F.greatest(0.06 * F.col("exact_global"), F.lit(8.0))
+        ).alias("within_rsd"),
+    )
