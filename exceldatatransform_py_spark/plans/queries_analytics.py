@@ -716,3 +716,105 @@ def asof_latest_order_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_orderkey")).alias("fresh_orderkey"),
         F.when(fresh, staleness.cast("bigint")).alias("staleness_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches (the third DataSketches family next to theta/
+# HLL in queries_events): per-group streaming quantiles with a PROVEN
+# normalized-rank-error bound, mergeable across partitions/days — what
+# a 100 TB pipeline stores instead of raw values when it needs
+# percentiles later. Verified by the strongest checkable property: the
+# exact RANK of each estimated quantile must sit within ±5% of the
+# target rank (KLL's k=200 default guarantees ~1.65%); the boolean is
+# oracle-asserted TRUE, the exact quantiles hash-match as values.
+# ---------------------------------------------------------------------------
+
+_KLL_RANK_TOL = 0.05
+
+
+@register(
+    "kll_quantiles_by_priority",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                    THEN o_totalprice END) AS exact_p50,
+           MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                    THEN o_totalprice END) AS exact_p90,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    sk = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    est = sk.select(
+        "o_orderpriority",
+        "n",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("q90"),
+    )
+    # exact rank of each estimate: one more pass over the group
+    ranks = (
+        o.join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("q50")).cast("long")).alias("r50"),
+            F.sum((F.col("o_totalprice") <= F.col("q90")).cast("long")).alias("r90"),
+        )
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    exact = (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n_") - 1) * 0.5).cast("bigint") + 1,
+                    F.col("o_totalprice"),
+                )
+            ).alias("exact_p50"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n_") - 1) * 0.9).cast("bigint") + 1,
+                    F.col("o_totalprice"),
+                )
+            ).alias("exact_p90"),
+        )
+    )
+    tol = F.lit(_KLL_RANK_TOL)
+    return (
+        exact.join(ranks, "o_orderpriority")
+        .join(est.select("o_orderpriority", "n"), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_p50",
+            "exact_p90",
+            (
+                F.abs(F.col("r50").cast("double") / F.col("n") - 0.5) <= tol
+            ).alias("p50_rank_ok"),
+            (
+                F.abs(F.col("r90").cast("double") / F.col("n") - 0.9) <= tol
+            ).alias("p90_rank_ok"),
+        )
+    )
