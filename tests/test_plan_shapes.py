@@ -362,3 +362,40 @@ def test_runtime_bloom_filter_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_never_shuffles_points(spark):
+    """Lloyd scoring must be map-only: centroids arrive as ONE
+    broadcast row per iteration (BroadcastNestedLoopJoin of a 1-row
+    side), and the only exchanges are the k×dim centroid-update
+    aggregates — the 2000-point (at scale: billion-point) side is
+    never hash-partitioned."""
+    plan = plan_of(spark, "kmeans_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan
+    # no exchange may partition on the point id (that would be a
+    # corpus shuffle); update aggregates exchange on (cid, i) only.
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_sketch_queries_partial_aggregate(spark):
+    """Sketch aggregates must combine map-side (partial+final) — the
+    property that makes them mergeable at 100 TB — and the 1-row
+    estimate frames must broadcast, never shuffle."""
+    for q in ("theta_sketch_repeat_customers", "hll_union_rollup_parts"):
+        plan = plan_of(spark, q)
+        assert plan.count("ObjectHashAggregate") >= 2, q
+        assert "BroadcastNestedLoopJoin" in plan, q
+
+
+def test_domain_quota_cap_pushes_group_limit(spark):
+    """The per-source top-N must run as WindowGroupLimit (partitions
+    drop non-qualifying rows before the full window buffers)."""
+    plan = plan_of(spark, "domain_quota_cap")
+    assert "WindowGroupLimit" in plan
+
+
+def test_mixture_sample_is_map_side_until_summary(spark):
+    """The keep/drop decision is a pure map expression; the only
+    exchange is the per-source summary aggregate."""
+    plan = plan_of(spark, "dataset_mixture_sample")
+    assert n_exchanges(plan) <= 1
