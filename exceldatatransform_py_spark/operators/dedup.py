@@ -347,11 +347,15 @@ def connected_components(
     # already-partitioned edges instead of a join+groupBy+checkpoint
     # round). Dense near-dup clusters then typically converge in ONE
     # loop iteration plus the no-change confirmation.
+    # Deliberately NOT checkpointed: the seed is one cheap groupBy
+    # over the materialized edges, and only round 1 reads it (twice —
+    # that double evaluation is cheaper than an eager materialization
+    # job; later rounds read the checkpointed round outputs).
     labels = (
         sym.groupBy(F.col("s").alias("v"))
         .agg(F.min("d").alias("__nmin"))
         .select("v", F.least(F.col("v"), F.col("__nmin")).alias("lbl"))
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         # (1) propagation — keyed on s, the edge partitioning key.
         neigh = (
