@@ -289,6 +289,81 @@ def write_range_clustered(
     )
 
 
+#: bits per dimension of the z-value; 2 dims × 12 bits = 24-bit keys.
+_Z_BITS = 12
+
+
+def zorder_value(a: Column, b: Column) -> Column:
+    """Interleave the bits of two ``_Z_BITS``-bit bucket ids into one
+    Morton (Z-order) key: bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1. Pure integer expression — map-side, codegen'd."""
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i).cast("bigint")
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1).cast("bigint")
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """TWO-dimension clustered sink: rows are ordered by the Morton
+    interleave of both columns' bucket ids, so parquet min/max stats
+    prune files on a predicate over EITHER column — the property the
+    1-D ``write_range_clustered`` only gives its leading column
+    (a range on the second sort column overlaps every file). This is
+    Z-ordering as Delta's OPTIMIZE ZORDER BY computes it.
+
+    Bucketing normalizes each column into ``2^_Z_BITS`` equal-width
+    buckets between its min and max; the extremes come from one tiny
+    aggregate joined back as a broadcast scalar — no driver collect,
+    no sampling pass. (Equal-width is the skew trade-off: heavily
+    skewed columns want quantile buckets, which is one
+    ``approxQuantile`` swap away.) The z-keyed range exchange is the
+    same single write-time shuffle the 1-D writer pays; a range on one
+    dimension then touches ~sqrt(files) files instead of all of them.
+    """
+    stats = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    n_buckets = float(2**_Z_BITS)
+
+    def bucket(c: str, lo: str, hi: str) -> Column:
+        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        frac = (F.col(c).cast("double") - F.col(lo).cast("double")) / F.greatest(
+            span, F.lit(1e-12)
+        )
+        b = F.floor(frac * n_buckets).cast("bigint")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(2**_Z_BITS - 1))
+
+    zed = df.join(F.broadcast(stats)).withColumn(
+        "__z",
+        zorder_value(
+            bucket(col_a, "__amin", "__amax"), bucket(col_b, "__bmin", "__bmax")
+        ),
+    )
+    (
+        zed.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

@@ -344,3 +344,71 @@ def test_excel_update_in_place_touches_only_matches(spark, tmpdir_):
     assert rows[0] == [datetime.datetime(2025, 1, 6), "A; X", 7.0]
     assert rows[1] == [datetime.datetime(2025, 1, 7), "KEEP", 2.0]
     assert len(rows) == 2  # never inserts
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmpdir_):
+    """The Morton layout must make parquet min/max stats selective on
+    BOTH columns: a narrow range on either dimension may overlap only
+    a strict subset of files, while the 1-D range-clustered layout is
+    only selective on its leading column (the trailing column's value
+    range spans every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.sources.writers import (
+        write_range_clustered,
+        write_zordered,
+    )
+
+    li = read_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    n_files = 16
+    zdir = os.path.join(str(tmpdir_), "zorder")
+    ldir = os.path.join(str(tmpdir_), "linear")
+    write_zordered(li, zdir, "l_partkey", "l_suppkey", num_files=n_files)
+    write_range_clustered(
+        li, ldir, ["l_partkey", "l_suppkey"], num_files=n_files
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for (mn, mx) in ranges if mx >= lo and mn <= hi)
+
+    # a narrow mid-range slice on each dimension (~1/8 of the domain)
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pa_lo = stats[0] + (stats[1] - stats[0]) * 7 // 16
+    pa_hi = stats[0] + (stats[1] - stats[0]) * 9 // 16
+    sk_lo = stats[2] + (stats[3] - stats[2]) * 7 // 16
+    sk_hi = stats[2] + (stats[3] - stats[2]) * 9 // 16
+
+    z_files = len(glob.glob(os.path.join(zdir, "*.parquet")))
+    z_a = overlapping(file_ranges(zdir, "l_partkey"), pa_lo, pa_hi)
+    z_b = overlapping(file_ranges(zdir, "l_suppkey"), sk_lo, sk_hi)
+    lin_b = overlapping(file_ranges(ldir, "l_suppkey"), sk_lo, sk_hi)
+    lin_files = len(glob.glob(os.path.join(ldir, "*.parquet")))
+
+    # both z dimensions prune to a strict subset
+    assert z_a < z_files, (z_a, z_files)
+    assert z_b < z_files, (z_b, z_files)
+    # the linear layout cannot prune its trailing column
+    assert lin_b == lin_files, (lin_b, lin_files)
+    # lossless
+    assert spark.read.parquet(zdir).count() == li.count()
