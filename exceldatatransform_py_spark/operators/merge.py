@@ -24,7 +24,7 @@ from __future__ import annotations
 from functools import reduce
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -62,3 +62,58 @@ def merge_update(
         for c in target.columns
     ]
     return joined.select(*out)
+
+
+def incremental_agg_merge(
+    old_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: Sequence[str],
+    add_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine a stored aggregate
+    table with the aggregate of a new delta partition WITHOUT
+    recomputing history — ``agg(full) == merge(agg(old), agg(delta))``
+    for any algebraic aggregate.
+
+    ``add_cols`` combine by addition (counts, sums, sum-of-squares —
+    anything with a group homomorphism onto +); ``min_cols``/
+    ``max_cols`` by least/greatest. Averages and variances are
+    DERIVED from stored sums downstream, never merged directly (the
+    mean of means is wrong under unequal group sizes — store the
+    power sums, divide at read time; same rule the moment-statistics
+    queries follow).
+
+    Plan shape: full-outer join on the aggregate keys — both sides are
+    AGGREGATE-sized (one row per group), so at 100 TB this moves the
+    rollup, never the fact; the nightly delta pass is the only scan of
+    new data. This is the batch analogue of the streaming
+    foreachBatch merge sink, and commits well through
+    ``sources.snapshots`` for an auditable aggregate history.
+    """
+    o = old_agg.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in [*add_cols, *min_cols, *max_cols]],
+    )
+    d = delta_agg.select(
+        *keys,
+        *[F.col(c).alias(f"__d_{c}") for c in [*add_cols, *min_cols, *max_cols]],
+    )
+
+    def comb(c: str, how: str) -> Column:
+        a, b = F.col(f"__o_{c}"), F.col(f"__d_{c}")
+        if how == "add":
+            merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif how == "min":
+            merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
+        else:
+            merged = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+        return merged.alias(c)
+
+    return o.join(d, list(keys), "full_outer").select(
+        *keys,
+        *[comb(c, "add") for c in add_cols],
+        *[comb(c, "min") for c in min_cols],
+        *[comb(c, "max") for c in max_cols],
+    )

@@ -412,3 +412,62 @@ def test_zorder_prunes_on_both_dimensions(spark, tmpdir_):
     assert lin_b == lin_files, (lin_b, lin_files)
     # lossless
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """agg(full) == merge(agg(old), agg(delta)) for algebraic
+    aggregates, including groups present on only one side (the
+    full-outer null paths)."""
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.operators.merge import (
+        incremental_agg_merge,
+    )
+
+    li = read_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    )
+    old_part = li.filter(F.col("l_shipdate") < "1996-01-01")
+    delta = li.filter(F.col("l_shipdate") >= "1996-01-01")
+
+    def agg(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+
+    merged = incremental_agg_merge(
+        agg(old_part),
+        agg(delta),
+        keys=["l_returnflag", "l_linestatus"],
+        add_cols=["n", "sum_qty"],
+        min_cols=["first_ship"],
+        max_cols=["last_ship"],
+    )
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.sum_qty, r.first_ship, r.last_ship)
+        for r in merged.collect()
+    }
+    want = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.sum_qty, r.first_ship, r.last_ship)
+        for r in agg(li).collect()
+    }
+    assert got == want
+    # one-sided groups must survive the full outer (delta-only group)
+    only_delta = agg(delta.limit(0))  # empty old side
+    m2 = incremental_agg_merge(
+        only_delta, agg(delta), keys=["l_returnflag", "l_linestatus"],
+        add_cols=["n", "sum_qty"], min_cols=["first_ship"],
+        max_cols=["last_ship"],
+    )
+    got2 = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.sum_qty, r.first_ship, r.last_ship)
+        for r in m2.collect()
+    }
+    want2 = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.sum_qty, r.first_ship, r.last_ship)
+        for r in agg(delta).collect()
+    }
+    assert got2 == want2
