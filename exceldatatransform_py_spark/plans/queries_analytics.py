@@ -818,3 +818,108 @@ def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_rank_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-occurrence graph — the second iterative
+# graph algorithm next to connected components, and like k-means it is
+# fully value-checkable: ranks live as fixed-point BIGINTs (scale 1e9)
+# and every per-edge contribution is an integer floor-division, so the
+# per-node sums are exact integer arithmetic (associative — partition
+# order cannot change them) and the DuckDB twin simply unrolls the
+# power iterations as CTEs. Standard damping 0.85 expressed as
+# (r * 85) div (100 * outdeg); teleport term floor(0.15 * 1e9).
+# At 100 TB: each iteration is one co-partitioned join + aggregate
+# over the edge list, exactly the connected-components round shape.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+_PR_TELEPORT = 150_000_000  # floor(0.15 * scale)
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    parts = [f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM prs WHERE n >= {_TRI_SUPPORT}),
+    sym AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT s, COUNT(*) AS dg FROM sym GROUP BY s),
+    r0 AS (SELECT s AS v, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    c{t} AS (
+      SELECT sym.d AS v, SUM((r.r * 85) // (100 * deg.dg)) AS contrib
+      FROM sym JOIN r{t - 1} r ON sym.s = r.v JOIN deg ON sym.s = deg.s
+      GROUP BY sym.d
+    ),
+    r{t} AS (
+      SELECT r{t - 1}.v,
+             CAST({_PR_TELEPORT} + COALESCE(c{t}.contrib, 0) AS BIGINT) AS r
+      FROM r{t - 1} LEFT JOIN c{t} ON r{t - 1}.v = c{t}.v
+    )""")
+    parts.append(f"""
+    SELECT v AS part_key, r AS rank_scaled,
+           CAST(r AS DOUBLE) / {_PR_SCALE}.0 AS pagerank
+    FROM r{iters}""")
+    return "".join(parts)
+
+
+@register("pagerank_cooccurrence", oracle=_pagerank_oracle())
+def pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).union(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    ).persist()
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).persist()
+    ranks = deg.select(
+        F.col("s").alias("v"), F.lit(_PR_SCALE).cast("bigint").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym.s == ranks.v)
+            .join(deg, "s")
+            .groupBy(F.col("d").alias("cv"))
+            .agg(
+                F.sum(
+                    F.expr("(r * 85) div (100 * dg)")
+                ).alias("contrib")
+            )
+        )
+        # checkpoint per round: ranks feeds BOTH sides of the next
+        # round (contribution join + teleport left join), so a lazy
+        # chain doubles the subtree per iteration (CC learned the
+        # same lesson); the checkpointed frame is O(nodes) tiny.
+        ranks = (
+            ranks.join(contrib, ranks.v == contrib.cv, "left")
+            .select(
+                "v",
+                (
+                    F.lit(_PR_TELEPORT) + F.coalesce("contrib", F.lit(0))
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("part_key"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    )
