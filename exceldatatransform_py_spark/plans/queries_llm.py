@@ -1573,3 +1573,106 @@ def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
         .select("source", "doc_id", "quality", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# The full curation pipeline in ONE lazy plan: quality gate → exact
+# dedup (keep lowest doc id per normalized text) → per-source quota
+# (top-N quality) → mixture sampling → per-language corpus summary.
+# Every stage is an already-scored operator; the composition is what a
+# real ingest job submits as a single query, and Catalyst plans it
+# end-to-end (one scan, stages pipelined). Summary emits only
+# order-independent values (counts, exact BIGINT token sums, min/max
+# quality) — no double summation, so the hash is stable at any
+# parallelism.
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_QUALITY = 0.5
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=rf"""
+    WITH qt AS (
+      SELECT doc_id, source, lang, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST({_stop_hits(_QTOKS, "en")} AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, lang, text, n_tokens,
+             {_QUALITY_EXPR_SQL} AS quality
+      FROM qt
+    ),
+    gated AS (SELECT * FROM q WHERE quality >= {_CURATE_MIN_QUALITY}),
+    ded AS (
+      SELECT MIN(doc_id) AS keep_id
+      FROM gated
+      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ),
+    kept AS (SELECT g.* FROM gated g JOIN ded ON g.doc_id = ded.keep_id),
+    quota AS (
+      SELECT * FROM (
+        SELECT kept.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM kept
+      ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    ),
+    sampled AS (
+      SELECT * FROM quota
+      WHERE {_MIX_GATE} < {_MIX_RATE.format(src="source")}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality
+    FROM sampled GROUP BY lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits(toks, "en").cast("long").alias("n_stop"),
+    )
+    q = staged.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "n_tokens",
+        quality_score(
+            F.col("n_chars"), F.col("n_tokens"), F.col("n_punct"), F.col("n_stop")
+        ).alias("quality"),
+    )
+    gated = q.filter(F.col("quality") >= _CURATE_MIN_QUALITY)
+    ded = gated.groupBy(F.md5(normalize_text("text")).alias("__d")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = gated.join(ded, gated.doc_id == ded.keep_id, "left_semi")
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    quota = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+    )
+    rate = F.lit(20) + md5_hash32(F.col("source"), seed=13) % 60
+    sampled = quota.filter(md5_hash32(F.col("doc_id"), seed=14) % 100 < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
