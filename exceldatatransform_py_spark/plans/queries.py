@@ -526,6 +526,7 @@ from exceldatatransform_py_spark.plans import queries_analytics  # noqa: E402,F4
 from exceldatatransform_py_spark.plans import queries_events  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_extra  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_llm  # noqa: E402,F401
+from exceldatatransform_py_spark.plans import queries_quality  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_sql2  # noqa: E402,F401
 from exceldatatransform_py_spark.plans import queries_tpch3  # noqa: E402,F401
 

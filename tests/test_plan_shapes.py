@@ -399,3 +399,40 @@ def test_mixture_sample_is_map_side_until_summary(spark):
     exchange is the per-source summary aggregate."""
     plan = plan_of(spark, "dataset_mixture_sample")
     assert n_exchanges(plan) <= 1
+
+
+def test_profile_scans_read_single_columns(spark):
+    # column_profile_orders promises one column-pruned scan per
+    # profiled column: every parquet ReadSchema in the plan must carry
+    # exactly one field (no accidental full-width scans).
+    plan = plan_of(spark, "column_profile_orders")
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema")[1:]]
+    assert schemas, "no scans found"
+    for line in schemas:
+        assert "," not in line, f"multi-column profile scan: {line}"
+
+
+def test_constraint_audit_fk_is_broadcast_anti(spark):
+    # the FK expectation must stay a broadcast anti-join — shuffling
+    # the fact table to validate referential integrity is the 100 TB
+    # failure mode this pin prevents.
+    plan = plan_of(spark, "constraint_audit_orders")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_is_single_keyed_join(spark):
+    # one full-outer join on the snapshot key and nothing else — the
+    # CDC diff must not multiply joins per compared column.
+    plan = plan_of(spark, "snapshot_diff_orders")
+    assert plan.count("Join") >= 1
+    assert "FullOuter" in plan
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) == 1
+
+
+def test_rolling_zscore_single_window_shuffle(spark):
+    # trailing-window stats = exactly one exchange (hash on user_id);
+    # the integer z-score filter adds no further shuffles.
+    plan = plan_of(spark, "rolling_zscore_events")
+    assert n_exchanges(plan) <= 1
+    assert "Window" in plan
