@@ -719,3 +719,90 @@ def sql_api_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counting via mergeable roaring-style bitmaps
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg —
+# Spark 3.5+). This is the scale answer when EXACT distincts must be
+# re-aggregable (per-partition partials merged with bitmap_or_agg,
+# e.g. daily partials → monthly exact rollup) where HLL sketches give
+# only estimates and COUNT(DISTINCT) can't merge. Two-level shape: one
+# partial-aggregatable groupBy builds per-(group, bucket) bitmaps, a
+# second sums their popcounts — no Expand, no row duplication. The
+# '*' row merges the per-type bitmaps with bitmap_or_agg BEFORE
+# counting: re-aggregating already-aggregated bitmaps is the whole
+# point, and its count hash-matches the flat COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '*' AS event_type, COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    buckets = (
+        events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    merged = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .select(F.lit("*").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT shredding (Spark 4 semi-structured type): parse the events
+# JSON props column once into VARIANT, extract typed fields with
+# variant_get, and aggregate. Against plain from_json this keeps
+# open-schema data queryable without a declared struct — the modern
+# lakehouse ingestion shape for logs. try_variant_get on an absent
+# path must yield NULL (not error): the n_missing column pins that.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+           MIN(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+           MAX(CAST(props ->> 'k' AS BIGINT)) AS max_k,
+           COUNT(*) FILTER (WHERE props ->> 'absent' IS NULL) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.expr("parse_json(props)").alias("vp")
+    ).select(
+        "event_type",
+        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(vp, '$.absent', 'string')").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
