@@ -923,3 +923,61 @@ def pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build from a change log: treat each order as a
+# change event for (customer, priority) and emit the versioned
+# dimension rows a warehouse keeps — effective_from / effective_to
+# (closed by the NEXT change, NULL while current) and is_current.
+# Differs from gaps-and-islands (priority_runs_per_customer): the
+# canonical SCD2 construction is lag-filter (keep only rows where the
+# attribute CHANGED) then a second window to close intervals — two
+# same-key windows, one shuffle, the second sort reused.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_customer_priority",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_p
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, od, o_orderkey FROM seq
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           od AS effective_from,
+           LEAD(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+             - 1 AS effective_to,
+           LEAD(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+             IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderkey",
+    ).withColumn("prev_p", F.lag("o_orderpriority").over(w))
+    changes = seq.filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority"))
+    )
+    nxt = F.lead("od").over(w)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("od").alias("effective_from"),
+        F.date_sub(nxt, 1).alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )

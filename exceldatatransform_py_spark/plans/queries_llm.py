@@ -1676,3 +1676,65 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token rarity score: a corpus-statistics curation signal — how common
+# are a document's tokens corpus-wide? Low mean document frequency ⇒
+# OOV-/noise-heavy doc (filter candidate); `n_rare` counts tokens seen
+# in ≤2 documents. All counts are exact BIGINTs (one double division
+# at the end), so the DuckDB twin matches bit-for-bit.
+#
+# Scale shape: explode → two-level per-token doc-frequency aggregate →
+# one token-keyed join back → per-doc re-aggregate. The df join is the
+# skew hotspot at 100 TB (stopwords hit every doc): AQE skew-join
+# splits the hot token partitions, and the join payload is one BIGINT
+# per row — never the document text.
+# ---------------------------------------------------------------------------
+
+_RTOKS = _TOKS.format(col="lower(text)")
+
+
+@register(
+    "token_rarity_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_RTOKS}) AS tok FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM (
+        SELECT DISTINCT doc_id, tok FROM toks
+      ) GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(d.df) AS sum_df,
+           CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df,
+           COUNT(*) FILTER (WHERE d.df <= 2) AS n_rare
+    FROM toks t JOIN dfreq d USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    # document frequency, Expand-free: distinct (doc, tok) pairs via
+    # groupBy, then a plain count per token.
+    dfreq = (
+        toks.groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
