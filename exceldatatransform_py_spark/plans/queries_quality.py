@@ -326,3 +326,84 @@ def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("value_cents"),
         F.col("n").alias("n_baseline"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics per group via grouped-map applyInPandas — the
+# Arrow-batched UDAF surface in a *scored* query. Median and MAD
+# (median absolute deviation) are rank statistics a hash aggregate
+# can't stream, so each group's values land in one numpy array
+# (Arrow transfer, C sort). To keep the DuckDB twin bit-identical the
+# statistics stay in integers: values quantized to cents, the median
+# reported as the SUM of the two middle values (×2 for odd n), MAD as
+# the same construction over |2·x − med2| — no float interpolation,
+# no cross-engine rounding. Scale: one shuffle on the group key;
+# per-task memory is the largest group (5 priority groups here; for
+# high-cardinality keys this shape is exactly right, for a handful of
+# mega-groups prefer the built-in approx_percentile path —
+# `quantile_profile_by_priority` — which this query deliberately
+# complements, not replaces).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_stats_by_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS p,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    g AS (SELECT p, COUNT(*) AS n, list_sort(list(x)) AS l FROM c GROUP BY p),
+    m AS (
+      SELECT p, n,
+             CASE WHEN n % 2 = 1 THEN 2 * l[(n + 1) // 2]
+                  ELSE l[n // 2] + l[n // 2 + 1] END AS med2,
+             l
+      FROM g
+    ),
+    d AS (
+      SELECT p, n, med2,
+             list_sort(list_transform(l, v -> abs(2 * v - med2))) AS ld
+      FROM m
+    )
+    SELECT p AS priority, n AS n_orders, med2 AS median_x2_cents,
+           CASE WHEN n % 2 = 1 THEN 2 * ld[(n + 1) // 2]
+                ELSE ld[n // 2] + ld[n // 2 + 1] END AS mad_x4_cents
+    FROM d
+    """,
+)
+def robust_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def two_middle_sum(sorted_vals: "np.ndarray") -> int:
+        n = len(sorted_vals)
+        if n % 2 == 1:
+            return int(2 * sorted_vals[(n - 1) // 2])
+        return int(sorted_vals[n // 2 - 1] + sorted_vals[n // 2])
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = np.sort(pdf["x"].to_numpy())
+        med2 = two_middle_sum(x)
+        dev = np.sort(np.abs(2 * x - med2))
+        return pd.DataFrame(
+            {
+                "priority": [pdf["p"].iloc[0]],
+                "n_orders": [len(x)],
+                "median_x2_cents": [med2],
+                "mad_x4_cents": [two_middle_sum(dev)],
+            }
+        )
+
+    cents = orders.select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    return cents.groupBy("p").applyInPandas(
+        stats,
+        schema="priority string, n_orders long, median_x2_cents long, "
+        "mad_x4_cents long",
+    )
