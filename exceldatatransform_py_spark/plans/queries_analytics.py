@@ -981,3 +981,91 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(nxt, 1).alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean: the outlier-robust aggregate — clamp each group's
+# values at the exact p05/p95 order statistics, then take the mean of
+# the clamped values. Everything stays in integers until one final
+# division: values quantize to cents, the percentile INDEX is computed
+# with integer arithmetic (ceil(n·p) as (n·5+99) div 100 — no float
+# index math to drift cross-engine), and the threshold is the exact
+# idx-th smallest value. Shape: one ranked window per group (same
+# single shuffle as the quantile profile), thresholds collapse to one
+# row per group and broadcast back onto the fact — at 100 TB the
+# second pass is a map-side clamp + hash aggregate, and per-key window
+# state is bounded by the hottest group.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_mean_by_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS p,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    r AS (
+      SELECT p, x,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY p) AS n
+      FROM c
+    ),
+    th AS (
+      SELECT p,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN x END) AS lo,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN x END) AS hi
+      FROM r GROUP BY p
+    )
+    SELECT c.p AS priority,
+           COUNT(*) AS n_orders,
+           SUM(LEAST(GREATEST(c.x, th.lo), th.hi)) AS sum_wins_cents,
+           CAST(SUM(LEAST(GREATEST(c.x, th.lo), th.hi)) AS DOUBLE) / COUNT(*)
+             AS mean_wins_cents,
+           COUNT(*) FILTER (WHERE c.x < th.lo) AS n_clamped_low,
+           COUNT(*) FILTER (WHERE c.x > th.hi) AS n_clamped_high
+    FROM c JOIN th USING (p)
+    GROUP BY c.p
+    """,
+)
+def winsorized_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    wp = Window.partitionBy("p")
+    r = c.select(
+        "p",
+        "x",
+        F.row_number().over(wp.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    th = r.groupBy("p").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("x"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("x"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(th), "p")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(clamped).alias("sum_wins_cents"),
+            (F.sum(clamped).cast("double") / F.count(F.lit(1))).alias(
+                "mean_wins_cents"
+            ),
+            F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clamped_low"
+            ),
+            F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clamped_high"
+            ),
+        )
+        .withColumnRenamed("p", "priority")
+    )
