@@ -700,3 +700,57 @@ def hll_union_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(0.06 * F.col("exact_global"), F.lit(8.0))
         ).alias("within_rsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over the event stream: per (prev_type →
+# type) pair, the transition count and probability conditioned on the
+# from-state. One lag window on the user's timeline (same single
+# shuffle as every sequence query here) plus two hash aggregates; the
+# per-from-state total arrives via a broadcast join of an O(types)
+# aggregate, never a second pass over events. The probability is ONE
+# double division of exact BIGINTs, so it is engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (
+      SELECT prev_type, SUM(n_transitions) AS n_from FROM cnt
+      GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.event_type, c.n_transitions,
+           CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
+    FROM cnt c JOIN tot t USING (prev_type)
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_from"))
+    return cnt.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias(
+            "p_transition"
+        ),
+    )

@@ -1738,3 +1738,76 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diagnostics: vocabulary overlap between sources. For every
+# source pair, the Jaccard similarity of their token vocabularies —
+# the "are these two crawls the same corpus?" signal that decides
+# whether sources should share a dedup pass. Shape: distinct
+# (source, token) via one groupBy, per-source vocab sizes, then the
+# pair intersection counted through a self-equi-join ON TOKEN (the
+# inverted-index trick again — never |V_a| × |V_b|). Source count is
+# tiny, token rows are the data — at 100 TB the join is bucketable on
+# the token hash and the output is O(sources²).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=rf"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({_RTOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           sa.n AS n_vocab_a, sb.n AS n_vocab_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    v = (
+        docs.select(
+            "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .select("source", "tok")
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_vocab_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_vocab_b")))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_vocab_a",
+            "n_vocab_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_vocab_a") + F.col("n_vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

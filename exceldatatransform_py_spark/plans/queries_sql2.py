@@ -806,3 +806,66 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType function surface: build a priority→count map per customer
+# (map_from_entries over sorted struct entries — deterministic key
+# order) and consume it with map_keys / map_values / element_at /
+# map_filter / aggregate. The emitted columns are plain scalars, so
+# the DuckDB twin states the same semantics as conditional aggregates
+# — the oracle checks MEANING, the Spark plan exercises the map
+# operators. Map construction is one partial-aggregatable groupBy
+# (bounded by the 5-value priority domain per customer); everything
+# downstream is map-side expression work.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_function_gallery",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           MIN(o_orderpriority) AS min_priority,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+             AS urgent_orders,
+           COUNT(*) AS total_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+                  ('1-URGENT', '2-HIGH')) AS DOUBLE) / COUNT(*)
+             AS high_share
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def map_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy("custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("p", "cnt")))
+        ).alias("pm")
+    )
+    total = F.aggregate(
+        F.map_values(F.col("pm")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    high = F.aggregate(
+        F.map_values(
+            F.map_filter(
+                F.col("pm"), lambda k, v: k.isin("1-URGENT", "2-HIGH")
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return m.select(
+        "custkey",
+        F.size(F.map_keys(F.col("pm"))).cast("long").alias("n_priorities"),
+        F.array_min(F.map_keys(F.col("pm"))).alias("min_priority"),
+        F.coalesce(F.element_at(F.col("pm"), F.lit("1-URGENT")), F.lit(0))
+        .cast("long")
+        .alias("urgent_orders"),
+        total.alias("total_orders"),
+        (high.cast("double") / total).alias("high_share"),
+    )
