@@ -471,3 +471,31 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
         for r in agg(delta).collect()
     }
     assert got2 == want2
+
+
+def test_merge_schema_reads_evolved_table(spark, tmpdir_):
+    """Schema evolution on read: a table whose later files gained a
+    column must union-read with mergeSchema — old files surface NULL
+    for the new column, new files carry it. The engine's multi-sheet
+    union (S2) relies on the same allowMissingColumns semantics; this
+    pins the parquet-source flavor a long-lived 100 TB table needs
+    when columns are added mid-lifetime."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = os.path.join(tmpdir_, "evolved")
+    v1 = spark.range(0, 10).select(F.col("id"), F.lit("a").alias("tag"))
+    v1.write.mode("append").parquet(d)
+    v2 = spark.range(10, 15).select(
+        F.col("id"), F.lit("b").alias("tag"), (F.col("id") * 2).alias("extra")
+    )
+    v2.write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "tag", "extra"}
+    assert merged.count() == 15
+    # old files: extra IS NULL; new files carry the value.
+    assert merged.filter(F.col("extra").isNull()).count() == 10
+    got = {r["id"]: r["extra"] for r in merged.filter(F.col("extra").isNotNull()).collect()}
+    assert got == {i: 2 * i for i in range(10, 15)}
