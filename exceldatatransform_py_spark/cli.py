@@ -164,6 +164,28 @@ def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> None:
     )
 
 
+def cmd_query(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Run any registered query against an sf_dir and deliver the
+    result — to stdout (default, ``--limit`` rows) or to a parquet/csv
+    sink. This is how a user of the engine runs the whole 130+-query
+    surface without writing code."""
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+
+    if args.name not in QUERIES:
+        names = "\n".join(sorted(QUERIES))
+        raise SystemExit(f"unknown query {args.name!r}; one of:\n{names}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.output:
+        fmt = "csv" if args.output.endswith(".csv") else "parquet"
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(args.output)
+        print(f"wrote {args.name} result to {args.output}", file=sys.stderr)
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="exceldatatransform_py_spark",
@@ -193,6 +215,14 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     e.add_argument("--mode", default="formatted",
                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    q = sub.add_parser("query",
+                       help="run a registered query and print or save "
+                            "the result")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default=None,
+                   help="parquet dir or .csv path; omit to print")
+    q.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"edt-{args.cmd}")
@@ -200,6 +230,7 @@ def main(argv: list[str] | None = None) -> None:
         "transform": cmd_transform,
         "update": cmd_update,
         "explain": cmd_explain,
+        "query": cmd_query,
     }[args.cmd](spark, args)
 
 

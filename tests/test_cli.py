@@ -138,3 +138,20 @@ def test_cli_transform_xlsx_format(spark, tmp_path, input_dir):
 
         back = read_excel_workbook(spark, out)
         assert sorted(back) == ["bianchi", "rossi"]
+
+
+def test_cli_query_writes_csv(spark, tmp_path):
+    """`query <name> --output x.csv` must run a registered query and
+    land a header-ed CSV a reference user can open — the no-code path
+    onto the whole query surface."""
+    out = os.path.join(str(tmp_path), "q1.csv")
+    main([
+        "query", "q1_pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+    ])
+    got = (
+        spark.read.option("header", "true").csv(out)
+    )
+    assert got.count() == 6
+    assert "sum_qty" in got.columns
