@@ -13,6 +13,7 @@ import datetime
 import math
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -411,3 +412,46 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         }
         best = min((dv, cc) for cc, dv in dists.items())
         assert (best[1], best[0]) == (cid, d2)
+
+
+# ---------------------------------------------------------------------------
+# Parallelism invariance: the engine's replay/determinism claim is
+# that results are a pure function of the data — not of partition
+# count, reducer order, or cluster size. Exercise the newest
+# fixed-point operators under deliberately mismatched shuffle
+# parallelism and require cell-exact equality. (The oracle suite pins
+# values at ONE parallelism; this pins that parallelism is irrelevant
+# — the property a 1000-executor rerun needs.)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "rolling_zscore_events",
+        "winsorized_mean_by_priority",
+        "bitmap_distinct_users",
+        "token_rarity_score",
+        "robust_stats_by_priority",
+        "snapshot_diff_orders",
+    ],
+)
+def test_result_invariant_to_shuffle_parallelism(spark, qname):
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+    from tests.oracle_utils import canon_rows
+
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        df = QUERIES[qname](spark, sf)
+        return canon_rows(list(df.columns), [tuple(r) for r in df.collect()])
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        high = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert low == high
