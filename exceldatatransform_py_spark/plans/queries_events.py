@@ -754,3 +754,48 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical time rollup — the OLAP cube-maintenance pattern: the
+# monthly aggregate is computed FROM the hourly partial table, never
+# from raw events, and must equal the direct computation (which is
+# what the DuckDB twin does). This is the algebraic-reaggregation
+# guarantee that lets a 100 TB pipeline keep only hourly partials and
+# serve every coarser grain from them: decimal sums stay DECIMAL
+# through both levels (associative, exact) and only the final SELECT
+# casts to double. Plan: two hash aggregates, the second over the
+# tiny partial table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_rollup_from_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def monthly_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s_part"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("month", F.col("hour")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_part").alias("n_events"),
+            F.sum("s_part").cast("double").alias("total_value"),
+        )
+    )
