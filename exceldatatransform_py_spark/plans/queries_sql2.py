@@ -869,3 +869,86 @@ def map_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_orders"),
         (high.cast("double") / total).alias("high_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal scalar surface: the calendar functions a ledger pipeline
+# leans on, restated with their exact DuckDB twins (the mappings are
+# the point — e.g. Spark's weekday() is 0=Monday while DuckDB's
+# isodow is 1=Monday; Spark add_months and DuckDB '+ INTERVAL'
+# both clamp to month end). Map-only, engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "datetime_function_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3_months,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+             AS days_to_eoy98
+    FROM orders
+    """,
+)
+def datetime_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders", fan_out=True)
+    od = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.quarter(od).alias("qtr"),
+        F.weekofyear(od).alias("iso_week"),
+        (F.weekday(od) + F.lit(1)).cast("int").alias("dow_iso"),
+        F.last_day(od).alias("month_end"),
+        F.add_months(od, 3).alias("plus_3_months"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).cast("bigint")
+        .alias("days_to_eoy98"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth: monthly revenue with a 12-row lag on the
+# month spine per priority — revenue exact (decimal sums), growth one
+# double division. One window shuffle over the tiny aggregate table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, revenue,
+           revenue / LAG(revenue, 12) OVER (PARTITION BY priority
+                                            ORDER BY month) - 1
+             AS yoy_growth
+    FROM m
+    """,
+)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    return m.select(
+        "priority",
+        "month",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue", 12).over(w) - 1).alias("yoy_growth"),
+    )
