@@ -799,3 +799,86 @@ def monthly_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_part").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis: the most common opening event sequences
+# (first 3 event types) across gap-30min sessions — the product-
+# analytics "top paths" report. Ordering inside a session must be
+# total and portable, so the path is built by sorting an array of
+# (ts, event_id, type) structs (array_sort compares fields in
+# declaration order; event_id breaks ts ties) — never by relying on
+# collect_list's arrival order, which is partitioning-dependent. The
+# top-20 is fully tie-broken (count desc, path asc) so both engines
+# select the same rows. Per-session arrays are bounded by session
+# length; the final rank is a tiny aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:3], '>'
+             ) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
