@@ -409,3 +409,42 @@ def test_stream_restart_resumes_from_checkpoint(spark, events_dir):
     finally:
         for d in (src, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_micro_batches_match_single_batch(spark, events_dir):
+    """Rate-limited incremental processing: maxFilesPerTrigger=1
+    forces the file source through one-file micro-batches; the final
+    appended sink must equal the all-at-once drain exactly (state and
+    commit log correctness across many small batches — the steady-
+    state shape of a production continuous job)."""
+    import os
+
+    batch = spark.read.parquet(events_dir)
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    sink = tempfile.mkdtemp(prefix="inc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="inc_ckpt_")
+    try:
+        # several input files so the trigger actually splits batches.
+        batch.repartition(5).write.mode("overwrite").parquet(src)
+        n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_files >= 5
+        q = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # availableNow + maxFilesPerTrigger drains in n_files batches.
+        out = spark.read.parquet(sink)
+        assert out.count() == batch.count()
+        assert out.select("event_id").distinct().count() == batch.count()
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
