@@ -499,3 +499,50 @@ def test_merge_schema_reads_evolved_table(spark, tmpdir_):
     assert merged.filter(F.col("extra").isNull()).count() == 10
     got = {r["id"]: r["extra"] for r in merged.filter(F.col("extra").isNotNull()).collect()}
     assert got == {i: 2 * i for i in range(10, 15)}
+
+
+def test_incremental_join_agg_maintenance(spark):
+    """Materialized-view maintenance for a star-join aggregate:
+    revenue per (nation, month) over orders ⋈ customer ⋈ nation,
+    maintained under an orders delta as
+    merge(agg(old ⋈ dims), agg(delta ⋈ dims)) — must equal the full
+    recompute. The fact is scanned once per delta; dims broadcast;
+    the merge moves only aggregate-sized rows (the 100 TB nightly
+    pattern for keeping a rollup current)."""
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.operators.merge import incremental_agg_merge
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+
+    def view(o):
+        return (
+            o.join(customer, o.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    cut = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    merged = incremental_agg_merge(
+        view(orders.filter(cut)),
+        view(orders.filter(~cut)),
+        keys=["nation", "month"],
+        add_cols=["n_orders", "rev"],
+    )
+    full = view(orders)
+
+    canon = lambda df: sorted(
+        (r["nation"], r["month"], r["n_orders"], str(r["rev"])) for r in df.collect()
+    )
+    assert canon(merged) == canon(full)
