@@ -37,6 +37,51 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 
+# Frozen comparison cohort: the 114 queries registered as of mid-round-2
+# (commit 06af0af). `cohort_total` sums ONLY these, so round-over-round
+# bench comparisons aren't distorted by registry growth (the full total
+# keeps rising as queries are added; the cohort is apples-to-apples).
+FROZEN_COHORT = frozenset([
+    "above_avg_balance_customers", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_recall_at_k", "anti_customers_without_orders",
+    "approx_distinct_parts", "array_hof_gallery", "asof_latest_order",
+    "asof_latest_order_fresh", "binary_featurize", "canonical_doc_per_cluster",
+    "common_shingle_fraction", "contamination_overlap", "cooccurrence_triangles",
+    "cosine_topk_bruteforce", "cube_flag_status", "dedup_cluster_assign",
+    "dedup_exact", "dirty_numeric_clean", "discount_quantity_corr_by_flag",
+    "distinct_parts_per_supplier", "doc_chunks", "doc_fingerprint", "doc_repetition_ratio",
+    "embedding_near_dup_pairs", "event_sessions_gap30", "events_funnel_view_purchase",
+    "events_gap_fill_hourly", "events_session", "events_sliding", "events_tumbling",
+    "events_weekly_retention", "filtered_aggs_by_nation", "flagship_daily_segment_ledger",
+    "frame_sample_media", "full_outer_daily_activity", "fuzzy_part_name_pairs",
+    "grouping_sets_flag_priority", "hash_split_documents", "json_extract_props",
+    "kmeans_embeddings", "lag_qty_delta", "lang_id_detect", "latest_event_per_user",
+    "lookup_passthrough_default", "media_metadata", "median_price_by_priority",
+    "merge_update_orders", "minhash_lsh_near_dup", "minmax_by_customer",
+    "near_dup_jaccard", "numeric_conditional_gallery", "order_price_distribution",
+    "pack_documents_into_bins", "part_cooccurrence_lift", "pivot_returnflag_qty",
+    "posexplode_doc_tokens", "price_histogram", "price_stats_by_priority",
+    "priority_runs_per_customer", "purchase_attribution", "q10_returned_item_customers",
+    "q11_important_parts", "q12_priority_by_returnflag", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_volume_orders", "q19_bracket_revenue",
+    "q1_pricing_summary", "q20_dominant_shippers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier", "q3_top_open_orders",
+    "q4_late_ship_orders", "q5_regional_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit", "quantile_profile_by_priority",
+    "range_join_value_tiers", "regexp_string_gallery", "resize_normalize_media",
+    "rollup_returnflag_status", "salted_agg_by_returnflag", "salted_join_returnflag",
+    "scalar_function_gallery", "segments_per_nation", "semi_customers_with_urgent_orders",
+    "setop_churned_customers", "setop_repeat_customers", "simhash_fingerprint",
+    "sql_api_priority_share", "stratified_sample_customers", "surname_extract",
+    "text_quality", "tfidf_top_terms", "time_weighted_value_per_user",
+    "token_counts", "top20_orders_global", "topk_orders_per_segment",
+    "training_pipeline_summary", "union_sheets_lineage", "unpivot_lineitem_measures",
+    "value_stats_by_event_type", "week_range_parse", "window_first_last_nth",
+    "window_running_qty", "window_trailing_30d_qty",
+])
+
+
 def run_one(name: str, sf_dir: str, warm_dir: str) -> None:
     """Child mode: warm up, time one query (min of 2 passes), print a
     JSON line.
@@ -110,10 +155,14 @@ def main() -> None:
         times = dict(zip(names, pool.map(run_child, names)))
 
     total = round(sum(times.values()), 3)
+    cohort_total = round(
+        sum(v for k, v in times.items() if k in FROZEN_COHORT), 3
+    )
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench_details.json")
     with open(details_path, "w") as f:
-        json.dump({"total": total, "sf": sf, "n_queries": len(times),
+        json.dump({"total": total, "cohort_total": cohort_total,
+                   "sf": sf, "n_queries": len(times),
                    "queries": times}, f, indent=1, sort_keys=True)
 
     # Final stdout line must stay SHORT (the driver truncates long tails
@@ -132,6 +181,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "cohort_total": cohort_total,
+                "cohort_n": sum(1 for k in times if k in FROZEN_COHORT),
                 "queries": {k: times[k] for k in headline if k in times},
             }
         )
