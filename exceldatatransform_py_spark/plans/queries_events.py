@@ -882,3 +882,49 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution: histogram of the wait between a
+# user's consecutive events, bucketed in 5-minute integer bins capped
+# at bucket 12 (1h+ tail). Pure integer arithmetic on epoch seconds —
+# lag on the per-user timeline (single shuffle), then one hash
+# aggregate over (type, bucket); the histogram is O(types × 13) rows
+# whatever the event volume.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inter_event_gap_histogram",
+    oracle="""
+    WITH sec AS (
+      -- floor to whole seconds: Spark's unix_timestamp truncates the
+      -- sub-second part, DuckDB's epoch() keeps it as a fraction.
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             es - LAG(es) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS gap_s
+      FROM sec
+    )
+    SELECT event_type,
+           CAST(LEAST(gap_s // 300, 12) AS BIGINT) AS gap_bucket,
+           COUNT(*) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gaps = events.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = F.least(F.floor(F.col("gap_s") / 300), F.lit(12)).cast("bigint")
+    return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
