@@ -15,7 +15,9 @@ operations a warehouse team runs against the same tables:
   two table versions via one key-co-partitioned full outer join),
 * exact fixed-point rolling z-score anomaly detection over an event
   stream (trailing-window mean/variance in integer arithmetic so the
-  DuckDB twin is bit-identical — no cross-engine double drift).
+  DuckDB twin is bit-identical — no cross-engine double drift),
+* grouped-map ``applyInPandas`` robust statistics (exact integer
+  median + MAD — the Arrow-batched UDAF surface, oracle-checked).
 
 Every query is an oracle-twinned ``register`` entry; integer math
 follows the repo-wide fixed-point idiom (see NOTES.md on the 2^53
