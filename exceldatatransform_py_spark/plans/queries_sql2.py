@@ -952,3 +952,42 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.lag("revenue", 12).over(w) - 1).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1): generate the 1992-1998 month spine
+# recursively and zero-fill monthly order counts against it — the
+# date-dimension pattern without a stored calendar table. UNION ALL
+# recursion on an acyclic generator terminates fine (NOTES.md records
+# why cyclic transitive closure must NOT use this). The DuckDB twin is
+# the same WITH RECURSIVE, letter for letter apart from the interval
+# cast. The spine is 84 rows — the recursion runs driver-cheap, and
+# the fact-side aggregate stays one hash aggregate.
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+    WITH RECURSIVE spine AS (
+      SELECT DATE '1992-01-01' AS month
+      UNION ALL
+      SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month < DATE '1998-12-01'
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n
+      FROM {orders} GROUP BY 1
+    )
+    SELECT s.month, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN m ON s.month = m.month
+"""
+
+
+@register(
+    "recursive_month_spine",
+    oracle=_SPINE_SQL.format(orders="orders"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_spine"
+    )
+    return spark.sql(_SPINE_SQL.format(orders="v_orders_spine"))
