@@ -991,3 +991,35 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_orders_spine"
     )
     return spark.sql(_SPINE_SQL.format(orders="v_orders_spine"))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (Spark 4 SQL surface): each customer's
+# single most expensive order via a correlated ORDER BY … LIMIT 1 —
+# the SQL spelling of top-1-per-group. Catalyst decorrelates this to
+# a windowed rank (no per-row re-execution), so the physical plan is
+# the same single-shuffle shape as `topk_orders_per_segment`; the
+# LATERAL form is what analysts write, and it must not regress into a
+# nested-loop re-scan. Fully tie-broken (price desc, orderkey asc).
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM {customer} c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM {orders}
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) o
+"""
+
+
+@register(
+    "lateral_top_order_per_customer",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_cust")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_ord")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="v_lat_cust", orders="v_lat_ord")
+    )

@@ -436,3 +436,12 @@ def test_rolling_zscore_single_window_shuffle(spark):
     plan = plan_of(spark, "rolling_zscore_events")
     assert n_exchanges(plan) <= 1
     assert "Window" in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # the LATERAL ORDER BY..LIMIT 1 must decorrelate into a windowed
+    # rank — never a per-customer nested-loop re-scan of orders.
+    plan = plan_of(spark, "lateral_top_order_per_customer")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
