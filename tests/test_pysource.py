@@ -1,0 +1,56 @@
+"""Custom connector (Python Data Source API): the 'workbook directory'
+source must expose one input partition per sheet, carry sheet lineage
+on every row, and compose with from_csv for downstream typing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.sources.pysource import register
+
+
+@pytest.fixture()
+def sheet_dir(tmp_path):
+    d = str(tmp_path / "sheets")
+    os.makedirs(d)
+    for name, rows in [
+        ("Foglio1", ["a,b", "1,2", "3,4"]),
+        ("C300", ["a,b", "5,6"]),
+        ("Empty", ["a,b"]),
+    ]:
+        with open(os.path.join(d, f"{name}.csv"), "w", encoding="utf-8") as f:
+            f.write("\n".join(rows) + "\n")
+    return d
+
+
+def test_sheetdir_source_partitions_and_lineage(spark, sheet_dir):
+    register(spark)
+    df = spark.read.format("sheetdir").option("path", sheet_dir).load()
+    # one partition per sheet — a 10k-sheet workbook ingests 10k-wide.
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert {(r["sheet"], r["line"]) for r in rows} == {
+        ("Foglio1", "1,2"), ("Foglio1", "3,4"), ("C300", "5,6"),
+    }
+    # header rows skipped; the empty sheet contributes zero rows.
+    assert all(r["line_no"] >= 1 for r in rows)
+
+
+def test_sheetdir_composes_with_from_csv(spark, sheet_dir):
+    register(spark)
+    parsed = (
+        spark.read.format("sheetdir").option("path", sheet_dir).load()
+        .select("sheet", F.from_csv("line", "a int, b int").alias("r"))
+        .select("sheet", "r.*")
+    )
+    got = {(r["sheet"], r["a"], r["b"]) for r in parsed.collect()}
+    assert got == {("Foglio1", 1, 2), ("Foglio1", 3, 4), ("C300", 5, 6)}
+
+
+def test_sheetdir_requires_path(spark):
+    register(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("sheetdir").load().collect()
