@@ -28,7 +28,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _SheetPartition(InputPartition):
@@ -63,6 +68,57 @@ class SheetDirReader(DataSourceReader):
                 yield (partition.sheet, i, line.rstrip("\n"))
 
 
+class SheetDirStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: sheets dropped into the directory AFTER the
+    stream starts arrive as micro-batches. The offset is the sorted
+    list of sheet files already emitted — replayable
+    (``readBetweenOffsets`` re-reads exactly the files between two
+    offsets), so checkpoint recovery gives the same exactly-once
+    contract as the built-in file source."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("sheetdir source requires option 'path'")
+        self.dir = path
+        self.skip_header = options.get("header", "true").lower() == "true"
+
+    def _sheets(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".csv")
+        )
+
+    def _emit(self, files: list[str]) -> Iterator[tuple]:
+        start = 1 if self.skip_header else 0
+        for f in files:
+            sheet = os.path.splitext(f)[0]
+            with open(os.path.join(self.dir, f), encoding="utf-8") as fh:
+                for i, line in enumerate(fh):
+                    if i >= start:
+                        yield (sheet, i, line.rstrip("\n"))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        # the simple stream API prefetches records driver-side and
+        # PICKLES them to executors — return a materialized list, not
+        # a generator. Right for control-plane-sized batches (new
+        # sheets per trigger); a data-plane-scale streaming connector
+        # uses the partition-planning DataSourceStreamReader instead.
+        seen = set(start["seen"])
+        now = self._sheets()
+        new = [f for f in now if f not in seen]
+        return iter(list(self._emit(new))), {"seen": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = set(start["seen"])
+        return iter(list(self._emit([f for f in end["seen"] if f not in seen])))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SheetDirDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -73,6 +129,9 @@ class SheetDirDataSource(DataSource):
 
     def reader(self, schema) -> SheetDirReader:
         return SheetDirReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SheetDirStreamReader:
+        return SheetDirStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -54,3 +54,38 @@ def test_sheetdir_requires_path(spark):
     register(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format("sheetdir").load().collect()
+
+
+def test_sheetdir_streams_new_sheets_as_microbatches(spark, sheet_dir):
+    """Sheets dropped after the stream starts must arrive in later
+    micro-batches; nothing is re-emitted (offset = seen-file list)."""
+    import tempfile, shutil
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="sheetdir_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("sheetdir").option("path", sheet_dir).load()
+            .writeStream.format("memory")
+            .queryName("sheet_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = spark.sql("SELECT * FROM sheet_stream").count()
+            assert first == 3  # Foglio1 x2 + C300 x1
+
+            with open(os.path.join(sheet_dir, "Late.csv"), "w") as f:
+                f.write("a,b\n7,8\n9,10\n")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT sheet, line FROM sheet_stream").collect()
+            assert len(rows) == 5  # no re-emission of the first batch
+            assert {(r["sheet"], r["line"]) for r in rows if r["sheet"] == "Late"} == {
+                ("Late", "7,8"), ("Late", "9,10"),
+            }
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
