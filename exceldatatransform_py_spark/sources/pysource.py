@@ -28,11 +28,17 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+import shutil
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -119,6 +125,58 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class _SheetCommit(WriterCommitMessage):
+    files: list  # [(tmp_path, final_name)] staged by one task
+
+
+class SheetDirWriter(DataSourceWriter):
+    """Transactional sheet-per-key sink — the reference's one-sheet-
+    per-surname output (S4) as a custom connector with the full
+    two-phase commit protocol: every task stages its rows into
+    uniquely-named temp files and reports them in its commit message;
+    only the DRIVER's ``commit`` publishes them (atomic renames), and
+    ``abort`` removes the staged files — a failed or speculative task
+    can never leave a partial sheet visible. Rows must carry
+    ``(sheet, line)``; one output CSV per sheet value per task, so
+    pre-``repartition(sheet)`` for exactly one file per sheet."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("sheetdir sink requires option 'path'")
+        self.dir = path
+        self.overwrite = overwrite
+        self.stage = os.path.join(path, "_staging")
+
+    def write(self, rows) -> _SheetCommit:
+        os.makedirs(self.stage, exist_ok=True)
+        handles: dict = {}
+        task = uuid.uuid4().hex[:12]
+        staged = []
+        for r in rows:
+            sheet = r["sheet"]
+            if sheet not in handles:
+                tmp = os.path.join(self.stage, f"{sheet}-{task}.csv.tmp")
+                handles[sheet] = open(tmp, "w", encoding="utf-8")
+                staged.append((tmp, f"{sheet}.csv"))
+            handles[sheet].write(r["line"] + "\n")
+        for h in handles.values():
+            h.close()
+        return _SheetCommit(files=staged)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.files:
+                os.replace(tmp, os.path.join(self.dir, final))
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+
 class SheetDirDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -132,6 +190,9 @@ class SheetDirDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SheetDirStreamReader:
         return SheetDirStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> SheetDirWriter:
+        return SheetDirWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -89,3 +89,29 @@ def test_sheetdir_streams_new_sheets_as_microbatches(spark, sheet_dir):
             q.stop()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sheetdir_writer_sheet_per_key_commit(spark, tmp_path):
+    """Custom sink: one CSV per sheet key, published only at driver
+    commit (two-phase protocol — no partial sheets from failed
+    tasks; staging dir gone after commit)."""
+    out = str(tmp_path / "book_out")
+    os.makedirs(out)
+    register(spark)
+    df = spark.createDataFrame(
+        [("rossi", "1,2"), ("rossi", "3,4"), ("bianchi", "5,6")],
+        "sheet string, line string",
+    ).repartition(2, "sheet")
+    df.write.format("sheetdir").option("path", out).mode("append").save()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert files == ["bianchi.csv", "rossi.csv"]
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    with open(os.path.join(out, "rossi.csv")) as f:
+        assert sorted(f.read().splitlines()) == ["1,2", "3,4"]
+    # round-trip through the batch reader of the same connector.
+    back = (
+        spark.read.format("sheetdir").option("path", out)
+        .option("header", "false").load()
+    )
+    assert back.count() == 3
