@@ -1069,3 +1069,61 @@ def winsorized_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("p", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer scoring: recency (days
+# since last order), frequency (order count), monetary (exact cents),
+# each quintiled with fully tie-broken ntile windows so both engines
+# assign identical buckets. The per-customer aggregate is fact-sized
+# work; the scoring windows run over the CUSTOMER dimension (global
+# ntile = one sorted task of dimension-sized input — fine for dims;
+# for a billion-customer dim switch to the winsorized-mean pattern:
+# integer order-stat thresholds broadcast back as a map-side join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       DATE '1998-12-31') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           NTILE(5) OVER (ORDER BY recency_days ASC, custkey) AS r_quintile,
+           NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_quintile,
+           NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_quintile
+    FROM agg
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    return agg.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey")))
+        .alias("r_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
+        .alias("f_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey")))
+        .alias("m_quintile"),
+    )
