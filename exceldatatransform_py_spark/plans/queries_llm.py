@@ -1811,3 +1811,82 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch, Spark-first: d=3 portable hash rows × w=256
+# buckets of plain BIGINT counts — each row of cells is ONE partial-
+# aggregatable groupBy, cells merge by addition across partitions /
+# days / sources (the mergeability that makes CMS the streaming
+# heavy-hitter structure), and a key's estimate is the MIN of its d
+# cells (classic one-sided overestimate: cms >= exact always).
+# Everything is exact integer arithmetic on md5-derived buckets, so
+# the DuckDB twin rebuilds the identical sketch and the driver
+# hash-compares estimates, not just bounds. `overcount` quantifies
+# collision error for the top-10 heavy keys; `is_upper_bound` pins
+# the structural guarantee in both engines.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256
+_CMS_D = 3
+
+
+def _cms_hash_sql(expr: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', "
+        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH keys AS (SELECT o_custkey AS k FROM orders),
+    {", ".join(
+        f'''cells{i} AS (
+          SELECT {_cms_hash_sql("k", i)} AS b, COUNT(*) AS cnt
+          FROM keys GROUP BY 1
+        )''' for i in range(_CMS_D)
+    )},
+    exact AS (
+      SELECT k, COUNT(*) AS exact_n FROM keys GROUP BY k
+      ORDER BY exact_n DESC, k LIMIT 10
+    )
+    SELECT e.k AS custkey, e.exact_n,
+           LEAST(c0.cnt, c1.cnt, c2.cnt) AS cms_estimate,
+           LEAST(c0.cnt, c1.cnt, c2.cnt) - e.exact_n AS overcount,
+           LEAST(c0.cnt, c1.cnt, c2.cnt) >= e.exact_n AS is_upper_bound
+    FROM exact e
+    JOIN cells0 c0 ON c0.b = {_cms_hash_sql("e.k", 0)}
+    JOIN cells1 c1 ON c1.b = {_cms_hash_sql("e.k", 1)}
+    JOIN cells2 c2 ON c2.b = {_cms_hash_sql("e.k", 2)}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("k"))
+    cells = [
+        keys.groupBy((md5_hash32(F.col("k"), seed=i) % _CMS_W).alias("b"))
+        .agg(F.count(F.lit(1)).alias(f"cnt{i}"))
+        for i in range(_CMS_D)
+    ]
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("k"))
+        .limit(10)
+    )
+    probe = exact
+    for i in range(_CMS_D):
+        probe = probe.withColumn(f"b{i}", md5_hash32(F.col("k"), seed=i) % _CMS_W)
+        probe = probe.join(
+            F.broadcast(cells[i].withColumnRenamed("b", f"b{i}")), f"b{i}"
+        )
+    est = F.least(*[F.col(f"cnt{i}") for i in range(_CMS_D)])
+    return probe.select(
+        F.col("k").alias("custkey"),
+        "exact_n",
+        est.alias("cms_estimate"),
+        (est - F.col("exact_n")).alias("overcount"),
+        (est >= F.col("exact_n")).alias("is_upper_bound"),
+    )
