@@ -1023,3 +1023,56 @@ def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.sql(
         _LATERAL_SQL.format(customer="v_lat_cust", orders="v_lat_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array SET operations (intersect/union/except/overlap) — per order,
+# the set of high-quantity parts vs the set of discounted parts.
+# Outputs are sorted and deduplicated on BOTH engines (Spark's
+# array_* set functions dedup; DuckDB's list_intersect does too but
+# aggregate FILTER yields NULL on empty where Spark's collect_set
+# yields [] — the COALESCE in the twin pins that mapping). Shape: one
+# grouped aggregate building both sets in one pass, set ops map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_setop_gallery",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey,
+             COALESCE(list_sort(list(DISTINCT l_partkey)
+               FILTER (WHERE l_quantity >= 25)), []) AS hi_qty,
+             COALESCE(list_sort(list(DISTINCT l_partkey)
+               FILTER (WHERE l_discount > 0.05)), []) AS discounted
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, hi_qty, discounted,
+           list_sort(list_intersect(hi_qty, discounted)) AS both_sets,
+           list_sort(list_distinct(list_concat(hi_qty, discounted)))
+             AS either_set,
+           list_sort(list_filter(hi_qty,
+             x -> NOT list_contains(discounted, x))) AS only_hi,
+           list_has_any(hi_qty, discounted) AS overlaps
+    FROM s
+    """,
+)
+def array_setop_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_quantity") >= 25, F.col("l_partkey")))
+        ).alias("hi_qty"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_discount") > 0.05, F.col("l_partkey")))
+        ).alias("discounted"),
+    )
+    return s.select(
+        "l_orderkey",
+        "hi_qty",
+        "discounted",
+        F.sort_array(F.array_intersect("hi_qty", "discounted")).alias("both_sets"),
+        F.sort_array(F.array_union("hi_qty", "discounted")).alias("either_set"),
+        F.sort_array(F.array_except("hi_qty", "discounted")).alias("only_hi"),
+        F.arrays_overlap("hi_qty", "discounted").alias("overlaps"),
+    )
