@@ -67,3 +67,54 @@ def test_partitioned_managed_table_lifecycle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS edt_orders_by_status")
     assert not spark.catalog.tableExists("edt_orders_by_status")
+
+
+def test_observation_metrics_without_second_scan(spark):
+    """DataFrame.observe: pipeline health metrics (row counts, sums,
+    null counts) ride along the SAME action — no second scan of a
+    100 TB input just to count rows. The observed values must match a
+    direct computation."""
+    from pyspark.sql import Observation
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    obs = Observation("ingest_stats")
+    df = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_keys"),
+    )
+    n_out = df.filter(F.col("o_totalprice") > 0).count()  # the real action
+    got = obs.get
+    assert got["n_rows"] == src.count()
+    assert got["null_keys"] == 0
+    assert n_out <= got["n_rows"]
+    direct = src.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+    ).collect()[0][0]
+    assert got["total"] == direct
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite that produces rows
+    for ONE partition must replace only that partition and leave the
+    rest intact — the idempotent daily-backfill write at 100 TB
+    (static mode would wipe every partition first)."""
+    import os
+
+    d = os.path.join(str(tmp_path), "dynpart")
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "id long, part string"
+    )
+    base.write.partitionBy("part").mode("overwrite").parquet(d)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        redo_a = spark.createDataFrame([(9, "A")], "id long, part string")
+        redo_a.write.partitionBy("part").mode("overwrite").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {(r["id"], r["part"]) for r in spark.read.parquet(d).collect()}
+    assert got == {(9, "A"), (3, "B")}  # B untouched, A replaced
