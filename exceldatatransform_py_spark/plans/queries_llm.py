@@ -1890,3 +1890,53 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est - F.col("exact_n")).alias("overcount"),
         (est >= F.col("exact_n")).alias("is_upper_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates — iteration 1 of byte-pair-encoding tokenizer
+# training at corpus scale: the most frequent ADJACENT token pairs.
+# Adjacency is computed inside each document's token array (transform
+# over an index sequence — no positional self-join, no shuffle until
+# the pair count), so the corpus-wide cost is explode + one hash
+# aggregate; the top-20 is fully tie-broken. A real BPE trainer
+# iterates this exact aggregate, merging the winner each round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT {_RTOKS} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    t = ws_tokens(F.lower(F.col("text")))
+    staged = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+    pairs = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )
