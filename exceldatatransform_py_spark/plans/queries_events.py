@@ -928,3 +928,79 @@ def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection: per user, the running sum of deviations from
+# the GLOBAL mean value, and where it peaks — the classic changepoint
+# signal (a user whose values drift high accumulates a rising CUSUM).
+# Exactness trick: instead of x−μ in floats, accumulate N·x−S (the
+# deviation scaled by the global count) — all BIGINT, so the running
+# sums, the per-user peak, and its argmax event are engine-identical.
+# Magnitude audit at sf0.1: |N·x−S| ≤ 1.5e5·3.3e4 ≈ 5e9 per event,
+# ×O(1e3) events/user ≈ 5e12 — three orders inside int64. Shape: one
+# global aggregate broadcast as a 1×1 scalar, one window shuffle on
+# user_id, one tiny argmax aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_drift_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM c),
+    r AS (
+      SELECT c.user_id, c.event_id,
+             SUM(g.n * c.cents - g.s) OVER (PARTITION BY c.user_id
+                                            ORDER BY c.ts, c.event_id
+                                            ROWS UNBOUNDED PRECEDING)
+               AS cusum_scaled
+      FROM c, g
+    )
+    SELECT user_id,
+           MAX(ABS(cusum_scaled)) AS max_abs_cusum,
+           MIN(event_id) FILTER (WHERE ABS(cusum_scaled) = mx)
+             AS at_event_id
+    FROM (SELECT *, MAX(ABS(cusum_scaled)) OVER (PARTITION BY user_id)
+                      AS mx FROM r)
+    GROUP BY user_id
+    """,
+)
+def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    c = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    # broadcast-scalar cross join (1 row), the repo's share-of-total
+    # idiom — never a data-sized cartesian.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("n") * F.col("cents") - F.col("s")).over(w).alias(
+            "cusum_scaled"
+        ),
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.abs("cusum_scaled")).alias("max_abs_cusum"),
+        (-F.max(
+            F.struct(
+                F.abs("cusum_scaled").alias("a"),
+                (-F.col("event_id")).alias("neg_id"),
+            )
+        )["neg_id"]).alias("at_event_id"),
+    )
