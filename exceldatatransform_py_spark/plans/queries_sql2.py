@@ -1076,3 +1076,38 @@ def array_setop_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_except("hi_qty", "discounted")).alias("only_hi"),
         F.arrays_overlap("hi_qty", "discounted").alias("overlaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): dimension rows may
+# legitimately key on NULL ("status not yet assigned"), and a plain
+# '=' join silently drops every NULL-keyed fact row — the classic
+# silent-data-loss bug this query pins. The NULL bucket here is the
+# biggest one (NULLIF maps 'O' to NULL), so '=' would lose most of
+# the table. Broadcast dim, single hash aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nullsafe_join_status_labels",
+    oracle="""
+    WITH o AS (SELECT NULLIF(o_orderstatus, 'O') AS k FROM orders),
+    d(k, label) AS (VALUES (NULL, 'open-or-missing'),
+                           ('F', 'finished'), ('P', 'partial'))
+    SELECT d.label, COUNT(*) AS n_orders
+    FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+)
+def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+    dim = spark.createDataFrame(
+        [(None, "open-or-missing"), ("F", "finished"), ("P", "partial")],
+        "k string, label string",
+    )
+    return (
+        o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
