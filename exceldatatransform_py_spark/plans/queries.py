@@ -404,9 +404,16 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dec_sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # pre-aggregate then rollup the partials (same algebraic-reagg
+    # rewrite as cube_flag_status): the Expand multiplies 6 partial
+    # rows instead of the fact — measured 3x on the cube twin.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__psum"),
+        F.count(F.lit(1)).alias("__pn"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("__psum").cast("double").alias("sum_qty"),
+        F.sum("__pn").alias("n_rows"),
     )
 
 

@@ -286,9 +286,19 @@ def pivot_returnflag_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dec_sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # Pre-aggregate to the finest grouping FIRST, then cube the tiny
+    # partial table: the cube's Expand multiplies its input 4x, and
+    # both aggregates are algebraic (decimal sums re-sum exactly), so
+    # expanding 6 partial rows instead of the whole fact is identical
+    # — at 100 TB this is the difference between a 4x fact blowup and
+    # a no-op. Partial sums STAY decimal until the final cast.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__psum"),
+        F.count(F.lit(1)).alias("__pn"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("__psum").cast("double").alias("sum_qty"),
+        F.sum("__pn").alias("n_rows"),
     )
 
 
@@ -365,11 +375,19 @@ def grouping_sets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.join(orders, li.l_orderkey == orders.o_orderkey).createOrReplaceTempView(
         "__gs_join"
     )
+    # pre-aggregate the join to (flag, priority) partials, then run
+    # the grouping sets over ~15 rows — the Expand never touches the
+    # joined fact (same algebraic rewrite as cube_flag_status).
     return spark.sql(
         """
+        WITH base AS (
+          SELECT l_returnflag, o_orderpriority,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS psum
+          FROM __gs_join GROUP BY l_returnflag, o_orderpriority
+        )
         SELECT l_returnflag, o_orderpriority,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM __gs_join
+               CAST(SUM(psum) AS DOUBLE) AS sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
         """
     )

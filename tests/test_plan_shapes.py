@@ -445,3 +445,14 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cube_rollup_expand_over_partials(spark):
+    # cube/rollup must pre-aggregate before the Expand (the Expand
+    # multiplies PARTIAL rows, never the fact): the rewrite shows up
+    # as two aggregate pairs (base partial+final, cube partial+final)
+    # around the Expand instead of one pair after it.
+    for q in ("cube_flag_status", "rollup_returnflag_status"):
+        plan = plan_of(spark, q)
+        assert "Expand" in plan, q
+        assert plan.count("HashAggregate") >= 4, q
