@@ -1022,3 +1022,42 @@ def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["neg_id"]).alias("at_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-measure pivot: one pivoted aggregate carrying BOTH a sum and a
+# count per pivoted value (Spark emits `<value>_<agg>` columns; the
+# twin states the same cells as FILTERed aggregates). Pre-pivot
+# column pruning keeps the scan at three columns; the pivot values
+# are declared literally so the plan is static (no values-discovery
+# job at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_multi_measure_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+             FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F_sum_qty,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F_n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+             FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O_sum_qty,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O_n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_measure_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1940,3 +1940,39 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-multiplicity histogram: how much of the corpus exists in
+# 1, 2, 3, … copies — the exact-dedup diagnostic that tells you what
+# deduplication will actually delete (Σ (m−1)·groups of multiplicity
+# m) before you run it. Two nested counts over the normalized digest:
+# both hash aggregates, the second over |distinct docs| rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_multiplicity_histogram",
+    oracle=r"""
+    WITH g AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS d,
+             COUNT(*) AS m
+      FROM documents GROUP BY 1
+    )
+    SELECT m AS multiplicity,
+           COUNT(*) AS n_groups,
+           m * COUNT(*) AS n_docs,
+           (m - 1) * COUNT(*) AS n_removable
+    FROM g GROUP BY m
+    """,
+)
+def dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).alias("m"))
+    return g.groupBy(F.col("m").alias("multiplicity")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("multiplicity") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("multiplicity") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )
