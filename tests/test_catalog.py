@@ -118,3 +118,24 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
 
     got = {(r["id"], r["part"]) for r in spark.read.parquet(d).collect()}
     assert got == {(9, "A"), (3, "B")}  # B untouched, A replaced
+
+
+def test_metadata_column_file_lineage(spark, tmp_path):
+    """The hidden `_metadata` column gives file-level lineage on any
+    parquet scan — per-file row counts without a custom reader, the
+    provenance a 100 TB multi-source lake needs for blame/rollback."""
+    import os
+
+    d = os.path.join(str(tmp_path), "lineage")
+    spark.range(0, 10).coalesce(1).write.mode("append").parquet(d)
+    spark.range(10, 30).coalesce(1).write.mode("append").parquet(d)
+
+    per_file = (
+        spark.read.parquet(d)
+        .select("id", F.col("_metadata.file_name").alias("src_file"))
+        .groupBy("src_file")
+        .count()
+    )
+    rows = per_file.collect()
+    assert {r["count"] for r in rows} == {10, 20}
+    assert all(r["src_file"].endswith(".parquet") for r in rows)

@@ -448,3 +448,81 @@ def test_incremental_micro_batches_match_single_batch(spark, events_dir):
     finally:
         for d in (src, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_emits_expired_nulls(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched left rows must
+    surface with NULL right columns once the watermark passes their
+    join window — the semantics that make outer joins usable on
+    unbounded streams (state is evicted, not held forever). Outer
+    results only flush when a LATER batch advances the watermark, so
+    the drain runs twice: sentinel rows far in the future push the
+    watermark past every real row's window on the second pass."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    clicks_dir = os.path.join(str(tmp_path), "clicks")
+    purch_dir = os.path.join(str(tmp_path), "purch")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out_dir = os.path.join(str(tmp_path), "out")
+
+    def write(rows, schema, d):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write([(1, 1, t0), (2, 2, t0)], "click_id long, user_id long, ts timestamp",
+          clicks_dir)
+    write([(10, 1, t0 + 10 * m)], "purchase_id long, user_id long, ts timestamp",
+          purch_dir)
+
+    def drain():
+        c = (
+            spark.readStream.schema("click_id long, user_id long, ts timestamp")
+            .parquet(clicks_dir)
+            .withWatermark("ts", "1 minute")
+            .alias("c")
+        )
+        p = (
+            spark.readStream.schema(
+                "purchase_id long, user_id long, ts timestamp"
+            )
+            .parquet(purch_dir)
+            .withWatermark("ts", "1 minute")
+            .alias("p")
+        )
+        joined = c.join(
+            p,
+            F.expr(
+                "c.user_id = p.user_id AND "
+                "p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTES"
+            ),
+            "leftOuter",
+        ).select("c.click_id", "p.purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # sentinels two hours later advance BOTH watermarks past t0+30min.
+    far = t0 + 120 * m
+    write([(99, 99, far)], "click_id long, user_id long, ts timestamp",
+          clicks_dir)
+    write([(98, 98, far)], "purchase_id long, user_id long, ts timestamp",
+          purch_dir)
+    drain()
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["click_id"] != 99
+    }
+    assert got == {(1, 10), (2, None)}
