@@ -139,3 +139,30 @@ def test_metadata_column_file_lineage(spark, tmp_path):
     rows = per_file.collect()
     assert {r["count"] for r in rows} == {10, 20}
     assert all(r["src_file"].endswith(".parquet") for r in rows)
+
+
+def test_analyze_table_statistics_visible(spark):
+    """ANALYZE TABLE must land row/size statistics in the catalog —
+    the input the cost-based optimizer uses for join ordering and
+    broadcast decisions on tables too big to inspect at plan time."""
+    spark.sql("DROP TABLE IF EXISTS edt_stats_demo")
+    try:
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+            .write.saveAsTable("edt_stats_demo")
+        spark.sql(
+            "ANALYZE TABLE edt_stats_demo COMPUTE STATISTICS FOR COLUMNS c_custkey"
+        )
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED edt_stats_demo").collect()
+        }
+        assert "Statistics" in detail and "rows" in detail["Statistics"]
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED edt_stats_demo c_custkey"
+            ).collect()
+        }
+        assert col.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edt_stats_demo")

@@ -456,3 +456,18 @@ def test_cube_rollup_expand_over_partials(spark):
         plan = plan_of(spark, q)
         assert "Expand" in plan, q
         assert plan.count("HashAggregate") >= 4, q
+
+
+def test_explicit_broadcast_survives_disabled_autobroadcast(spark):
+    # F.broadcast is a guarantee, not a suggestion: with the automatic
+    # size-based broadcast threshold disabled entirely, the pinned
+    # lookup dim must STILL broadcast (at 100 TB, size estimates lie —
+    # explicit hints on known-small dims must hold regardless).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "lookup_passthrough_default")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
