@@ -1061,3 +1061,50 @@ def pivot_multi_measure_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill imputation (LOCF — last observation carried forward):
+# carry each user's most recent purchase value onto every subsequent
+# event until the next purchase — the standard time-series feature
+# imputation. `last(..., ignorenulls)` over an unbounded-preceding
+# frame is the single-window spelling (one shuffle on user_id); the
+# DuckDB twin is the same window with IGNORE NULLS. Cents quantization
+# keeps the carried value engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forward_fill_purchase_value",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS pv
+      FROM events
+    )
+    SELECT user_id, event_id, pv AS purchase_cents,
+           LAST_VALUE(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS filled_cents
+    FROM base
+    """,
+)
+def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    pv = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        pv.alias("purchase_cents"),
+        F.last(pv, ignorenulls=True).over(w).alias("filled_cents"),
+    )

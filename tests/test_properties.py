@@ -434,6 +434,10 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "token_rarity_score",
         "robust_stats_by_priority",
         "snapshot_diff_orders",
+        "cms_heavy_hitters",
+        "bpe_merge_candidates",
+        "cusum_drift_per_user",
+        "forward_fill_purchase_value",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
