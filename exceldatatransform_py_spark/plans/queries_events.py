@@ -1108,3 +1108,48 @@ def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.alias("purchase_cents"),
         F.last(pv, ignorenulls=True).over(w).alias("filled_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-next-event labels: for every event, seconds until the
+# user's NEXT purchase — the label-generation pass for conversion /
+# churn models (NULL = censored, no purchase follows). Mirror of the
+# LOCF query with a forward frame (1 FOLLOWING → ∞) and
+# first_value ignore-nulls; integer epoch seconds keep it exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_to_next_purchase",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END AS pes
+      FROM events
+    )
+    SELECT user_id, event_id,
+           FIRST_VALUE(pes IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) - es AS secs_to_next_purchase
+    FROM base
+    """,
+)
+def time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.col("ts"))
+    pes = F.when(F.col("event_type") == "purchase", es)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.first(pes, ignorenulls=True).over(w) - es).alias(
+            "secs_to_next_purchase"
+        ),
+    )
