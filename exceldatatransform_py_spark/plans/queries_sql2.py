@@ -1111,3 +1111,55 @@ def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency (SLA view): order→ship lag in whole days per
+# priority — count, spread, exact mean (integer day sum, one double
+# division) and the share beyond a 90-day SLA. One join on orderkey
+# (fact⋈fact equi-join, runtime-filterable) and one hash aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ship_latency_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS min_days,
+           MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS max_days,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+             / COUNT(*) AS mean_days,
+           CAST(COUNT(*) FILTER (WHERE date_diff('day',
+                  CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) > 90) AS DOUBLE) / COUNT(*)
+             AS late_share
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    days = F.datediff(F.col("sd"), F.col("od")).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(days).alias("min_days"),
+            F.max(days).alias("max_days"),
+            (F.sum(days).cast("double") / F.count(F.lit(1))).alias("mean_days"),
+            (
+                F.sum(F.when(days > 90, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("late_share"),
+        )
+    )
