@@ -1153,3 +1153,59 @@ def time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_to_next_purchase"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity ratios (DAU / MAU and stickiness): distinct active users
+# per day joined to the distinct actives of the surrounding month —
+# the product-health metric. Each distinct count is the Expand-free
+# two-level aggregate (groupBy key+user → count), and the month side
+# broadcasts (O(months) rows) onto the day side; stickiness is one
+# double division of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    mau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, d.dau, m.mau,
+           CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+    FROM dau d JOIN mau m
+      ON CAST(date_trunc('month', d.day) AS DATE) = m.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+
+    def distinct_users(grain: str, alias: str) -> DataFrame:
+        key = F.date_trunc(grain, F.col("ts")).cast("date").alias(grain)
+        return (
+            events.select(key, "user_id")
+            .groupBy(grain, "user_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy(grain)
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    dau = distinct_users("day", "dau")
+    mau = distinct_users("month", "mau")
+    return (
+        dau.withColumn("month", F.date_trunc("month", F.col("day")).cast("date"))
+        .join(F.broadcast(mau), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
