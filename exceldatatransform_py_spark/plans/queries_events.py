@@ -1209,3 +1209,59 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: revenue per signup-week cohort by weeks-since-
+# signup — the growth-accounting view (how value accrues as cohorts
+# age). Cohort assignment is a per-user min (one aggregate) broadcast
+# back onto events; revenue accumulates in exact cents; the age axis
+# is integer week arithmetic on epoch days. Output is O(weeks²).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_weekly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS BIGINT) AS age_weeks,
+           COUNT(DISTINCT e.user_id) AS n_active,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS revenue_cents
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = events.groupBy("user_id").agg(
+        F.min(week(F.col("ts"))).alias("cohort_week")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = purchases.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.floor(
+                F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7
+            )
+        ).cast("bigint").alias("age_weeks"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # distinct actives via the Expand-free two-level idiom, revenue in
+    # the same pass one level down.
+    per_user = joined.groupBy("cohort_week", "age_weeks", "user_id").agg(
+        F.sum("cents").alias("user_cents")
+    )
+    return per_user.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("user_cents").alias("revenue_cents"),
+    )
