@@ -1265,3 +1265,44 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active"),
         F.sum("user_cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile: event volume by ISO weekday × hour-of-day with
+# each cell's share of its weekday — the load-shape heatmap behind
+# capacity planning and anomaly baselines. Counts are exact; the
+# share is one double division; weekday numbering is pinned to ISO
+# (Spark weekday()+1 == DuckDB isodow, see datetime_function_gallery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_seasonality_profile",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(isodow(ts) AS INTEGER) AS dow_iso,
+             CAST(hour(ts) AS INTEGER) AS hour_of_day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow_iso, hour_of_day, n_events,
+           CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY dow_iso) AS share_of_day
+    FROM c
+    """,
+)
+def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        (F.weekday(F.col("ts")) + F.lit(1)).cast("int").alias("dow_iso"),
+        F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("dow_iso")
+    return c.select(
+        "dow_iso",
+        "hour_of_day",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias(
+            "share_of_day"
+        ),
+    )
