@@ -1020,7 +1020,8 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.p AS priority,
            COUNT(*) AS n_orders,
-           SUM(LEAST(GREATEST(c.x, th.lo), th.hi)) AS sum_wins_cents,
+           CAST(SUM(LEAST(GREATEST(c.x, th.lo), th.hi)) AS BIGINT)
+             AS sum_wins_cents,
            CAST(SUM(LEAST(GREATEST(c.x, th.lo), th.hi)) AS DOUBLE) / COUNT(*)
              AS mean_wins_cents,
            COUNT(*) FILTER (WHERE c.x < th.lo) AS n_clamped_low,
@@ -1091,7 +1092,8 @@ def winsorized_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                        DATE '1998-12-31') AS recency_days,
              COUNT(*) AS frequency,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
       FROM orders GROUP BY o_custkey
     )
     SELECT custkey, recency_days, frequency, monetary_cents,

@@ -980,7 +980,7 @@ def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c, g
     )
     SELECT user_id,
-           MAX(ABS(cusum_scaled)) AS max_abs_cusum,
+           CAST(MAX(ABS(cusum_scaled)) AS BIGINT) AS max_abs_cusum,
            MIN(event_id) FILTER (WHERE ABS(cusum_scaled) = mx)
              AS at_event_id
     FROM (SELECT *, MAX(ABS(cusum_scaled)) OVER (PARTITION BY user_id)
@@ -1233,7 +1233,8 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
                 AS BIGINT) AS age_weeks,
            COUNT(DISTINCT e.user_id) AS n_active,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM events e JOIN firsts f USING (user_id)
     WHERE e.event_type = 'purchase'
     GROUP BY 1, 2

@@ -885,7 +885,7 @@ _P_TOKS = _TOKS.format(col="text")
     )
     SELECT k.lang,
            COUNT(*) AS n_docs,
-           SUM(k.n_tok) AS total_tokens,
+           CAST(SUM(k.n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(k.n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM keep k JOIN ded USING (doc_id)
     GROUP BY k.lang
@@ -1246,7 +1246,7 @@ _PACK_BUCKETS = 16
     SELECT bucket,
            CAST(before_tok // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM runs GROUP BY bucket, CAST(before_tok // {_PACK_CAPACITY} AS BIGINT)
     """,
 )
@@ -1488,7 +1488,7 @@ _MIX_GATE = (
     SELECT source,
            CAST(rate_pct AS BIGINT) AS rate_pct,
            COUNT(*) AS n_total,
-           SUM(kept) AS n_kept,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
            CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_frac
     FROM t GROUP BY source, rate_pct
     """,
@@ -1627,7 +1627,7 @@ _CURATE_MIN_QUALITY = 0.5
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(quality) AS min_quality,
            MAX(quality) AS max_quality
     FROM sampled GROUP BY lang
@@ -1708,7 +1708,7 @@ _RTOKS = _TOKS.format(col="lower(text)")
     )
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(d.df) AS sum_df,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
            CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df,
            COUNT(*) FILTER (WHERE d.df <= 2) AS n_rare
     FROM toks t JOIN dfreq d USING (tok)

@@ -121,10 +121,10 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -661,7 +661,8 @@ _SPLIT_H = (
                   ELSE 'test' END AS split
       FROM documents
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY 1, 2
     """,
 )
@@ -783,7 +784,7 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props ->> 'k' AS BIGINT)) AS min_k,
            MAX(CAST(props ->> 'k' AS BIGINT)) AS max_k,
            COUNT(*) FILTER (WHERE props ->> 'absent' IS NULL) AS n_missing

@@ -17,6 +17,47 @@ def test_query_matches_oracle(spark, sf_dir, name):
     compare_with_oracle(df, ORACLE[name], sf_dir)
 
 
+# DuckDB result type -> Spark simpleString families the driver's hasher
+# serializes identically. Anything outside this table (HUGEINT, DECIMAL,
+# FLOAT-vs-DOUBLE drift, ...) diverges in the driver's pandas/Arrow
+# fetch even when every cell value is equal — the exact defect class
+# that cost winsorized_mean_by_priority / rfm_customer_segments in r2.
+_DUCK_TO_SPARK_OK = {
+    "BIGINT": {"bigint", "int"},
+    "INTEGER": {"int", "bigint"},
+    "BIGINT[]": {"array<bigint>"},
+    "VARCHAR[]": {"array<string>"},
+    "BLOB": {"binary"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "DOUBLE": {"double"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "VARCHAR": {"string"},
+}
+
+
+def test_oracle_dtype_parity(spark, sf_dir):
+    """DESCRIBE every oracle and pin its output types to the Spark
+    query's schema via the driver-safe family table above."""
+    from tests.oracle_utils import duck_connection
+
+    con = duck_connection(sf_dir)
+    problems = []
+    for name in ORACLE_CHECKED:
+        desc = con.execute(f"DESCRIBE ({ORACLE[name]})").fetchall()
+        sp = {
+            f.name: f.dataType.simpleString()
+            for f in QUERIES[name](spark, sf_dir).schema.fields
+        }
+        for col, du_type, *_ in desc:
+            du_fam = du_type.split("(")[0]
+            sp_type = sp.get(col, "<missing>").split("(")[0]
+            ok = _DUCK_TO_SPARK_OK.get(du_fam)
+            if ok is None or sp_type not in ok:
+                problems.append((name, col, du_type, sp_type))
+    assert not problems, f"driver-visible dtype drift: {problems}"
+
+
 def test_all_queries_run(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
