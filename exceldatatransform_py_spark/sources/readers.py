@@ -168,22 +168,61 @@ def read_excel_workbook(
     (zipped XML) is not splittable, so a distributed Excel scan would
     be one task per file regardless of engine.
 
-    Gated behind an import-try: this container has no openpyxl; the
-    rest of the engine treats the resulting dict exactly like any
-    other ``scan_sheets_with_lineage`` input, so only this function
-    changes when the dependency is present.
+    Engine selection: pandas+openpyxl when installed (full fidelity);
+    otherwise the stdlib SpreadsheetML shim (``sources.xlsx_shim`` —
+    zipfile + xml.etree over the public ECMA-376 format), which covers
+    everything the reference's workbooks contain. The rest of the
+    engine treats the resulting dict exactly like any other
+    ``scan_sheets_with_lineage`` input.
     """
     try:
+        import openpyxl  # noqa: F401 — preferred engine when present
         import pandas as pd
 
-        pd.io.excel.ExcelFile  # probe the engine lazily
         sheets = pd.read_excel(path, sheet_name=None, header=header_row)
-    except ImportError as exc:  # openpyxl/xlrd missing
-        raise NotImplementedError(
-            "read_excel_workbook needs pandas+openpyxl; land the workbook "
-            "as CSV/parquet instead (same downstream pipeline)"
-        ) from exc
-    return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
+        return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
+    except ImportError:
+        from exceldatatransform_py_spark.sources import xlsx_shim
+
+        out: dict[str, DataFrame] = {}
+        for name, (header, rows) in xlsx_shim.read_workbook(path).items():
+            out[name] = _rows_to_df(spark, header, rows)
+        return out
+
+
+def _rows_to_df(
+    spark: SparkSession, header: Sequence[str], rows: Sequence[Sequence]
+) -> DataFrame:
+    """Driver-side rows → typed DataFrame, with pandas-like per-column
+    inference: all-int → bigint, numeric mix → double, all-bool →
+    boolean, anything else (or mixed) → string."""
+
+    def col_type(i: int) -> T.DataType:
+        seen = {type(r[i]) for r in rows if r[i] is not None}
+        if seen == {int}:
+            return T.LongType()
+        if seen and seen <= {int, float}:
+            return T.DoubleType()
+        if seen == {bool}:
+            return T.BooleanType()
+        return T.StringType()
+
+    types = [col_type(i) for i in range(len(header))]
+    schema = T.StructType(
+        [T.StructField(str(c), t, True) for c, t in zip(header, types)]
+    )
+
+    def coerce(v, t: T.DataType):
+        if v is None:
+            return None
+        if isinstance(t, T.DoubleType):
+            return float(v)
+        if isinstance(t, (T.LongType, T.BooleanType)):
+            return v
+        return str(v)
+
+    data = [tuple(coerce(v, t) for v, t in zip(r, types)) for r in rows]
+    return spark.createDataFrame(data, schema)
 
 
 def read_json_with_badrows(

@@ -105,35 +105,48 @@ def write_excel_workbook(
     splittable, not appendable — so a single workbook can only ever be
     emitted by one writer process regardless of engine; the packaging
     streams one sheet's (already aggregated, human-scale) rows at a
-    time and nothing flows through Spark's driver. Import-gated
-    exactly like ``readers.read_excel_workbook``: without
-    pandas+openpyxl this raises ``NotImplementedError`` before doing
-    any work.
+    time and nothing flows through Spark's driver. Engine selection
+    mirrors ``readers.read_excel_workbook``: pandas+openpyxl when
+    installed, else the stdlib SpreadsheetML shim
+    (``sources.xlsx_shim``).
     """
-    import pandas as pd
-
-    try:
-        import openpyxl  # noqa: F401 — probe before any Spark work
-    except ImportError as exc:
-        raise NotImplementedError(
-            "write_excel_workbook needs pandas+openpyxl; use the "
-            "partitionBy parquet sink (write_partitioned_by_key) instead "
-            "(same grouping/truncation semantics)"
-        ) from exc
-
     if staging_dir is None:
         staging_dir = path + ".staging"
     parts = stage_sheet_partitions(
         df, staging_dir, sheet_col, sheet_name_len=sheet_name_len
     )
     try:
-        with pd.ExcelWriter(path, engine="openpyxl") as writer:
-            for name, part_dir in parts.items():
-                pd.read_parquet(part_dir).to_excel(
-                    writer, sheet_name=name[:sheet_name_len], index=False
-                )
+        try:
+            import openpyxl  # noqa: F401
+            import pandas as pd
+
+            with pd.ExcelWriter(path, engine="openpyxl") as writer:
+                for name, part_dir in parts.items():
+                    pd.read_parquet(part_dir).to_excel(
+                        writer, sheet_name=name[:sheet_name_len], index=False
+                    )
+        except ImportError:
+            from exceldatatransform_py_spark.sources import xlsx_shim
+
+            sheets = {
+                name[:sheet_name_len]: _read_part_rows(part_dir)
+                for name, part_dir in parts.items()
+            }
+            xlsx_shim.write_workbook(path, sheets)
     finally:
         shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def _read_part_rows(part_dir: str) -> tuple[list[str], list[list]]:
+    """Read one staged partition directory into (header, rows) via
+    pyarrow — the shim writer's input. Human-scale data by contract
+    (one sheet of an output workbook)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(part_dir)
+    cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+    rows = [list(r) for r in zip(*cols)] if cols else []
+    return list(table.column_names), rows
 
 
 def update_excel_workbook_in_place(
@@ -161,17 +174,13 @@ def update_excel_workbook_in_place(
 
     Split like ``write_excel_workbook``: the collapse + per-surname
     staging is a distributed job; only the cell-level patching of one
-    small human-facing workbook is driver-side, and it is import-gated.
+    small human-facing workbook is driver-side. Engine selection:
+    openpyxl when installed (the only engine that preserves rich
+    formatting, exactly like the reference's ``load_workbook``); else
+    the stdlib shim, which preserves every untouched CELL VALUE and
+    the update-only merge semantics but not styling.
     """
-    try:
-        import openpyxl
-        import pandas as pd
-    except ImportError as exc:
-        raise NotImplementedError(
-            "update_excel_workbook_in_place needs openpyxl; use "
-            "merge_update_write on a parquet target instead "
-            "(same update-only merge semantics)"
-        ) from exc
+    import pandas as pd
 
     from exceldatatransform_py_spark.functions.columns import (
         dec_sum,
@@ -190,40 +199,71 @@ def update_excel_workbook_in_place(
     if staging_dir is None:
         staging_dir = path + ".updates"
     parts = stage_sheet_partitions(collapsed, staging_dir, "__sheet")
-    try:
-        wb = openpyxl.load_workbook(path)
-        for sheet_name in wb.sheetnames:
-            part_dir = parts.get(sheet_name.lower())
-            if part_dir is None:
-                continue
-            pdf = pd.read_parquet(part_dir)
-            # .tolist() converts numpy scalars to Python natives —
-            # openpyxl rejects numpy types on direct cell assignment.
-            by_date = dict(
+
+    def part_by_date(part_dir: str) -> dict:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(part_dir)
+        # to_pylist() yields Python natives (openpyxl rejects numpy
+        # scalars on direct cell assignment).
+        return dict(
+            zip(
+                table.column("__date").to_pylist(),
                 zip(
-                    pdf["__date"].tolist(),
-                    zip(
-                        pdf[update_cols[0]].tolist(),
-                        pdf[update_cols[1]].tolist(),
-                    ),
-                )
+                    table.column(update_cols[0]).to_pylist(),
+                    table.column(update_cols[1]).to_pylist(),
+                ),
             )
-            ws = wb[sheet_name]
-            for date_cell, commessa_cell, ore_cell in ws.iter_rows(
-                min_row=2, max_col=3, values_only=False
-            ):
-                cell_value = date_cell.value
-                if isinstance(cell_value, str):
-                    try:
-                        cell_value = pd.to_datetime(cell_value).date()
-                    except (ValueError, TypeError):
+        )
+
+    def day_of(cell_value):
+        """Day-granularity key of a sheet date cell (string or
+        datetime — ``timesheet_transform.py:118-125``); None = skip."""
+        if isinstance(cell_value, str):
+            try:
+                return pd.to_datetime(cell_value).date()
+            except (ValueError, TypeError):
+                return None
+        if hasattr(cell_value, "date"):
+            return cell_value.date()
+        return None
+
+    try:
+        try:
+            import openpyxl
+
+            wb = openpyxl.load_workbook(path)
+            for sheet_name in wb.sheetnames:
+                part_dir = parts.get(sheet_name.lower())
+                if part_dir is None:
+                    continue
+                by_date = part_by_date(part_dir)
+                ws = wb[sheet_name]
+                for date_cell, commessa_cell, ore_cell in ws.iter_rows(
+                    min_row=2, max_col=3, values_only=False
+                ):
+                    key = day_of(date_cell.value)
+                    hit = by_date.get(key) if key is not None else None
+                    if hit is not None:
+                        commessa_cell.value, ore_cell.value = hit
+            wb.save(path)
+        except ImportError:
+            from exceldatatransform_py_spark.sources import xlsx_shim
+
+            sheets = xlsx_shim.read_workbook(path)
+            for sheet_name, (header, rows) in sheets.items():
+                part_dir = parts.get(sheet_name.lower())
+                if part_dir is None:
+                    continue
+                by_date = part_by_date(part_dir)
+                for row in rows:
+                    if not row:
                         continue
-                elif hasattr(cell_value, "date"):
-                    cell_value = cell_value.date()
-                hit = by_date.get(cell_value)
-                if hit is not None:
-                    commessa_cell.value, ore_cell.value = hit
-        wb.save(path)
+                    key = day_of(row[0])
+                    hit = by_date.get(key) if key is not None else None
+                    if hit is not None:
+                        row[1], row[2] = hit
+            xlsx_shim.write_workbook(path, sheets)
     finally:
         shutil.rmtree(staging_dir, ignore_errors=True)
 

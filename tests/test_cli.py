@@ -116,28 +116,18 @@ def test_cli_update_merges_only_matches(spark, tmp_path, input_dir):
 
 
 def test_cli_transform_xlsx_format(spark, tmp_path, input_dir):
-    """--format xlsx routes to the workbook sink. Where openpyxl is
-    missing the import gate must surface the documented
-    NotImplementedError (not an opaque mid-job ImportError); where
-    present, the workbook round-trips."""
-    import importlib.util
-
+    """--format xlsx routes to the workbook sink and round-trips with
+    whichever engine is present (openpyxl or the stdlib shim)."""
     sheets, mapping = input_dir
     out = os.path.join(str(tmp_path), "ledger.xlsx")
-    argv = ["transform", "--input", sheets, "--mapping", mapping,
-            "--output", out, "--format", "xlsx"]
-    if importlib.util.find_spec("openpyxl") is None:
-        with pytest.raises(NotImplementedError):
-            main(argv)
-        assert not os.path.exists(out)
-    else:
-        main(argv)
-        from exceldatatransform_py_spark.sources.readers import (
-            read_excel_workbook,
-        )
+    main(["transform", "--input", sheets, "--mapping", mapping,
+          "--output", out, "--format", "xlsx"])
+    from exceldatatransform_py_spark.sources.readers import (
+        read_excel_workbook,
+    )
 
-        back = read_excel_workbook(spark, out)
-        assert sorted(back) == ["bianchi", "rossi"]
+    back = read_excel_workbook(spark, out)
+    assert sorted(back) == ["bianchi", "rossi"]
 
 
 def test_cli_query_writes_csv(spark, tmp_path):

@@ -82,15 +82,30 @@ def test_csv_json_roundtrip(spark, tmpdir_):
     assert {tuple(r) for r in back_j.select("k", "s", "v").collect()} == want
 
 
-def test_excel_reader_gated(spark):
-    import pytest as _pytest
-
+def test_excel_reader_shim_types(spark, tmpdir_):
+    """The stdlib shim reader types columns like pandas would: all-int
+    → bigint, numeric mix → double, else string; NULLs tolerated."""
+    from exceldatatransform_py_spark.sources import xlsx_shim
     from exceldatatransform_py_spark.sources.readers import read_excel_workbook
 
-    # no openpyxl in this container: the gate must raise the documented
-    # NotImplementedError, not an opaque ImportError mid-pipeline.
-    with _pytest.raises((NotImplementedError, Exception)):
-        read_excel_workbook(spark, "/nonexistent.xlsx")
+    path = os.path.join(tmpdir_, "in.xlsx")
+    xlsx_shim.write_workbook(
+        path,
+        {
+            "Foglio1": (
+                ["Autore", "Ore", "Giorni"],
+                [["Mario Rossi", 7.5, 1], [None, 2, 2], ["Ada F", None, 3]],
+            )
+        },
+    )
+    sheets = read_excel_workbook(spark, path)
+    df = sheets["Foglio1"]
+    assert df.schema.simpleString() == (
+        "struct<Autore:string,Ore:double,Giorni:bigint>"
+    )
+    rows = sorted(df.collect(), key=lambda r: r["Giorni"])
+    assert rows[0]["Autore"] == "Mario Rossi" and rows[0]["Ore"] == 7.5
+    assert rows[1]["Autore"] is None and rows[1]["Ore"] == 2.0
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmpdir_):
@@ -249,14 +264,10 @@ def test_compact_files_grow_path(spark, tmpdir_):
 # ---------------------------------------------------------------------------
 # Excel workbook sink (S4/S5 in their native format). The Spark-side
 # semantics — per-sheet partitioning, key-column drop, 31-char name
-# truncation, update collapse — are always tested via the staging
-# layout; the xlsx emit itself is import-gated and only round-trips
-# where openpyxl exists.
+# truncation, update collapse — are tested via the staging layout;
+# the xlsx emit round-trips with whichever engine is present
+# (openpyxl preferred, stdlib SpreadsheetML shim otherwise).
 # ---------------------------------------------------------------------------
-
-import importlib.util
-
-HAS_OPENPYXL = importlib.util.find_spec("openpyxl") is not None
 
 
 def test_stage_sheet_partitions_semantics(spark, tmpdir_):
@@ -280,21 +291,6 @@ def test_stage_sheet_partitions_semantics(spark, tmpdir_):
     assert rossi.count() == 2
 
 
-def test_excel_writer_gate_raises_before_work(spark, tmpdir_):
-    if HAS_OPENPYXL:
-        pytest.skip("openpyxl present; gate not reachable")
-    from exceldatatransform_py_spark.sources.writers import write_excel_workbook
-
-    df = spark.createDataFrame([("rossi", 1.0)], ["surname", "ore"])
-    out = os.path.join(tmpdir_, "book.xlsx")
-    with pytest.raises(NotImplementedError):
-        write_excel_workbook(df, out, "surname")
-    # the gate fires BEFORE any Spark work: no staging dir, no output
-    assert not os.path.exists(out)
-    assert not os.path.exists(out + ".staging")
-
-
-@pytest.mark.skipif(not HAS_OPENPYXL, reason="needs openpyxl")
 def test_excel_writer_roundtrip(spark, tmpdir_):
     from exceldatatransform_py_spark.sources.readers import read_excel_workbook
     from exceldatatransform_py_spark.sources.writers import write_excel_workbook
@@ -310,24 +306,29 @@ def test_excel_writer_roundtrip(spark, tmpdir_):
     assert {r["commessa"] for r in sheets["rossi"].collect()} == {"A; B"}
 
 
-@pytest.mark.skipif(not HAS_OPENPYXL, reason="needs openpyxl")
 def test_excel_update_in_place_touches_only_matches(spark, tmpdir_):
     import datetime
 
-    import openpyxl
-
+    from exceldatatransform_py_spark.sources import xlsx_shim
     from exceldatatransform_py_spark.sources.writers import (
         update_excel_workbook_in_place,
     )
 
     path = os.path.join(tmpdir_, "target.xlsx")
-    wb = openpyxl.Workbook()
-    ws = wb.active
-    ws.title = "Rossi"  # sheet match is case-insensitive
-    ws.append(["DATA", "COMMESSA", "ORE"])
-    ws.append([datetime.datetime(2025, 1, 6), "OLD", 1.0])
-    ws.append([datetime.datetime(2025, 1, 7), "KEEP", 2.0])
-    wb.save(path)
+    # Date cells as strings — the reference tolerates string-or-datetime
+    # date cells and compares at day granularity (P6/J2).
+    xlsx_shim.write_workbook(
+        path,
+        {
+            "Rossi": (  # sheet match is case-insensitive
+                ["DATA", "COMMESSA", "ORE"],
+                [
+                    ["2025-01-06", "OLD", 1.0],
+                    ["2025-01-07", "KEEP", 2.0],
+                ],
+            )
+        },
+    )
 
     updates = spark.createDataFrame(
         [
@@ -339,11 +340,35 @@ def test_excel_update_in_place_touches_only_matches(spark, tmpdir_):
     )
     update_excel_workbook_in_place(path, updates)
 
-    back = openpyxl.load_workbook(path)["Rossi"]
-    rows = [[c.value for c in r] for r in back.iter_rows(min_row=2, max_col=3)]
-    assert rows[0] == [datetime.datetime(2025, 1, 6), "A; X", 7.0]
-    assert rows[1] == [datetime.datetime(2025, 1, 7), "KEEP", 2.0]
+    header, rows = xlsx_shim.read_workbook(path)["Rossi"]
+    assert header == ["DATA", "COMMESSA", "ORE"]
+    assert rows[0][1:] == ["A; X", 7.0]
+    assert rows[1] == ["2025-01-07", "KEEP", 2.0]
     assert len(rows) == 2  # never inserts
+
+
+def test_xlsx_shim_escaping_and_widths(tmpdir_):
+    """Shim-level round-trip: XML-special characters, ragged rows,
+    multi-sheet order, and the empty-sheet edge."""
+    from exceldatatransform_py_spark.sources import xlsx_shim
+
+    path = os.path.join(tmpdir_, "edge.xlsx")
+    xlsx_shim.write_workbook(
+        path,
+        {
+            "a&b <c>": (
+                ["k", 'q"uote'],
+                [["<&>", None], [None, 'x"y'], [1.25, -3]],
+            ),
+            "second": (["only"], []),
+        },
+    )
+    back = xlsx_shim.read_workbook(path)
+    assert list(back) == ["a&b <c>", "second"]
+    header, rows = back["a&b <c>"]
+    assert header == ["k", 'q"uote']
+    assert rows == [["<&>", None], [None, 'x"y'], [1.25, -3]]
+    assert back["second"] == (["only"], [])
 
 
 def test_zorder_prunes_on_both_dimensions(spark, tmpdir_):
