@@ -76,11 +76,18 @@ class SheetDirReader(DataSourceReader):
 
 class SheetDirStreamReader(SimpleDataSourceStreamReader):
     """Streaming flavor: sheets dropped into the directory AFTER the
-    stream starts arrive as micro-batches. The offset is the sorted
-    list of sheet files already emitted — replayable
-    (``readBetweenOffsets`` re-reads exactly the files between two
-    offsets), so checkpoint recovery gives the same exactly-once
-    contract as the built-in file source."""
+    stream starts arrive as micro-batches; bytes APPENDED to an
+    already-seen sheet arrive as a later micro-batch too.
+
+    The offset records ``(file name, byte size)`` pairs, and replay
+    (``readBetweenOffsets``) re-reads exactly the recorded byte range
+    of each file — so checkpoint recovery re-emits the same rows even
+    if a file has grown since, giving the built-in file source's
+    exactly-once contract without its whole-file immutability
+    assumption. The one remaining assumption (shared with the built-in
+    source) is that already-emitted bytes are never REWRITTEN: a file
+    that shrinks or changes in place yields undefined replay, because
+    the bytes the offset describes no longer exist."""
 
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -89,37 +96,83 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
         self.dir = path
         self.skip_header = options.get("header", "true").lower() == "true"
 
-    def _sheets(self) -> list[str]:
-        return sorted(
-            f for f in os.listdir(self.dir) if f.endswith(".csv")
-        )
+    def _sizes(self) -> list[tuple[str, int]]:
+        out = []
+        for f in sorted(os.listdir(self.dir)):
+            if f.endswith(".csv"):
+                out.append((f, os.path.getsize(os.path.join(self.dir, f))))
+        return out
 
-    def _emit(self, files: list[str]) -> Iterator[tuple]:
-        start = 1 if self.skip_header else 0
-        for f in files:
+    @staticmethod
+    def _prev(offset: dict) -> dict[str, int | None]:
+        """Offset entries → {name: emitted byte count}. Tolerates the
+        legacy whole-file-list format (value None = fully emitted at
+        an unrecorded size)."""
+        out: dict[str, int | None] = {}
+        for e in offset.get("seen", []):
+            if isinstance(e, str):
+                out[e] = None
+            else:
+                out[e[0]] = e[1]
+        return out
+
+    def _emit(self, ranges: list[tuple[str, int, int]]) -> Iterator[tuple]:
+        """Yield (sheet, line_no, line) for each file's byte range
+        [lo, hi) — only recorded bytes are read, so replay is exact."""
+        for f, lo, hi in ranges:
             sheet = os.path.splitext(f)[0]
-            with open(os.path.join(self.dir, f), encoding="utf-8") as fh:
-                for i, line in enumerate(fh):
-                    if i >= start:
-                        yield (sheet, i, line.rstrip("\n"))
+            with open(os.path.join(self.dir, f), "rb") as fh:
+                data = fh.read(hi)
+            pos = 0
+            for line_no, raw in enumerate(data.split(b"\n")):
+                line_start = pos
+                pos += len(raw) + 1
+                if line_start >= hi:
+                    break
+                if line_start < lo:
+                    continue  # emitted by an earlier batch
+                if self.skip_header and line_no == 0:
+                    continue
+                yield (sheet, line_no, raw.decode("utf-8").rstrip("\r"))
 
     def initialOffset(self) -> dict:
         return {"seen": []}
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         # the simple stream API prefetches records driver-side and
         # PICKLES them to executors — return a materialized list, not
         # a generator. Right for control-plane-sized batches (new
         # sheets per trigger); a data-plane-scale streaming connector
         # uses the partition-planning DataSourceStreamReader instead.
-        seen = set(start["seen"])
-        now = self._sheets()
-        new = [f for f in now if f not in seen]
-        return iter(list(self._emit(new))), {"seen": now}
+        prev = self._prev(start)
+        ranges = []
+        end: list[list] = []
+        for f, cur in self._sizes():
+            lo = prev.get(f, 0)
+            if lo is None:  # legacy offset: treat as fully emitted
+                lo = cur
+            if cur > lo:
+                ranges.append((f, lo, cur))
+            end.append([f, max(cur, lo)])
+        # files that vanished stay in the offset so older batches keep
+        # their recorded extent for replay bookkeeping.
+        now = {f for f, _ in self._sizes()}
+        for name, size in prev.items():
+            if name not in now:
+                end.append([name, size if size is not None else 0])
+        return iter(list(self._emit(ranges))), {"seen": sorted(end)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        seen = set(start["seen"])
-        return iter(list(self._emit([f for f in end["seen"] if f not in seen])))
+        prev = self._prev(start)
+        ranges = []
+        for name, size in self._prev(end).items():
+            lo = prev.get(name, 0) or 0
+            hi = size if size is not None else os.path.getsize(
+                os.path.join(self.dir, name)
+            )
+            if hi > lo:
+                ranges.append((name, lo, hi))
+        return iter(list(self._emit(sorted(ranges))))
 
     def commit(self, end: dict) -> None:
         pass
@@ -138,8 +191,13 @@ class SheetDirWriter(DataSourceWriter):
     only the DRIVER's ``commit`` publishes them (atomic renames), and
     ``abort`` removes the staged files — a failed or speculative task
     can never leave a partial sheet visible. Rows must carry
-    ``(sheet, line)``; one output CSV per sheet value per task, so
-    pre-``repartition(sheet)`` for exactly one file per sheet."""
+    ``(sheet, line)``. When one sheet's rows land in several tasks
+    (caller didn't ``repartition(sheet)``), commit MERGES the staged
+    fragments in deterministic order rather than keeping one task's
+    file. ``mode("overwrite")`` clears pre-existing sheets at commit;
+    append leaves them. The staging directory is unique per job, so
+    concurrent writes to one output directory cannot clobber each
+    other's staged files."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
         path = options.get("path")
@@ -147,7 +205,10 @@ class SheetDirWriter(DataSourceWriter):
             raise ValueError("sheetdir sink requires option 'path'")
         self.dir = path
         self.overwrite = overwrite
-        self.stage = os.path.join(path, "_staging")
+        # unique per job: __init__ runs once on the driver and the
+        # instance is serialized to tasks, so every task of this job
+        # shares one staging dir and no other job's abort can touch it.
+        self.stage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
 
     def write(self, rows) -> _SheetCommit:
         os.makedirs(self.stage, exist_ok=True)
@@ -166,11 +227,29 @@ class SheetDirWriter(DataSourceWriter):
         return _SheetCommit(files=staged)
 
     def commit(self, messages) -> None:
+        by_final: dict[str, list[str]] = {}
         for m in messages:
             if m is None:
                 continue
             for tmp, final in m.files:
-                os.replace(tmp, os.path.join(self.dir, final))
+                by_final.setdefault(final, []).append(tmp)
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".csv"):
+                    os.remove(os.path.join(self.dir, f))
+        for final, tmps in by_final.items():
+            dest = os.path.join(self.dir, final)
+            if len(tmps) == 1:
+                os.replace(tmps[0], dest)
+            else:
+                # multi-task sheet: merge fragments (sorted by staged
+                # name = stable across retries), publish atomically.
+                merged = os.path.join(self.stage, final + ".merged")
+                with open(merged, "w", encoding="utf-8") as out:
+                    for tmp in sorted(tmps):
+                        with open(tmp, encoding="utf-8") as fh:
+                            shutil.copyfileobj(fh, out)
+                os.replace(merged, dest)
         shutil.rmtree(self.stage, ignore_errors=True)
 
     def abort(self, messages) -> None:

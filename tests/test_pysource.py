@@ -115,3 +115,75 @@ def test_sheetdir_writer_sheet_per_key_commit(spark, tmp_path):
         .option("header", "false").load()
     )
     assert back.count() == 3
+
+
+def test_sheetdir_writer_merges_multitask_sheets(spark, tmp_path):
+    """A sheet whose rows land in MULTIPLE tasks (caller didn't
+    repartition by sheet) must still publish every row — commit merges
+    the staged fragments instead of last-write-wins."""
+    out = str(tmp_path / "book_multi")
+    os.makedirs(out)
+    register(spark)
+    lines = [("rossi", f"{i},{i}") for i in range(8)]
+    # round-robin over 4 partitions: every task holds rossi rows.
+    df = spark.createDataFrame(lines, "sheet string, line string").repartition(4)
+    df.write.format("sheetdir").option("path", out).mode("append").save()
+    with open(os.path.join(out, "rossi.csv")) as f:
+        got = sorted(f.read().splitlines())
+    assert got == sorted(line for _, line in lines)
+
+
+def test_sheetdir_writer_overwrite_clears_stale_sheets(spark, tmp_path):
+    """mode('overwrite') replaces the directory's sheet set; append
+    keeps pre-existing sheets."""
+    out = str(tmp_path / "book_ow")
+    os.makedirs(out)
+    with open(os.path.join(out, "stale.csv"), "w") as f:
+        f.write("9,9\n")
+    register(spark)
+    df = spark.createDataFrame([("fresh", "1,1")], "sheet string, line string")
+    df.write.format("sheetdir").option("path", out).mode("overwrite").save()
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "fresh.csv"
+    ]
+    df2 = spark.createDataFrame([("more", "2,2")], "sheet string, line string")
+    df2.write.format("sheetdir").option("path", out).mode("append").save()
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "fresh.csv", "more.csv",
+    ]
+
+
+def test_sheetdir_stream_picks_up_appended_rows(spark, sheet_dir):
+    """Bytes appended to an already-emitted sheet arrive as a later
+    micro-batch (offset records (name, size), not just name)."""
+    import tempfile, shutil
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="sheetdir_append_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("sheetdir").option("path", sheet_dir).load()
+            .writeStream.format("memory")
+            .queryName("sheet_stream_append")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM sheet_stream_append").count() == 3
+
+            with open(os.path.join(sheet_dir, "C300.csv"), "a") as f:
+                f.write("7,8\n")
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT sheet, line FROM sheet_stream_append"
+            ).collect()
+            assert len(rows) == 4  # exactly the appended row, no re-emit
+            assert {(r["sheet"], r["line"]) for r in rows if r["sheet"] == "C300"} == {
+                ("C300", "5,6"), ("C300", "7,8"),
+            }
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
