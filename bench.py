@@ -81,6 +81,21 @@ FROZEN_COHORT = frozenset([
     "window_running_qty", "window_trailing_30d_qty",
 ])
 
+# Tamper guard: cohort_total is only comparable round-over-round if the
+# membership NEVER changes. Any edit to FROZEN_COHORT breaks this hash
+# loudly instead of silently redefining the metric.
+_COHORT_SHA256 = "2cb7c23b430be5030619dee42cffa42f0434e3a3b1eab52eb58dfbf619fbccd7"
+
+
+def _assert_cohort_integrity() -> None:
+    import hashlib
+
+    h = hashlib.sha256("\n".join(sorted(FROZEN_COHORT)).encode()).hexdigest()
+    assert len(FROZEN_COHORT) == 114 and h == _COHORT_SHA256, (
+        f"FROZEN_COHORT redefined (n={len(FROZEN_COHORT)}, sha256={h}) — "
+        "the frozen cohort must stay the mid-round-2 114-query set"
+    )
+
 
 def run_one(name: str, sf_dir: str, warm_dir: str) -> None:
     """Child mode: warm up, time one query (min of 2 passes), print a
@@ -150,6 +165,7 @@ def main() -> None:
         print(f"bench: {name} {sec}s", file=sys.stderr, flush=True)
         return sec
 
+    _assert_cohort_integrity()
     names = list(QUERIES)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         times = dict(zip(names, pool.map(run_child, names)))

@@ -79,12 +79,22 @@ def _cosine_pre(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     return _dec_dot(qv, cv).cast("double") / (qn * cn)
 
 
+def _corpus_norm(vec_col: str, norm_col: str | None) -> Column:
+    """Corpus-side norm: computed per row, or read from a column the
+    caller staged (and typically persisted) so one norm pass serves
+    several searches over the same corpus — ``ann_recall_at_k`` runs
+    exact + LSH + IVF over one staged frame. Same expression either
+    way, so results are bit-identical."""
+    return _norm(F.col(vec_col)) if norm_col is None else F.col(norm_col)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -102,7 +112,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _corpus_norm(vec_col, norm_col).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -156,6 +166,7 @@ def hyperplane_lsh_topk(
     n_planes: int = 4,
     seed: int = 42,
     probe_hamming: int = 1,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's probed
     LSH buckets.
@@ -197,7 +208,7 @@ def hyperplane_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _corpus_norm(vec_col, norm_col).alias("__cn"),
     )
     # each corpus vector owns exactly ONE bucket and a query's probe
     # list is distinct, so a (query, neighbor) pair meets at most once
@@ -228,6 +239,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cent_vec",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """IVF build step: assign every vector to its nearest centroid
     (max cosine; ties → lowest centroid id).
@@ -252,7 +264,7 @@ def ivf_assign(
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__vn"),
+        _corpus_norm(vec_col, norm_col).alias("__vn"),
     ).join(F.broadcast(c))
     best = (
         scored.withColumn(
@@ -277,6 +289,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe``
     nearest centroid cells and scores ONLY the vectors assigned there
@@ -290,11 +303,13 @@ def ivf_topk(
     Output matches ``cosine_topk``: ``(query_id, neighbor_id,
     cosine, rk)``, self-pairs excluded, ties by neighbor id.
     """
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, norm_col=norm_col
+    )
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _corpus_norm(vec_col, norm_col).alias("__cn"),
     ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
     c = centroids.select(

@@ -462,15 +462,50 @@ def discount_quantity_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ---------------------------------------------------------------------------
 # Co-occurrence / market-basket: part pairs ordered together more
-# often than chance. Pair generation is an orderkey self-join — work
-# is O(items² per order) with order size bounded (≤7 lineitems), never
-# a global cross join; support/lift are integer-count ratios, so the
-# only doubles are single divisions on identical operands. The same
-# plan shape is the inner loop of co-occurrence embedding training
-# (PMI matrices) at corpus scale.
+# often than chance. Pair generation groups each order's distinct
+# parts into ONE sorted array (single shuffle) and expands the
+# ordered pairs MAP-SIDE with array built-ins — work is O(items² per
+# order) with order size bounded (≤7 lineitems), and unlike the
+# orderkey self-join formulation it shuffles lineitem once instead of
+# staging both join sides (measured ~2× on the family: lift /
+# triangles / pagerank all start from this subtree). Support/lift are
+# integer-count ratios, so the only doubles are single divisions on
+# identical operands. The same plan shape is the inner loop of
+# co-occurrence embedding training (PMI matrices) at corpus scale.
 # ---------------------------------------------------------------------------
 
 _MIN_PAIR_SUPPORT = 3
+
+#: per-order ordered pairs (pa < pb follows from sort_array):
+#: element i pairs with every later element — slice is 1-based, so the
+#: tail after index i (0-based) starts at position i + 2.
+_PAIR_EXPR = (
+    "flatten(transform(parts, (x, i) -> "
+    "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"
+)
+
+
+def _order_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order: sorted array of its distinct parts — the
+    shared subtree of the co-occurrence family (lift / triangles /
+    pagerank), built with a single hash-aggregate shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+
+
+def _part_pairs(ords: DataFrame, min_support: int) -> DataFrame:
+    """Pair supports from the per-order part arrays: map-side pair
+    expansion (bounded by order size), one aggregate shuffle on the
+    32-bit pair key."""
+    return (
+        ords.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
 
 
 @register(
@@ -500,27 +535,20 @@ _MIN_PAIR_SUPPORT = 3
     """,
 )
 def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    # persisted: the distinct is a full shuffle over lineitem and four
-    # consumers (total, part counts, both self-join sides) would each
-    # re-run it — Catalyst does not dedupe repeated subtrees.
-    items = li.select("l_orderkey", "l_partkey").distinct().persist()
-    total = items.select(
-        F.countDistinct("l_orderkey").alias("total")
+    # persisted: the grouped arrays are a full shuffle over lineitem
+    # and three consumers (order total, part counts, pair expansion)
+    # would each re-run it — Catalyst does not dedupe repeated subtrees.
+    ords = _order_part_sets(spark, sf_dir).persist()
+    total = ords.select(F.count(F.lit(1)).alias("total"))
+    part_cnt = (
+        ords.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
     )
-    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+    pairs = _part_pairs(ords, _MIN_PAIR_SUPPORT).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("n").alias("n_pair"),
     )
     ca = part_cnt.select(
         F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
@@ -572,25 +600,13 @@ _TRI_SUPPORT = 2
     """,
 )
 def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    # persisted twice over: `items` feeds both self-join sides, and the
-    # (tiny) edge list `e` feeds all three triangle roles — without the
-    # persists the distinct+pair pipeline runs five times.
-    items = li.select("l_orderkey", "l_partkey").distinct().persist()
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
+    # the (tiny) edge list `e` feeds all three triangle roles — without
+    # the persist the grouped-array + pair pipeline runs three times.
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _TRI_SUPPORT)
+        _part_pairs(_order_part_sets(spark, sf_dir), _TRI_SUPPORT)
         .select("pa", "pb")
-    ).persist()
+        .persist()
+    )
     e1 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
     e2 = e.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
     e3 = e.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_c"))
@@ -874,17 +890,8 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 
 @register("pagerank_cooccurrence", oracle=_pagerank_oracle())
 def pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct().persist()
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _TRI_SUPPORT)
-        .select("pa", "pb")
+    e = _part_pairs(_order_part_sets(spark, sf_dir), _TRI_SUPPORT).select(
+        "pa", "pb"
     )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).union(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))

@@ -817,27 +817,43 @@ _ANN_RECALL_FLOORS = {"ivf": 0.7, "lsh": 0.3}
     """,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    from exceldatatransform_py_spark.operators.similarity import _norm
+
+    # ONE staged corpus serves all three searches: the parquet array
+    # decode and the O(dim) norm pass run once (persisted), not once
+    # per method — the measurement query stops paying for its
+    # baseline's staging three times. norm_col wiring keeps results
+    # bit-identical to the unstaged form. fan_out: the testdata file
+    # is a single row group, and without it every interpreted-HOF
+    # scoring pass over the persisted corpus runs as ONE task.
+    emb = (
+        read_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("__n"))
+        .persist()
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     # The exact top-5 is the shared ground truth for both methods and
     # for the totals row — materialize its ~50 rows once instead of
     # re-running the brute-force scoring three times in one plan.
     exact = (
-        cosine_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+        cosine_topk(
+            queries, emb, id_col="vec_id", vec_col="embedding",
+            k=5, norm_col="__n",
+        )
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     lsh = hyperplane_lsh_topk(
         queries, emb, id_col="vec_id", vec_col="embedding",
-        k=5, dim=64, n_planes=4, seed=42,
+        k=5, dim=64, n_planes=4, seed=42, norm_col="__n",
     )
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     ivf = ivf_topk(
         queries, emb, centroids, id_col="vec_id", vec_col="embedding",
-        k=5, n_probe=2,
+        k=5, n_probe=2, norm_col="__n",
     )
 
     def method_row(ann: DataFrame, name: str) -> DataFrame:
