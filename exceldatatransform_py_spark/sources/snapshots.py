@@ -39,6 +39,8 @@ import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from exceldatatransform_py_spark.operators.merge import merge_update
 
@@ -94,6 +96,20 @@ def snapshot_write(table: str, df: DataFrame) -> int:
     return _commit(table, df, "overwrite", latest_version(table))
 
 
+def _manifest_files(table: str, manifest: dict) -> list[str]:
+    """Data files of one version, as paths relative to the table root.
+    File-level manifests (pruned merges) list them explicitly;
+    directory-level manifests own every parquet in their data_dir."""
+    if "files" in manifest:
+        return list(manifest["files"])
+    data_dir = os.path.join(table, manifest["data_dir"])
+    return sorted(
+        os.path.join(manifest["data_dir"], f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def snapshot_read(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -106,7 +122,15 @@ def snapshot_read(
     v = ms[-1]["version"] if version is None else version
     if v not in by_v:
         raise ValueError(f"version {v} not in {sorted(by_v)}")
-    return spark.read.parquet(os.path.join(table, by_v[v]["data_dir"]))
+    m = by_v[v]
+    if "files" not in m:
+        return spark.read.parquet(os.path.join(table, m["data_dir"]))
+    files = [os.path.join(table, f) for f in m["files"]]
+    if not files:  # a merge that touched nothing on an empty table
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(m["schema"])
+        )
+    return spark.read.parquet(*files)
 
 
 def snapshot_merge_update(
@@ -123,6 +147,130 @@ def snapshot_merge_update(
     current = snapshot_read(spark, table)
     merged = merge_update(current, updates, on=on, update_cols=update_cols)
     return _commit(table, merged, "merge_update", latest_version(table))
+
+
+def _footer_minmax(path: str, col: str):
+    """(min, max) of ``col`` across a parquet file's row groups, read
+    from footer statistics — None when any group lacks stats (the
+    caller must then treat the file as touched). A production variant
+    caches these in the commit manifest at write time, exactly where
+    Delta/Iceberg keep per-file stats; reading footers keeps this
+    module dependent on nothing but the parquet files themselves."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == col:
+            idx = i
+            break
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
+def snapshot_merge_update_pruned(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    on: Sequence[str],
+    update_cols: Sequence[str],
+    prune_col: str | None = None,
+) -> int:
+    """File-pruned update-only merge: rewrite ONLY the target files
+    whose ``prune_col`` min/max range can overlap the update keys;
+    every other file is carried into the new version BY REFERENCE
+    (byte-identical, never read, never copied).
+
+    This is the MERGE INTO upgrade path SURVEY §2.1 documents, built
+    on the snapshot layer's immutable files: at 100 TB a merge that
+    touches one day of a range-clustered fact table
+    (``writers.write_range_clustered``) rewrites that day's files and
+    commits a manifest, instead of rewriting the table. Pruning is a
+    SUPERSET test on footer stats (files overlapping the update-key
+    bounds may still contain no matches — they rewrite unchanged;
+    files outside the bounds provably cannot match, since equality on
+    ``prune_col`` — default: the first merge key — is necessary for a
+    row to match). Files without usable stats are conservatively
+    rewritten.
+
+    Semantics are identical to ``snapshot_merge_update`` (J2/J3:
+    matched rows get ``update_cols`` overwritten, unmatched target
+    rows untouched, unmatched updates discarded); only the physical
+    rewrite set differs. Row order within the table may differ — the
+    table contract is set-of-rows, as for any Spark parquet write.
+    """
+    prune_col = prune_col or on[0]
+    if prune_col not in on:
+        raise ValueError(
+            f"prune_col {prune_col!r} must be one of the merge keys {on}"
+        )
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    files = _manifest_files(table, latest)
+    bounds = updates.agg(
+        F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+
+    touched: list[str] = []
+    inherited: list[str] = []
+    for rel in files:
+        if lo is None:  # empty update set: nothing can match
+            inherited.append(rel)
+            continue
+        mm = _footer_minmax(os.path.join(table, rel), prune_col)
+        if mm is None:
+            touched.append(rel)
+        else:
+            fmin, fmax = mm
+            (inherited if fmax < lo or fmin > hi else touched).append(rel)
+
+    v = latest["version"] + 1
+    data_dir = f"d{v:05d}"
+    new_files: list[str] = []
+    if touched:
+        target = spark.read.parquet(*[os.path.join(table, r) for r in touched])
+        merged = merge_update(target, updates, on=on, update_cols=update_cols)
+        merged.write.mode("errorifexists").parquet(
+            os.path.join(table, data_dir)
+        )
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(os.path.join(table, data_dir))
+            if f.endswith(".parquet")
+        )
+    schema = (
+        merged.schema.jsonValue() if touched else latest["schema"]
+    )
+    manifest = {
+        "version": v,
+        "data_dir": data_dir,
+        "files": new_files + inherited,
+        "kind": "merge_update_pruned",
+        "parent": latest["version"],
+        "schema": schema,
+        "pruning": {
+            "col": prune_col,
+            "rewritten_files": len(touched),
+            "inherited_files": len(inherited),
+        },
+    }
+    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
+    tmp = _version_path(table, v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _version_path(table, v))
+    return v
 
 
 def rollback(table: str, version: int) -> int:
@@ -147,15 +295,24 @@ def rollback(table: str, version: int) -> int:
 def vacuum(table: str, keep_last: int = 2) -> list[int]:
     """Drop data directories only referenced by versions older than
     the last ``keep_last`` — bounded storage growth, the VACUUM
-    analogue. Directories shared with retained versions (rollback
-    commits) are kept. Returns the vacuumed version numbers."""
+    analogue. Directories shared with retained versions — rollback
+    commits, and files INHERITED across pruned merges — are kept.
+    Returns the vacuumed version numbers."""
     ms = _manifests(table)
     if len(ms) <= keep_last:
         return []
     keep = {m["data_dir"] for m in ms[-keep_last:]}
+    for m in ms[-keep_last:]:
+        for f in m.get("files", []):
+            keep.add(os.path.dirname(f))
     dropped = []
     for m in ms[:-keep_last]:
-        if m["data_dir"] not in keep:
-            shutil.rmtree(os.path.join(table, m["data_dir"]), ignore_errors=True)
-            dropped.append(m["version"])
+        refs = {m["data_dir"]} | {
+            os.path.dirname(f) for f in m.get("files", [])
+        }
+        if refs & keep:
+            continue
+        for d in refs:
+            shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+        dropped.append(m["version"])
     return dropped

@@ -59,6 +59,111 @@ def test_merge_update_commits_new_version(spark, table):
     assert before == {1: 10.0, 2: 20.0}
 
 
+def _file_hashes(table):
+    import hashlib
+
+    out = {}
+    for root, _dirs, files in os.walk(table):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, table)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_pruned_merge_rewrites_only_touched_files(spark, table):
+    """File-pruned merge: only files whose key range overlaps the
+    update keys are rewritten; every other file of the parent version
+    is carried into the new version by reference, byte-identical."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    # range-clustered layout: 4 files with disjoint k ranges, so the
+    # footer min/max stats are selective (write_range_clustered shape)
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    before = _file_hashes(table)
+    assert len(before) == 4
+
+    # updates confined to a narrow key range → ≤2 files overlap
+    ups = spark.createDataFrame([(10, -1.0), (20, -2.0)], "k long, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    assert v == 1
+
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        manifest = json.load(f)
+    assert manifest["pruning"]["rewritten_files"] <= 2
+    assert manifest["pruning"]["inherited_files"] >= 2
+    # inherited files are the PARENT's paths (d00000/...), not copies,
+    # and their bytes are untouched
+    inherited = [p for p in manifest["files"] if p.startswith("d00000")]
+    assert len(inherited) == manifest["pruning"]["inherited_files"]
+    after = _file_hashes(table)
+    for p in inherited:
+        assert after[p] == before[p]
+
+    # relational result identical to the unpruned merge
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert len(got) == 400
+    assert got[10] == -1.0 and got[20] == -2.0
+    assert got[0] == 0.0 and got[399] == 399.0
+    # parent version still reads the pre-merge data
+    old = {r.k: r.x for r in snapshot_read(spark, table, version=0).collect()}
+    assert old[10] == 10.0 and old[20] == 20.0
+
+
+def test_pruned_merge_empty_updates_inherits_everything(spark, table):
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
+    snapshot_write(table, base.repartitionByRange(2, "k"))
+    before = _file_hashes(table)
+    ups = spark.createDataFrame([], "k int, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    assert v == 1
+    assert _file_hashes(table) == before  # nothing written at all
+    assert {r.k: r.x for r in snapshot_read(spark, table).collect()} == {
+        1: 1.0, 2: 2.0,
+    }
+
+
+def test_vacuum_keeps_dirs_inherited_by_pruned_merge(spark, table):
+    """A pruned merge's new version references files in OLD data dirs;
+    vacuum must not drop those dirs while the version is retained."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    ups = spark.createDataFrame([(5, -5.0)], "k long, x double")
+    snapshot_merge_update_pruned(spark, table, ups, on=["k"], update_cols=["x"])
+    dropped = vacuum(table, keep_last=1)  # keeps only the merge version
+    assert dropped == []  # v0's dir is shared with v1 via inherited files
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert len(got) == 100 and got[5] == -5.0
+
+
 def test_rollback_is_metadata_only(spark, table):
     df0 = spark.range(4).select("id")
     df1 = spark.range(2).select("id")
