@@ -471,3 +471,111 @@ def test_explicit_broadcast_survives_disabled_autobroadcast(spark):
         assert "SortMergeJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_agg_spreads_hot_key_and_matches_plain(spark):
+    """End-to-end skew story, aggregation half: on a table where ONE
+    key holds 50% of all rows, the salted aggregate must (a) shuffle
+    on (key, salt) — remove the salting and this plan assertion fails
+    — and (b) bound per-reducer state: the hot key's largest partial
+    group carries ~1/buckets of its rows, not all of them. Values stay
+    identical to the plain GROUP BY."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.operators.skew import salted_sum_count
+
+    n, buckets = 20_000, 16
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    out = salted_sum_count(skewed, keys=["k"], sum_col="v", salt_buckets=buckets)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the first exchange partitions on the salt, not on the bare key
+    first_exchange = plan.split("hashpartitioning(")[1].split(")")[0]
+    assert "__salt" in first_exchange
+
+    # effect: per-(key, salt) partial state for the hot key is bounded
+    salt = (F.abs(F.hash(*[F.col(c) for c in skewed.columns])) % buckets)
+    hot_partials = (
+        skewed.filter(F.col("k") == 0)
+        .groupBy(salt.alias("s"))
+        .count()
+        .collect()
+    )
+    hot_rows = n // 2
+    assert len(hot_partials) == buckets
+    assert max(r["count"] for r in hot_partials) < hot_rows / (buckets / 4)
+
+    got = {r["k"]: (r["sum_value"], r["n_rows"]) for r in out.collect()}
+    want = {
+        r["k"]: (r["sum_value"], r["n_rows"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """End-to-end skew story, join half: with one key owning 50% of
+    the left side and broadcast disabled, AQE's skew-join handling
+    must split the hot partition — the executed plan carries the
+    skew=true marker. Remove skew handling (or break the thresholds)
+    and this fails."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("dim_v")
+        )
+        # no aggregation AFTER the join: a downstream groupBy on the
+        # join key would reuse the join's partitioning, and AQE
+        # (rightly) refuses to split a skewed partition when that
+        # breaks a required distribution — the split applies where the
+        # join output is consumed partition-agnostically.
+        # collect() drives THIS DataFrame's own QueryExecution (write
+        # and count() both execute a derived plan, whose final adaptive
+        # form we could not read back); after it the plan is final.
+        joined = left.join(right, "k").select("k", "payload", "dim_v")
+        assert len(joined.collect()) == n
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
