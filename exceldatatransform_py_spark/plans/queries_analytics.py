@@ -1136,3 +1136,52 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey")))
         .alias("m_quintile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (equal-count deciles) — the complement of the
+# equal-WIDTH price histogram: bucket edges are order statistics, so
+# every bucket holds the same row count and the edges trace the
+# distribution. Exact-cents + fully tie-broken ntile keeps both
+# engines assigning identical buckets (the rfm pattern). The global
+# ntile is one sorted pass — fine for dimension-scale inputs; a
+# billion-row fact switches to the winsorized-mean pattern (integer
+# order-stat edges from a ranked window per partition, merged).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "equi_depth_price_deciles",
+    oracle="""
+    WITH edc AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    edt AS (
+      SELECT cents,
+             CAST(NTILE(10) OVER (ORDER BY cents, o_orderkey) AS INTEGER)
+               AS decile
+      FROM edc
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM edt GROUP BY decile
+    """,
+)
+def equi_depth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    t = c.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

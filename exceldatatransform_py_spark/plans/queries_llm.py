@@ -1992,3 +1992,209 @@ def dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("multiplicity") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("multiplicity") - 1) * F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score a small query-document set against the corpus
+# through the term inverted index — the lexical twin of cosine_topk
+# (dense) for the retrieval side of a data pipeline (e.g. mining
+# near-matches of eval prompts from the training corpus).
+#
+# Engine-exactness: a BM25 score is a SUM of per-term doubles, and
+# floating-point addition is not associative — so each term's
+# contribution is floor-scaled to a BIGINT (the similarity module's
+# trick) and summed exactly; both engines then derive the double score
+# by one fixed-shape division. idf is the exact rational N/df (no ln:
+# rational idf keeps cross-engine parity and preserves ranking
+# monotonicity in df).
+#
+# Scale shape: queries broadcast; the term join hits only posting
+# lists of the query's terms (work = Σ df over query terms, never
+# |Q|·N). Stopword-grade terms dominate that sum at 100 TB — the
+# production knob is a df cap on the query side (drop terms with
+# df > x% of N, the classic stopword cut); uncapped here because the
+# synthetic corpus has a 31-term vocabulary.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_SCALE = 1_000_000_000
+_BM25_NQ = 10  # query docs: doc_id < 10
+_BM25_K = 5
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=rf"""
+    WITH btoks AS (
+      SELECT doc_id, unnest({_TOKS.format(col="lower(text)")}) AS tok
+      FROM documents
+    ),
+    btf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM btoks GROUP BY 1, 2
+    ),
+    blen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM btoks GROUP BY 1
+    ),
+    bstats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM blen
+    ),
+    bdf AS (
+      SELECT tok, COUNT(*) AS df FROM btf GROUP BY 1
+    ),
+    bq AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM btoks WHERE doc_id < {_BM25_NQ}
+    ),
+    bterm AS (
+      SELECT q.query_id, f.doc_id,
+             CAST(FLOOR(
+               (CAST(s.n_docs AS DOUBLE) / d.df)
+               * (f.tf * ({_BM25_K1} + 1))
+               / (f.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * (l.dl / s.avgdl)))
+               * {_BM25_SCALE}) AS BIGINT) AS contrib
+      FROM bq q
+      JOIN btf f USING (tok)
+      JOIN bdf d USING (tok)
+      JOIN blen l ON l.doc_id = f.doc_id
+      CROSS JOIN bstats s
+      WHERE f.doc_id != q.query_id
+    ),
+    bscore AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(contrib) AS BIGINT) AS score_scaled,
+             COUNT(*) AS n_terms
+      FROM bterm GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_scaled, n_terms,
+           CAST(score_scaled AS DOUBLE) / {_BM25_SCALE} AS score, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rk
+      FROM bscore
+    ) WHERE rk <= {_BM25_K}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    # toks feeds tf, lengths, AND the query-term extraction — persist
+    # the one explode instead of tokenizing three times.
+    toks = toks.persist()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds df AND the scoring join — same self-join rule as tfidf.
+    tf = tf.persist()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        toks.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    contrib = F.floor(
+        (F.col("n_docs").cast("double") / F.col("df"))
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
+        )
+        * _BM25_SCALE
+    ).cast("bigint")
+    term = (
+        F.broadcast(q)
+        .join(tf, "tok")
+        .join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+    )
+    score = term.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score_scaled"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        score.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BM25_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_scaled",
+            "n_terms",
+            (F.col("score_scaled").cast("double") / _BM25_SCALE).alias("score"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual sampling weights — the standard
+# upsampling recipe for low-resource languages in a training mixture:
+# w_l ∝ p_l^α with α = 0.5, i.e. w_l ∝ sqrt(n_l). sqrt is correctly
+# rounded IEEE in both engines; the normalizing sum runs over
+# floor-scaled BIGINTs so the total is partition-order-exact, and the
+# final weights are single fixed-shape divisions. `epoch_boost` =
+# w_l / p_l is the effective over-sampling factor each language gets.
+# Map-only over one tiny per-language aggregate — trivially 100 TB
+# safe (the fact scan is the only data-sized work).
+# ---------------------------------------------------------------------------
+
+_TEMP_SCALE = 1_000_000_000
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle=f"""
+    WITH tw AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(FLOOR(SQRT(COUNT(*)) * {_TEMP_SCALE}) AS BIGINT) AS s
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS s_tot,
+             CAST(SUM(n_docs) AS BIGINT) AS n_tot
+      FROM tw
+    )
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / n_tot AS p_raw,
+           CAST(s AS DOUBLE) / s_tot AS weight,
+           (CAST(s AS DOUBLE) / s_tot)
+             / (CAST(n_docs AS DOUBLE) / n_tot) AS epoch_boost
+    FROM tw CROSS JOIN tot
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tw = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * _TEMP_SCALE)
+        .cast("bigint")
+        .alias("s"),
+    )
+    tot = tw.agg(
+        F.sum("s").alias("s_tot"), F.sum("n_docs").alias("n_tot")
+    )
+    p_raw = F.col("n_docs").cast("double") / F.col("n_tot")
+    weight = F.col("s").cast("double") / F.col("s_tot")
+    return tw.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        p_raw.alias("p_raw"),
+        weight.alias("weight"),
+        (weight / p_raw).alias("epoch_boost"),
+    )
