@@ -132,7 +132,14 @@ def read_workbook(path: str) -> dict[str, tuple[list[str], list[list]]]:
                 continue
             ws = ET.fromstring(zf.read(part))
             rows: dict[int, dict[int, object]] = {}
+            prev_row = -1
             for row in ws.iter(f"{_NS}row"):
+                # a declared row with no (non-empty) cells is still a
+                # row — interior blank rows must survive a round-trip.
+                r_attr = row.get("r")
+                row_idx = int(r_attr) - 1 if r_attr else prev_row + 1
+                prev_row = row_idx
+                rows.setdefault(row_idx, {})
                 for cell in row.findall(f"{_NS}c"):
                     ref = cell.get("r")
                     if ref is None:

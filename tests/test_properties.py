@@ -459,3 +459,128 @@ def test_result_invariant_to_shuffle_parallelism(spark, qname):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert low == high
+
+
+# ---------------------------------------------------------------------------
+# xlsx shim: write→read round-trip over arbitrary cell content. The
+# shim is pure stdlib (no Spark), so examples are cheap — exercise it
+# harder than the Spark-job-backed properties above.
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**52), max_value=2**52),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"),  # no surrogates/control
+        ),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    header=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    rows=st.lists(st.lists(_cell, min_size=0, max_size=5), max_size=8),
+)
+def test_xlsx_shim_roundtrip_property(tmp_path_factory, header, rows):
+    import os
+
+    from exceldatatransform_py_spark.sources import xlsx_shim
+
+    # normalize rows to header width (the shim contract: sheets are
+    # rectangular up to the header's width; extras are dropped)
+    width = len(header)
+    norm = [
+        (r + [None] * width)[:width] for r in rows
+    ]
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("xlsx_prop")), "t.xlsx"
+    )
+    xlsx_shim.write_workbook(path, {"S": (header, norm)})
+    got_header, got_rows = xlsx_shim.read_workbook(path)["S"]
+    assert got_header == [str(h) for h in header]
+    # trailing all-None rows have no cells and are indistinguishable
+    # from the sheet simply ending — trim both sides before comparing.
+    def trim(rs):
+        out = [list(r) for r in rs]
+        while out and all(v is None for v in out[-1]):
+            out.pop()
+        return out
+
+    want = trim(norm)
+    got = trim(got_rows)
+    assert len(got) == len(want)
+    for wr, gr in zip(want, got):
+        for wv, gv in zip(wr, gr):
+            if isinstance(wv, float) and not isinstance(wv, bool):
+                assert gv == wv or (
+                    isinstance(gv, (int, float)) and float(gv) == wv
+                )
+            elif isinstance(wv, int) and not isinstance(wv, bool):
+                assert gv == wv
+            else:
+                assert gv == wv
+
+
+# ---------------------------------------------------------------------------
+# Pruned merge ≡ plain merge: for arbitrary key sets on both sides,
+# the file-pruned snapshot merge commits exactly the rows the
+# unpruned relational merge produces (pruning is physical only).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    target_keys=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=40,
+        unique=True,
+    ),
+    update_keys=st.lists(
+        st.integers(min_value=0, max_value=80), min_size=0, max_size=15,
+        unique=True,
+    ),
+    n_files=st.integers(min_value=1, max_value=4),
+)
+def test_pruned_merge_equals_plain_merge(
+    spark, tmp_path_factory, target_keys, update_keys, n_files
+):
+    import os
+
+    from exceldatatransform_py_spark.operators.merge import merge_update
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = os.path.join(str(tmp_path_factory.mktemp("pm")), "tbl")
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in target_keys], "k int, x double"
+    )
+    snapshot_write(
+        table, base.repartitionByRange(n_files, "k").sortWithinPartitions("k")
+    )
+    ups = spark.createDataFrame(
+        [(k, -float(k)) for k in update_keys], "k int, x double"
+    )
+    snapshot_merge_update_pruned(spark, table, ups, on=["k"], update_cols=["x"])
+    got = sorted(
+        (r.k, r.x) for r in snapshot_read(spark, table).collect()
+    )
+    want = sorted(
+        (r.k, r.x)
+        for r in merge_update(base, ups, on=["k"], update_cols=["x"]).collect()
+    )
+    assert got == want
