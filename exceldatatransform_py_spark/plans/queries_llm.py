@@ -2016,9 +2016,13 @@ def dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthetic corpus has a 31-term vocabulary.
 # ---------------------------------------------------------------------------
 
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-_BM25_SCALE = 1_000_000_000
+from exceldatatransform_py_spark.operators.retrieval import (  # noqa: E402
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+    BM25_SCALE as _BM25_SCALE,
+    bm25_topk,
+)
+
 _BM25_NQ = 10  # query docs: doc_id < 10
 _BM25_K = 5
 
@@ -2079,67 +2083,28 @@ _BM25_K = 5
     """,
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from exceldatatransform_py_spark.operators.retrieval import tokenize
 
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    # toks feeds tf, lengths, AND the query-term extraction — persist
-    # the one explode instead of tokenizing three times.
-    toks = toks.persist()
+    # The staged relations share one tokenize+tf subtree with several
+    # consumers (postings, doclen, stats, query-term extraction) —
+    # persist the explode once instead of tokenizing four times.
+    toks = tokenize(docs, "doc_id", "text").persist()
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # tf feeds df AND the scoring join — same self-join rule as tfidf.
     tf = tf.persist()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     q = (
         toks.filter(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "tok")
         .distinct()
     )
-    contrib = F.floor(
-        (F.col("n_docs").cast("double") / F.col("df"))
-        * (F.col("tf") * (_BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
-        )
-        * _BM25_SCALE
-    ).cast("bigint")
-    term = (
-        F.broadcast(q)
-        .join(tf, "tok")
-        .join(df_, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "doc_id", contrib.alias("contrib"))
-    )
-    score = term.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").alias("score_scaled"),
-        F.count(F.lit(1)).alias("n_terms"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_scaled").desc(), F.col("doc_id").asc()
-    )
-    return (
-        score.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _BM25_K)
-        .select(
-            "query_id",
-            "doc_id",
-            "score_scaled",
-            "n_terms",
-            (F.col("score_scaled").cast("double") / _BM25_SCALE).alias("score"),
-            "rk",
-        )
-    )
+    return bm25_topk(q, tf.join(df_, "tok"), doclen, stats, k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,94 @@
+"""BM25 index build/serve split: the persisted inverted index must
+answer retrieval queries without reading document text, with scores
+identical to the live scoring path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from exceldatatransform_py_spark.operators.retrieval import (
+    bm25_stage,
+    bm25_topk,
+    bm25_topk_from_index,
+    build_bm25_index,
+    tokenize,
+)
+from exceldatatransform_py_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    prefix = "bm25_test_idx"
+    docs = read_table(spark, SF, "documents")
+    build_bm25_index(docs, prefix, n_buckets=4, path=str(tmp_path / "idx"))
+    yield prefix
+    for t in ("postings", "doclen", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def _query_terms(spark):
+    docs = read_table(spark, SF, "documents")
+    return (
+        tokenize(docs.filter(F.col("doc_id") < 10), "doc_id", "text")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+
+
+def test_index_serving_matches_live_scoring(spark, index):
+    q = _query_terms(spark)
+    served = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, index, q, k=5).collect()
+    )
+    docs = read_table(spark, SF, "documents")
+    staged = bm25_stage(docs)
+    live = sorted(
+        tuple(r)
+        for r in bm25_topk(
+            q, staged["postings"], staged["doclen"], staged["stats"], k=5
+        ).collect()
+    )
+    assert served == live
+    assert len(served) == 10 * 5
+
+
+def test_index_serving_reads_no_document_text(spark, index):
+    """The serving plan must scan only index tables — no documents
+    scan, no tokenizer — and read the postings through the bucketed
+    layout (build cost amortized, text read exactly once at build)."""
+    q = _query_terms(spark)
+    plan_df = bm25_topk_from_index(spark, index, q, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    corpus_side = plan.split("ReadSchema")  # every scan's schema line
+    doc_text_scans = [s for s in corpus_side[1:] if "text:string" in s.splitlines()[0]]
+    # the only text tokenization allowed is the 10-doc QUERY side
+    assert len(doc_text_scans) <= 1
+    assert f"{index}_postings" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_index_postings_groupby_no_exchange(spark, index):
+    """tok-keyed maintenance ops (df refresh, merges) reuse the bucket
+    partitioning — zero Exchange on the postings table."""
+    agg = (
+        spark.table(f"{index}_postings")
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("ttf"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
+    assert agg.count() > 0
