@@ -68,8 +68,57 @@ def latest_version(table: str) -> int | None:
     return ms[-1]["version"] if ms else None
 
 
+def _stat_encode(v):
+    """Footer min/max value → JSON-safe form (type-tagged for the
+    temporal types JSON cannot carry natively)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return {"__ts": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__date": v.isoformat()}
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None  # unsupported stat type → treat as no stats
+
+
+def _stat_decode(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "__ts" in v:
+            return datetime.datetime.fromisoformat(v["__ts"])
+        if "__date" in v:
+            return datetime.date.fromisoformat(v["__date"])
+    return v
+
+
+def _collect_stats(
+    table: str, rel_files: list[str], cols: Sequence[str]
+) -> dict:
+    """{relative file: {col: [min, max]}} from parquet footers —
+    computed once at COMMIT time so later pruned merges never reopen
+    data files (what Delta/Iceberg store in the log)."""
+    out: dict = {}
+    for rel in rel_files:
+        per_col = {}
+        for c in cols:
+            mm = _footer_minmax(os.path.join(table, rel), c)
+            if mm is not None:
+                lo, hi = _stat_encode(mm[0]), _stat_encode(mm[1])
+                if lo is not None and hi is not None:
+                    per_col[c] = [lo, hi]
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
 def _commit(
-    table: str, df: DataFrame, kind: str, parent: int | None
+    table: str,
+    df: DataFrame,
+    kind: str,
+    parent: int | None,
+    stats_cols: Sequence[str] = (),
 ) -> int:
     v = 0 if parent is None else parent + 1
     data_dir = f"d{v:05d}"
@@ -82,6 +131,13 @@ def _commit(
         "parent": parent,
         "schema": df.schema.jsonValue(),
     }
+    if stats_cols:
+        rel_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(os.path.join(table, data_dir))
+            if f.endswith(".parquet")
+        )
+        manifest["stats"] = _collect_stats(table, rel_files, stats_cols)
     # Publish: write-then-rename so the manifest appears atomically.
     tmp = _version_path(table, v) + ".tmp"
     with open(tmp, "w") as f:
@@ -90,10 +146,41 @@ def _commit(
     return v
 
 
-def snapshot_write(table: str, df: DataFrame) -> int:
+def snapshot_write(
+    table: str, df: DataFrame, stats_cols: Sequence[str] = ()
+) -> int:
     """Commit ``df`` as the next full version of ``table`` (the
-    overwrite commit). Returns the new version number."""
-    return _commit(table, df, "overwrite", latest_version(table))
+    overwrite commit). ``stats_cols`` caches per-file min/max in the
+    manifest at commit time, so pruned merges on those columns never
+    reopen data-file footers. Returns the new version number."""
+    return _commit(
+        table, df, "overwrite", latest_version(table), stats_cols=stats_cols
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table: str,
+    target_rows_per_file: int,
+    stats_cols: Sequence[str] = (),
+) -> int:
+    """OPTIMIZE analogue: commit a compacted rewrite of the latest
+    version (small files from merges/streaming folded into
+    evenly-sized ones) as a NEW version — rows identical, history
+    intact, old versions readable until vacuumed. ``coalesce`` when
+    shrinking (narrow, no shuffle); ``repartition`` only when growing
+    the file count (oversized files are being rewritten anyway)."""
+    df = snapshot_read(spark, table)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    n_parts = df.rdd.getNumPartitions()
+    if n_files < n_parts:
+        df = df.coalesce(n_files)
+    elif n_files > n_parts:
+        df = df.repartition(n_files)
+    return _commit(
+        table, df, "compact", latest_version(table), stats_cols=stats_cols
+    )
 
 
 def _manifest_files(table: str, manifest: dict) -> list[str]:
@@ -152,10 +239,10 @@ def snapshot_merge_update(
 def _footer_minmax(path: str, col: str):
     """(min, max) of ``col`` across a parquet file's row groups, read
     from footer statistics — None when any group lacks stats (the
-    caller must then treat the file as touched). A production variant
-    caches these in the commit manifest at write time, exactly where
-    Delta/Iceberg keep per-file stats; reading footers keeps this
-    module dependent on nothing but the parquet files themselves."""
+    caller must then treat the file as touched). The footer read is
+    the FALLBACK: commits made with ``stats_cols`` cache these in the
+    manifest (``_collect_stats``), exactly where Delta/Iceberg keep
+    per-file stats, and pruned merges consult the manifest first."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -222,14 +309,28 @@ def snapshot_merge_update_pruned(
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
 
+    cached_stats = latest.get("stats", {})
+
+    def file_minmax(rel: str):
+        cached = cached_stats.get(rel, {}).get(prune_col)
+        if cached is not None:
+            return _stat_decode(cached[0]), _stat_decode(cached[1])
+        return _footer_minmax(os.path.join(table, rel), prune_col)
+
     touched: list[str] = []
     inherited: list[str] = []
+    file_stats: dict = {}
     for rel in files:
+        mm = file_minmax(rel)
+        if mm is not None:
+            lo_e, hi_e = _stat_encode(mm[0]), _stat_encode(mm[1])
+            if lo_e is not None and hi_e is not None:
+                file_stats[rel] = dict(
+                    cached_stats.get(rel, {}), **{prune_col: [lo_e, hi_e]}
+                )
         if lo is None:  # empty update set: nothing can match
             inherited.append(rel)
-            continue
-        mm = _footer_minmax(os.path.join(table, rel), prune_col)
-        if mm is None:
+        elif mm is None:
             touched.append(rel)
         else:
             fmin, fmax = mm
@@ -249,6 +350,11 @@ def snapshot_merge_update_pruned(
             for f in os.listdir(os.path.join(table, data_dir))
             if f.endswith(".parquet")
         )
+        # fresh stats for the rewritten files, so the NEXT merge on
+        # this column prunes from the manifest alone
+        file_stats.update(_collect_stats(table, new_files, [prune_col]))
+        for rel in touched:
+            file_stats.pop(rel, None)  # no longer part of the table
     schema = (
         merged.schema.jsonValue() if touched else latest["schema"]
     )
@@ -259,6 +365,7 @@ def snapshot_merge_update_pruned(
         "kind": "merge_update_pruned",
         "parent": latest["version"],
         "schema": schema,
+        "stats": file_stats,
         "pruning": {
             "col": prune_col,
             "rewritten_files": len(touched),

@@ -267,3 +267,100 @@ def test_streaming_cdc_into_snapshot_table(spark, tmp_path):
     }
     v1 = {r.k: r.x for r in snapshot_read(spark, table, 1).collect()}
     assert v1 in ({1: 11.0, 2: 20.0, 3: 30.0}, {1: 10.0, 2: 20.0, 3: 33.0})
+
+
+def test_manifest_stats_prune_without_footer_reads(spark, table):
+    """Commits with stats_cols cache per-file min/max in the manifest;
+    a pruned merge must then prune from the manifest alone (pinned by
+    making footer reads impossible: stats survive even when the
+    fallback would fail), and must write fresh stats for rewritten
+    files so the NEXT merge also needs no footers."""
+    import json
+    from unittest import mock
+
+    from exceldatatransform_py_spark.sources import snapshots as S
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    assert len(m0["stats"]) == 4
+    assert all("k" in st for st in m0["stats"].values())
+
+    real_minmax = S._footer_minmax
+
+    def forbid_parent_reads(path, col):
+        # fresh stats for NEWLY written files are computed once from
+        # their footers; the parent's files must come from the manifest
+        assert "/d00000/" not in path, f"parent footer read: {path}"
+        return real_minmax(path, col)
+
+    ups = spark.createDataFrame([(7, -7.0)], "k long, x double")
+    with mock.patch.object(S, "_footer_minmax", side_effect=forbid_parent_reads):
+        v = S.snapshot_merge_update_pruned(
+            spark, table, ups, on=["k"], update_cols=["x"]
+        )
+    assert v == 1
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    assert m1["pruning"]["rewritten_files"] == 1
+    # every live file (inherited + rewritten) carries stats forward
+    assert set(m1["stats"]) == set(m1["files"])
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[7] == -7.0 and len(got) == 200
+
+    # second merge: rewritten-file stats were refreshed in v1's
+    # manifest, so pruning again reads no pre-existing footers
+    def forbid_old_reads(path, col):
+        assert "/d00000/" not in path and "/d00001/" not in path, (
+            f"pre-existing footer read: {path}"
+        )
+        return real_minmax(path, col)
+
+    ups2 = spark.createDataFrame([(150, -150.0)], "k long, x double")
+    with mock.patch.object(S, "_footer_minmax", side_effect=forbid_old_reads):
+        S.snapshot_merge_update_pruned(
+            spark, table, ups2, on=["k"], update_cols=["x"]
+        )
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[150] == -150.0 and got[7] == -7.0
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, table):
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    ups = spark.createDataFrame([(10, -1.0)], "k long, x double")
+    snapshot_merge_update_pruned(spark, table, ups, on=["k"], update_cols=["x"])
+
+    v = snapshot_compact(spark, table, target_rows_per_file=300, stats_cols=["k"])
+    assert v == 2
+    # one file now; rows identical to the merged version
+    import glob
+
+    files = glob.glob(os.path.join(table, "d00002", "*.parquet"))
+    assert len(files) == 1
+    got = sorted((r.k, r.x) for r in snapshot_read(spark, table).collect())
+    want = sorted((r.k, r.x) for r in snapshot_read(spark, table, 1).collect())
+    assert got == want
+    # compacted commit carries stats for future pruned merges
+    import json
+
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    assert m2["kind"] == "compact" and len(m2["stats"]) == 1
