@@ -579,3 +579,11 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """BM25 scoring must ship the (tiny) query-term set as a
+    broadcast against the posting lists — never shuffle the postings
+    for the join."""
+    plan = plan_of(spark, "bm25_topk_docs")
+    assert "BroadcastHashJoin" in plan
