@@ -16,7 +16,7 @@ training-data-pipeline operators a 100 TB corpus needs. Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from exceldatatransform_py_spark.functions.text import (
@@ -183,6 +183,72 @@ def _sig_aggs(k: int) -> list[Column]:
     return [F.min(h0 + F.lit(i) * h1).alias(f"s{i}") for i in range(k)]
 
 
+def _band_rows(inv: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) LSH banding rows from a shingle inverted
+    index: MinHash signature per doc, each band's slice md5-folded to
+    one bucket id. Deterministic function of document content — the
+    property incremental dedup relies on (today's batch lands in the
+    same buckets yesterday's corpus did)."""
+    r = k // bands
+    sigs = inv.groupBy("doc").agg(*_sig_aggs(k))
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"s{bi * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    inv_a: DataFrame,
+    inv_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification driven BY the candidate set:
+    cand ⋈ A-shingles on id_a, then ⋈ B-shingles on (id_b, h, g) —
+    work is O(candidate pairs × shingles/doc), never a full shingle
+    self-join. Inputs are shingle_index-shaped frames."""
+    a = inv_a.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "h", "g"
+    )
+    b = inv_b.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "h", "g"
+    )
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "h", "g"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -211,33 +277,9 @@ def minhash_lsh_pairs(
     """
     if k % bands:
         raise ValueError("minhash_lsh_pairs: bands must divide k")
-    r = k // bands
 
     inv = shingle_index(df, id_col, text_col, n=n)
-    sigs = inv.groupBy("doc").agg(*_sig_aggs(k))
-    # band value = md5 of the ','-joined slice of the signature.
-    band_rows = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"s{bi * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_rows = _band_rows(inv, k, bands)
 
     if max_bucket_docs is not None:
         hot = (
@@ -257,27 +299,11 @@ def minhash_lsh_pairs(
     )
 
     # Exact verification reuses the SAME persisted inverted index the
-    # signatures came from, but the join is DRIVEN BY the candidate
-    # pairs: cand ⋈ A-shingles on id_a, then ⋈ B-shingles on
-    # (id_b, h, g). Work is O(candidate pairs × shingles/doc) — never
-    # the full shingle self-join (that would re-do the exact-Jaccard
-    # O(all collisions) work LSH exists to avoid).
-    a = inv.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "h", "g")
-    b = inv.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "h", "g")
-    common = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "h", "g"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common").cast("double") / (
-        (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
-    )
-    return (
-        common.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # signatures came from; the join is DRIVEN BY the candidate pairs
+    # (see _verify_pairs) — never the full shingle self-join (that
+    # would re-do the exact-Jaccard O(all collisions) work LSH exists
+    # to avoid).
+    return _verify_pairs(cand, inv, inv, threshold)
 
 
 def connected_components(
@@ -443,3 +469,111 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         fp = bit if fp is None else fp + bit
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's batch vs the already-ingested corpus.
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> None:
+    """Persist the corpus's near-dup state as bucketed catalog tables:
+    ``<prefix>_bands`` (doc, band, bucket) bucketed by bucket — the
+    LSH candidate-probe side — and ``<prefix>_shingles``
+    (doc, n_sh, h, g) bucketed by doc — the exact-verification side.
+
+    This is the build half of PRODUCTION dedup: a 100 TB corpus is
+    shingled once at ingest; each daily batch then probes these
+    tables (``incremental_near_dup``) instead of re-processing the
+    corpus. The banding is a deterministic function of content
+    (``_band_rows``), so new documents land in exactly the buckets
+    their near-duplicates occupied when they were indexed.
+    """
+    if k % bands:
+        raise ValueError("build_dedup_index: bands must divide k")
+    from exceldatatransform_py_spark.sources.bucketing import write_bucketed
+
+    inv = shingle_index(docs, id_col, text_col, n=n)
+    write_bucketed(
+        _band_rows(inv, k, bands), f"{table_prefix}_bands", ["bucket"],
+        n_buckets, path=f"{path}/bands",
+    )
+    write_bucketed(
+        inv, f"{table_prefix}_shingles", ["doc"], n_buckets,
+        path=f"{path}/shingles",
+    )
+
+
+def incremental_near_dup(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` AGAINST the indexed corpus:
+    ``(id_a=new doc, id_b=corpus doc, jaccard)``. The corpus is never
+    re-shingled — candidates come from joining the new batch's band
+    buckets against the persisted ``<prefix>_bands`` (bucketed on the
+    join key, so only matching buckets move), and verification joins
+    the persisted shingle table driven by the candidate set.
+
+    Work scales with the BATCH (plus matched posting sizes), not the
+    corpus — the property that makes continuous-ingest dedup viable
+    at 100 TB. Duplicates WITHIN the new batch are a separate
+    ``minhash_lsh_pairs(new_docs)`` call (standard two-step: intra-
+    batch first, then batch-vs-corpus); after admission, append the
+    batch's band/shingle rows to the index tables.
+
+    ``k``/``bands``/``n`` must match the values the index was built
+    with — the banding is content-deterministic only under identical
+    parameters.
+    """
+    if k % bands:
+        raise ValueError("incremental_near_dup: bands must divide k")
+    new_inv = shingle_index(new_docs, id_col, text_col, n=n)
+    new_bands = _band_rows(new_inv, k, bands)
+    corpus_bands = spark.table(f"{table_prefix}_bands")
+
+    if max_bucket_docs is not None:
+        hot = (
+            corpus_bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_bucket_docs)
+            .select("band", "bucket")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+
+    cand = (
+        new_bands.select(
+            F.col("doc").alias("id_a"), "band", "bucket"
+        )
+        .join(
+            corpus_bands.select(
+                F.col("doc").alias("id_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    corpus_inv = spark.table(f"{table_prefix}_shingles")
+    return _verify_pairs(cand, new_inv, corpus_inv, threshold)

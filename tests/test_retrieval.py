@@ -92,3 +92,79 @@ def test_index_postings_groupby_no_exchange(spark, index):
 
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
     assert agg.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: batch-vs-corpus near-dup through the persisted
+# index must equal the cross-subset slice of full-batch LSH.
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_near_dup_matches_full_batch(spark, tmp_path):
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_near_dup,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    prefix = "dedup_test_idx"
+    build_dedup_index(
+        corpus, prefix, n_buckets=4, path=str(tmp_path / "dd")
+    )
+    try:
+        inc = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in incremental_near_dup(
+                spark, prefix, batch, threshold=0.5
+            ).collect()
+        )
+        # ground truth: full-batch LSH over the union, restricted to
+        # cross pairs (one side in the batch, the other in the corpus)
+        full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        cross = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in full.filter(
+                (F.col("id_a") < 50) & (F.col("id_b") >= 50)
+            ).collect()
+        )
+        assert inc == cross
+        assert len(inc) > 0  # the synthetic corpus does contain near-dups
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_incremental_near_dup_reads_no_corpus_text(spark, tmp_path):
+    """The serving plan must not re-shingle the corpus: its only
+    document-text scan is the new batch."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_near_dup,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    prefix = "dedup_test_idx2"
+    build_dedup_index(
+        docs.filter(F.col("doc_id") >= 50), prefix, n_buckets=4,
+        path=str(tmp_path / "dd2"),
+    )
+    try:
+        out = incremental_near_dup(
+            spark, prefix, docs.filter(F.col("doc_id") < 50)
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        text_scans = [
+            s for s in plan.split("ReadSchema")[1:]
+            if "text:string" in s.splitlines()[0]
+        ]
+        assert len(text_scans) <= 1  # the batch side only
+        assert f"{prefix}_bands" in plan and f"{prefix}_shingles" in plan
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
