@@ -577,3 +577,31 @@ def incremental_near_dup(
     )
     corpus_inv = spark.table(f"{table_prefix}_shingles")
     return _verify_pairs(cand, new_inv, corpus_inv, threshold)
+
+
+def append_to_dedup_index(
+    docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> None:
+    """Admit a batch into the index: append its band rows and shingle
+    rows to the persisted tables (``insertInto`` preserves the bucket
+    spec — appended rows land in the correct buckets). The standard
+    ingest loop is: ``incremental_near_dup`` → drop/flag the near-dups
+    → ``append_to_dedup_index(admitted)`` → next batch sees this one.
+    Parameters must match the build; the banding is content-
+    deterministic only under identical (n, k, bands).
+    """
+    if k % bands:
+        raise ValueError("append_to_dedup_index: bands must divide k")
+    inv = shingle_index(docs, id_col, text_col, n=n)
+    (
+        _band_rows(inv, k, bands)
+        .write.mode("append")
+        .insertInto(f"{table_prefix}_bands")
+    )
+    inv.write.mode("append").insertInto(f"{table_prefix}_shingles")

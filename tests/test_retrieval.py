@@ -168,3 +168,46 @@ def test_incremental_near_dup_reads_no_corpus_text(spark, tmp_path):
     finally:
         for t in ("bands", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_continuous_ingest_dedup_loop(spark, tmp_path):
+    """The production ingest loop: check batch N against the index,
+    admit it, and batch N+1 must see batch N's documents (not just
+    the original corpus)."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_near_dup,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    b1 = docs.filter(F.col("doc_id") < 50)
+    b2 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    prefix = "dedup_loop_idx"
+    build_dedup_index(corpus, prefix, n_buckets=4, path=str(tmp_path / "dl"))
+    try:
+        incremental_near_dup(spark, prefix, b1).count()  # check batch 1
+        append_to_dedup_index(b1, prefix)  # admit batch 1
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in incremental_near_dup(spark, prefix, b2).collect()
+        )
+        # ground truth: full-batch pairs with one side in b2 and the
+        # other in corpus ∪ b1 (order-normalized: full LSH emits
+        # id_a < id_b, so b2-vs-b1 pairs arrive as (b1, b2) — flip)
+        full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        want = []
+        for r in full.collect():
+            in_b2_a = 50 <= r.id_a < 100
+            in_b2_b = 50 <= r.id_b < 100
+            if in_b2_a and not in_b2_b:
+                want.append((r.id_a, r.id_b, r.jaccard))
+            elif in_b2_b and not in_b2_a:
+                want.append((r.id_b, r.id_a, r.jaccard))
+        assert got == sorted(want)
+        assert any(b < 50 for _, b, _ in got)  # batch-1 docs are seen
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
