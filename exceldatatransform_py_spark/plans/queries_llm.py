@@ -833,15 +833,19 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     # The exact top-5 is the shared ground truth for both methods and
-    # for the totals row — materialize its ~50 rows once instead of
-    # re-running the brute-force scoring three times in one plan.
+    # for the totals row — persist its ~50 rows so the brute-force
+    # scoring runs once, not three times. LAZY persist (not an eager
+    # localCheckpoint): all consumers live in one final job, and the
+    # extra blocking materialization job cost ~0.5-0.9s of pure
+    # scheduling at sf0.1; cache-lock semantics make the lazy race
+    # safe (first task computes a partition, others read it).
     exact = (
         cosine_topk(
             queries, emb, id_col="vec_id", vec_col="embedding",
             k=5, norm_col="__n",
         )
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     lsh = hyperplane_lsh_topk(
