@@ -1185,3 +1185,116 @@ def equi_depth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded interval self-join: pairs of a supplier's shipments that were
+# IN TRANSIT simultaneously ([shipdate, receiptdate] ranges overlap).
+# The J5 family's interval-overlap shape, done the scalable way: each
+# interval lands in every month bucket it spans (explode — intervals
+# are ≤ ~6 weeks, so ≤3 buckets), candidates meet through an EQUI join
+# on (supplier, bucket), and each overlapping pair is counted exactly
+# once by keeping only the bucket that contains the later of the two
+# start dates. Work is Σ per-(supplier, month) C(n,2) — the banding
+# bounds the quadratic the way brand-blocking bounds fuzzy matching;
+# a naive supplier-only theta join would be O(per-supplier²) on the
+# whole history. High-quantity shipments only, to keep the scored
+# result human-sized.
+# ---------------------------------------------------------------------------
+
+_OVL_MIN_QTY = 48
+
+
+@register(
+    "overlapping_shipments_per_supplier",
+    oracle=f"""
+    WITH ovl AS (
+      -- the reduced schema carries no l_receiptdate; transit time is
+      -- synthesized deterministically (7-27 days) from the line's keys
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS ship,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey + l_linenumber) % 21 + 7 AS INTEGER)
+               AS receipt
+      FROM lineitem WHERE l_quantity >= {_OVL_MIN_QTY}
+    ),
+    banded AS (
+      SELECT o.*, unnest(generate_series(
+               (year(ship) - 1992) * 12 + month(ship) - 1,
+               (year(receipt) - 1992) * 12 + month(receipt) - 1)) AS bucket
+      FROM ovl o
+    )
+    SELECT a.l_suppkey AS suppkey,
+           a.l_orderkey AS orderkey_a, a.l_linenumber AS linenumber_a,
+           b.l_orderkey AS orderkey_b, b.l_linenumber AS linenumber_b,
+           CAST(date_diff('day',
+                          greatest(a.ship, b.ship),
+                          least(a.receipt, b.receipt)) + 1 AS BIGINT)
+             AS overlap_days
+    FROM banded a JOIN banded b
+      ON a.l_suppkey = b.l_suppkey AND a.bucket = b.bucket
+     AND (a.l_orderkey < b.l_orderkey
+          OR (a.l_orderkey = b.l_orderkey
+              AND a.l_linenumber < b.l_linenumber))
+     AND a.ship <= b.receipt AND b.ship <= a.receipt
+    WHERE a.bucket = (year(greatest(a.ship, b.ship)) - 1992) * 12
+                     + month(greatest(a.ship, b.ship)) - 1
+    """,
+)
+def overlapping_shipments_per_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    transit = ((F.col("l_orderkey") + F.col("l_linenumber")) % 21 + 7).cast(
+        "int"
+    )
+    ovl = li.filter(F.col("l_quantity") >= _OVL_MIN_QTY).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship"),
+        F.date_add(F.to_date("l_shipdate"), transit).alias("receipt"),
+    )
+
+    def month_bucket(d) -> Column:
+        return (F.year(d) - 1992) * 12 + F.month(d) - 1
+
+    banded = ovl.select(
+        "*",
+        F.explode(
+            F.sequence(month_bucket(F.col("ship")), month_bucket(F.col("receipt")))
+        ).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pair_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    )
+    later_start = F.greatest(F.col("a.ship"), F.col("b.ship"))
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & pair_lt
+            & (F.col("a.ship") <= F.col("b.receipt"))
+            & (F.col("b.ship") <= F.col("a.receipt")),
+        )
+        .filter(F.col("a.bucket") == month_bucket(later_start))
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.col("a.l_orderkey").alias("orderkey_a"),
+            F.col("a.l_linenumber").alias("linenumber_a"),
+            F.col("b.l_orderkey").alias("orderkey_b"),
+            F.col("b.l_linenumber").alias("linenumber_b"),
+            (
+                F.datediff(
+                    F.least(F.col("a.receipt"), F.col("b.receipt")), later_start
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
