@@ -423,3 +423,21 @@ def vacuum(table: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(table, d), ignore_errors=True)
         dropped.append(m["version"])
     return dropped
+
+
+def snapshot_history(table: str) -> list[dict]:
+    """The audit log (DESCRIBE HISTORY analogue): one entry per
+    version — kind, parent, file count, whether stats are cached —
+    from manifests only (no data reads)."""
+    out = []
+    for m in _manifests(table):
+        out.append(
+            {
+                "version": m["version"],
+                "kind": m["kind"],
+                "parent": m["parent"],
+                "n_files": len(_manifest_files(table, m)),
+                "has_stats": bool(m.get("stats")),
+            }
+        )
+    return out

@@ -364,3 +364,35 @@ def test_snapshot_compact_preserves_rows_and_history(spark, table):
     with open(os.path.join(table, "_versions", "v00002.json")) as f:
         m2 = json.load(f)
     assert m2["kind"] == "compact" and len(m2["stats"]) == 1
+
+
+def test_snapshot_history_and_schema_evolution(spark, table):
+    """History is manifest-only metadata; schema evolution is free —
+    each version reads with the schema it was written with."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge_update_pruned,
+    )
+
+    v0 = spark.createDataFrame([(1, 1.0)], "k int, x double")
+    snapshot_write(table, v0, stats_cols=["k"])
+    # evolved schema: extra column appears in a later version
+    v1 = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b")], "k int, x double, tag string"
+    )
+    snapshot_write(table, v1)
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(2, -2.0)], "k int, x double"),
+        on=["k"], update_cols=["x"],
+    )
+
+    hist = snapshot_history(table)
+    assert [(h["version"], h["kind"]) for h in hist] == [
+        (0, "overwrite"), (1, "overwrite"), (2, "merge_update_pruned"),
+    ]
+    assert hist[0]["has_stats"] and not hist[1]["has_stats"]
+    assert snapshot_read(spark, table, 0).columns == ["k", "x"]
+    assert snapshot_read(spark, table, 1).columns == ["k", "x", "tag"]
+    got = {r.k: (r.x, r.tag) for r in snapshot_read(spark, table).collect()}
+    assert got == {1: (1.0, "a"), 2: (-2.0, "b")}
