@@ -2167,3 +2167,65 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("weight"),
         (weight / p_raw).alias("epoch_boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-metadata audit: the confusion matrix of the LABELED lang
+# column against the content-derived guess (stopword-hit argmax, the
+# same rule lang_id_detect scores). Mislabeled language metadata is a
+# classic corpus defect — it silently breaks per-language mixing
+# quotas and temperature weights downstream, so the audit belongs
+# next to those operators. Integer counts + one fixed-shape division;
+# output is O(|langs|²) regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=rf"""
+    WITH lcg AS (
+      SELECT lang,
+             {_stop_hits(_QTOKS, "en")} AS s_en,
+             {_stop_hits(_QTOKS, "it")} AS s_it,
+             {_stop_hits(_QTOKS, "de")} AS s_de,
+             {_stop_hits(_QTOKS, "fr")} AS s_fr
+      FROM documents
+    ),
+    lcm AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_it, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_it, s_de, s_fr) THEN 'en'
+                  WHEN s_it = greatest(s_en, s_it, s_de, s_fr) THEN 'it'
+                  WHEN s_de = greatest(s_en, s_it, s_de, s_fr) THEN 'de'
+                  ELSE 'fr'
+             END AS lang_guess
+      FROM lcg
+    ),
+    lct AS (SELECT lang, COUNT(*) AS n_lang FROM lcm GROUP BY lang)
+    SELECT m.lang, m.lang_guess, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / t.n_lang AS label_share,
+           m.lang = m.lang_guess AS agrees
+    FROM lcm m JOIN lct t USING (lang)
+    GROUP BY m.lang, m.lang_guess, t.n_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    guessed = docs.select(
+        "lang", lang_id(ws_tokens(F.lower(F.col("text")))).alias("lang_guess")
+    )
+    totals = guessed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        guessed.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_lang")).alias(
+                "label_share"
+            ),
+            (F.col("lang") == F.col("lang_guess")).alias("agrees"),
+        )
+    )
