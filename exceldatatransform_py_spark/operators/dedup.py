@@ -605,3 +605,81 @@ def append_to_dedup_index(
         .insertInto(f"{table_prefix}_bands")
     )
     inv.write.mode("append").insertInto(f"{table_prefix}_shingles")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairing (banded hamming blocking).
+# ---------------------------------------------------------------------------
+
+#: (shift, width) band layout over the 63-bit fingerprint. Four bands
+#: give exact recall for hamming distance <= 3 by pigeonhole: 3 bit
+#: flips can dirty at most 3 of the 4 bands, so every qualifying pair
+#: still agrees on at least one full band.
+SIMHASH_BANDS: tuple[tuple[int, int], ...] = ((0, 16), (16, 16), (32, 16), (48, 15))
+
+
+def simhash_near_dup(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str = "simhash",
+    ham_max: int = 3,
+    max_band_docs: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints.
+
+    Completes the SimHash dedup path (``simhash64`` builds the
+    fingerprints; this extracts the pairs): slice each 63-bit
+    fingerprint into ``SIMHASH_BANDS``, self-join docs that share a
+    (band, value) bucket — never O(n²) — and keep pairs whose full
+    hamming distance (``bit_count(a XOR b)``) is <= ``ham_max``.
+    Recall is exact for ``ham_max`` <= len(bands) - 1.
+
+    Scale: the join key is a <= 16-bit band value, so bucket sizes are
+    ~N/2^16 per band under uniform fingerprints. SimHash bits are NOT
+    uniform (majority votes correlate across same-boilerplate docs),
+    so buckets above ``max_band_docs`` are dropped entirely — the same
+    hot-bucket guard the MinHash path uses; at 100 TB, widen the bands
+    (and raise len(bands) to keep the recall guarantee) instead of
+    raising the cap.
+
+    Returns ``(a_id, b_id, hamming)`` with ``a_id < b_id``.
+    """
+    slices = [
+        fp.select(
+            F.col(id_col),
+            F.col(fp_col),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(fp_col), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    ]
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    from pyspark.sql import Window
+
+    banded = banded.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bv"))
+    ).filter(F.col("bn") <= max_band_docs)
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col(fp_col).alias("a_fp"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col(fp_col).alias("b_fp"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .distinct()
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_max)
+    )

@@ -1298,3 +1298,194 @@ def overlapping_shipments_per_supplier(
             .alias("overlap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): parts no other part dominates on
+# (cheaper price, larger size). The O(n^2) NOT-EXISTS formulation is
+# restated as aggregate + prefix-max: collapse to one row per
+# distinct price (max size), running max over strictly-cheaper
+# prices, join back. The window runs over DISTINCT PRICES of a
+# catalog dimension (bounded), not the fact table; at larger
+# dimensions, range-partition the price axis, take per-range
+# skylines, and merge — noted here, not needed at this cardinality.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pfd AS (
+      SELECT p_retailprice AS price, max(p_size) AS m_eq
+      FROM part GROUP BY 1
+    ),
+    pfw AS (
+      SELECT price, m_eq,
+             max(m_eq) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS m_lt
+      FROM pfd
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pfw w ON p.p_retailprice = w.price
+    WHERE (w.m_lt IS NULL OR w.m_lt < p.p_size) AND p.p_size >= w.m_eq
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    d = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("m_eq")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pfw = d.withColumn("m_lt", F.max("m_eq").over(w))
+    return (
+        part.join(pfw, part.p_retailprice == pfw.price)
+        .filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+            & (F.col("p_size") >= F.col("m_eq"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group simple OLS (price ~ quantity): slope / intercept / r2 via
+# the same fixed-point power sums the corr query uses — quantize to
+# integer units, sum LONGS (exact, fast-JIT), form the normal
+# equations in doubles once per group. Unit (not cent) quantization
+# keeps SUM(y*y) under the 2^53 long->double exactness bound at
+# bench SFs (see NOTES.md).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regression_price_qty_by_flag",
+    oracle="""
+    WITH rg AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS xl,
+             CAST(round(l_extendedprice) AS BIGINT) AS yl
+      FROM lineitem
+    ),
+    rm AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(xl) AS DOUBLE) AS sx,
+             CAST(SUM(yl) AS DOUBLE) AS sy,
+             CAST(SUM(xl * yl) AS DOUBLE) AS sxy,
+             CAST(SUM(xl * xl) AS DOUBLE) AS sxx,
+             CAST(SUM(yl * yl) AS DOUBLE) AS syy
+      FROM rg GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - sx * sy)
+            * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM rm WHERE n > 1
+    """,
+)
+def regression_price_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("xl"),
+        F.round("l_extendedprice").cast("bigint").alias("yl"),
+    )
+    m = staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").cast("double").alias("sx"),
+        F.sum("yl").cast("double").alias("sy"),
+        F.sum(F.col("xl") * F.col("yl")).cast("double").alias("sxy"),
+        F.sum(F.col("xl") * F.col("xl")).cast("double").alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return m.filter(F.col("n") > 1).select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS over the co-occurrence graph: min-hop distance (<= 2)
+# from the seed parts. The driver controls the (fixed) hop count, so
+# the whole traversal is ONE lazy Catalyst plan — no per-round
+# actions; the edge list (a shuffle subtree with three consumers) is
+# persisted like the rest of the co-occurrence family. The oracle is
+# a recursive CTE (UNION ALL + hop bound, so cycles terminate).
+# ---------------------------------------------------------------------------
+
+_KHOP_SEED_MAX = 5
+_KHOP_HOPS = 2
+
+
+@register(
+    "khop_parts_from_seeds",
+    oracle=f"""
+    WITH RECURSIVE khit AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    khe AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM khit a JOIN khit b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    khseed AS (
+      SELECT DISTINCT l_partkey AS node FROM lineitem
+      WHERE l_partkey < {_KHOP_SEED_MAX}
+    ),
+    khr AS (
+      SELECT node, 0 AS hop FROM khseed
+      UNION ALL
+      SELECT e.dst AS node, r.hop + 1
+      FROM khr r JOIN khe e ON e.src = r.node
+      WHERE r.hop < {_KHOP_HOPS}
+    )
+    SELECT node AS p_partkey, CAST(min(hop) AS INTEGER) AS hops
+    FROM khr GROUP BY node
+    """,
+)
+def khop_parts_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = _order_part_sets(spark, sf_dir)
+    pairs = (
+        ords.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+    edges = pairs.union(pairs.select("pb", "pa")).toDF("src", "dst").persist()
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_partkey") < _KHOP_SEED_MAX)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    reached = seeds.select("node", F.lit(0).alias("hop"))
+    frontier = seeds
+    for h in range(1, _KHOP_HOPS + 1):
+        f = frontier.select(F.col("node").alias("fnode"))
+        frontier = (
+            f.join(edges, f.fnode == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        reached = reached.unionByName(
+            frontier.select("node", F.lit(h).alias("hop"))
+        )
+    return (
+        reached.groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hops"))
+        .select(F.col("node").alias("p_partkey"), "hops")
+    )

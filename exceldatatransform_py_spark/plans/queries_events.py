@@ -1307,3 +1307,90 @@ def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_day"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day distinct actives per day. Window-DISTINCT is not a
+# thing in Spark windows, and per-day HLL merge would be approximate;
+# the exact distributed form is cover-set expansion: each distinct
+# (day, user) pair covers the 7 report days it can count toward
+# (map-side x7 fan-out of fixed-width rows), then one distinct-agg
+# shuffle on (day, user). Report days are the days present in the
+# data (broadcast — at most a few thousand rows for years of data).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "active_users_trailing_7d",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    cover AS (
+      SELECT d + CAST(t.range AS INTEGER) AS day, user_id
+      FROM du, range(7) t
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT day, count(DISTINCT user_id) AS active_users_7d
+    FROM cover JOIN days USING (day)
+    GROUP BY day
+    """,
+)
+def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    cover = du.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select(F.date_add("d", F.col("i")).alias("day"), "user_id")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        cover.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA of purchase value per user (alpha = 0.5). A recursive
+# definition (ewma = a*x + (1-a)*prev) is not expressible as a window
+# aggregate; the distributed form is one grouped collect of the
+# user's ordered values + a left fold. alpha = 0.5 keeps every step
+# exact-IEEE (multiply by 0.5 is exact, one correctly-rounded add),
+# and both engines fold the same ordered list left — bit-identical.
+# Per-group state is the user's purchase history (bounded in
+# practice; same contract as the other collect_list queries).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_value_per_user",
+    oracle="""
+    WITH ew AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vs,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, n_purchases,
+           list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_value
+    FROM ew
+    """,
+)
+def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.struct("ts", "event_id", "value").alias("s"))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("ss"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    vals = F.col("ss").getField("value")
+    staged = g.select("user_id", "n_purchases", vals.alias("vs"))
+    ewma = F.aggregate(
+        F.slice(
+            F.col("vs"), F.lit(2), F.greatest(F.size("vs") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return staged.select("user_id", "n_purchases", ewma.alias("ewma_value"))

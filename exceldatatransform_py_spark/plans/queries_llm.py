@@ -34,6 +34,8 @@ from exceldatatransform_py_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingle_index,
     simhash64,
+    simhash_near_dup,
+    SIMHASH_BANDS,
 )
 from exceldatatransform_py_spark.operators.clustering import (
     kmeans_assign,
@@ -379,7 +381,10 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(p: str = "") -> str:
+    """Fingerprint SELECT; ``p`` prefixes the inner CTE names so the
+    fragment can nest inside another oracle's WITH scope (CTE names
+    must be globally unique within a query — see NOTES)."""
     h0 = _H32.format(seed=0, x="tok")
     h1 = _H32.format(seed=1, x="tok")
     bit_sums = ",\n             ".join(
@@ -390,13 +395,13 @@ def _simhash_oracle() -> str:
         f"CAST(b{b} * 2 > n_tok AS BIGINT) * {2**b}" for b in range(63)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, unnest({_FP_TOKS}) AS tok FROM documents),
-    agg AS (
+    WITH {p}toks AS (SELECT doc_id, unnest({_FP_TOKS}) AS tok FROM documents),
+    {p}agg AS (
       SELECT doc_id, count(*) AS n_tok,
              {bit_sums}
-      FROM toks GROUP BY doc_id
+      FROM {p}toks GROUP BY doc_id
     )
-    SELECT doc_id, {fp} AS simhash FROM agg
+    SELECT doc_id, {fp} AS simhash FROM {p}agg
     """
 
 
@@ -406,6 +411,57 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle/hash explode pipeline must parallelize before it.
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     return simhash64(docs, id_col="doc_id", text_col="text")
+
+
+_SIMHASH_HAM_MAX = 3
+_SIMHASH_MAX_BAND_DOCS = 200
+
+
+def _simhash_pairs_oracle() -> str:
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH snfp AS ({_simhash_oracle(p='sn')}),
+    snb AS (
+      SELECT doc_id, simhash, band, (simhash >> shift) & mask AS bv
+      FROM snfp, (VALUES {band_rows}) AS bands(band, shift, mask)
+    ),
+    sng AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM snb
+    ),
+    snp AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash AS afp, b.simhash AS bfp
+      FROM sng a JOIN sng b USING (band, bv)
+      WHERE a.doc_id < b.doc_id
+        AND a.bn <= {_SIMHASH_MAX_BAND_DOCS}
+        AND b.bn <= {_SIMHASH_MAX_BAND_DOCS}
+    ),
+    snh AS (
+      SELECT a_id, b_id,
+             CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+      FROM snp
+    )
+    SELECT a_id, b_id, hamming FROM snh WHERE hamming <= {_SIMHASH_HAM_MAX}
+    """
+
+
+@register("simhash_near_dup_pairs", oracle=_simhash_pairs_oracle())
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup extraction — the pairing step the SimHash
+    dedup method needs on top of ``simhash_fingerprint`` (banded
+    blocking + exact hamming verify; see ``simhash_near_dup``)."""
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    fp = simhash64(docs, id_col="doc_id", text_col="text")
+    return simhash_near_dup(
+        fp,
+        id_col="doc_id",
+        fp_col="simhash",
+        ham_max=_SIMHASH_HAM_MAX,
+        max_band_docs=_SIMHASH_MAX_BAND_DOCS,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2228,4 +2284,93 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("lang") == F.col("lang_guess")).alias("agrees"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus pattern audit — the PII / contamination scan a corpus gets
+# before release: per source, how many docs contain an email-like
+# string, a URL, a long digit run, or an 8+-letter token. Patterns
+# are RE2/Java-portable (no backrefs/lookarounds — see the regexp
+# gallery note). On this synthetic corpus the PII rows audit to zero,
+# which is the point of an audit; the long-token pattern is live.
+# Map-only scan + one tiny aggregate: at 100 TB this is a single pass
+# with no shuffle beyond the per-source rollup.
+# ---------------------------------------------------------------------------
+
+_AUDIT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("digit_run", r"[0-9]{6,}"),
+    ("long_token", r"[A-Za-z]{8,}"),
+)
+
+
+def _pattern_audit_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat in _AUDIT_PATTERNS
+    )
+    return f"""
+    SELECT source, COUNT(*) AS n_docs,
+           {cols}
+    FROM documents GROUP BY source
+    """
+
+
+@register("pii_pattern_audit", oracle=_pattern_audit_oracle())
+def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    flags = [
+        F.sum(F.col("text").rlike(pat).cast("bigint")).alias(f"n_{name}")
+        for name, pat in _AUDIT_PATTERNS
+    ]
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *flags
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law): distinct hashed 3-gram
+# shingles seen after every 100 documents (by doc_id order) — the
+# whitespace-token vocabulary of this synthetic corpus saturates at
+# 31 types inside the first 10 docs, so the curve is measured over
+# the shingle vocabulary (16.5k types at sf0.001, still growing).
+# Reuses the persisted ``shingle_index`` subtree (fixed-width 2x
+# BIGINT shuffle keys, never strings); the curve itself is a window
+# over ~N/100 bucket rows.
+# ---------------------------------------------------------------------------
+
+_VG_BUCKET = 100
+
+_VOCAB_GROWTH_ORACLE = f"""
+    WITH {_HASHED_INV},
+    vgfirst AS (SELECT h, g, min(doc_id) AS fd FROM ded GROUP BY h, g),
+    vgb AS (
+      SELECT CAST(floor(fd / {_VG_BUCKET}.0) AS BIGINT) AS b,
+             COUNT(*) AS new_shingles
+      FROM vgfirst GROUP BY 1
+    )
+    SELECT (b + 1) * {_VG_BUCKET} AS docs_seen, new_shingles,
+           CAST(SUM(new_shingles) OVER (ORDER BY b) AS BIGINT) AS vocab_size
+    FROM vgb
+    """
+
+
+@register("vocab_growth_curve", oracle=_VOCAB_GROWTH_ORACLE)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, "doc_id", "text", n=3)
+    first = inv.groupBy("h", "g").agg(F.min("doc").alias("fd"))
+    bucket = first.groupBy(
+        F.floor(F.col("fd") / float(_VG_BUCKET)).alias("b")
+    ).agg(F.count(F.lit(1)).alias("new_shingles"))
+    w = Window.orderBy("b").rangeBetween(Window.unboundedPreceding, 0)
+    return bucket.select(
+        ((F.col("b") + 1) * _VG_BUCKET).alias("docs_seen"),
+        "new_shingles",
+        F.sum("new_shingles").over(w).alias("vocab_size"),
     )

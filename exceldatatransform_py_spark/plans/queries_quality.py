@@ -409,3 +409,68 @@ def robust_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="priority string, n_orders long, median_x2_cents long, "
         "mad_x4_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-wide referential-integrity audit: every FK edge of the star
+# schema in one result (child rows + orphan count per edge). Extends
+# the per-table constraint audit to the full graph. Each edge is one
+# left join + tiny agg; dimension parents broadcast, the one big-big
+# edge (lineitem -> orders) shuffles on the key. The spec list below
+# feeds BOTH the Spark plan and the generated oracle SQL, so the two
+# sides cannot drift.
+# ---------------------------------------------------------------------------
+
+_FK_RELS: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+#: parents small enough to broadcast at any realistic SF (bounded
+#: dimensions); orders is data-sized and must shuffle.
+_FK_BROADCAST = {"part", "supplier", "customer", "nation", "region"}
+
+
+def _fk_audit_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_RELS:
+        parts.append(
+            f"""
+    SELECT '{child}.{fk}->{parent}' AS relationship,
+           COUNT(*) AS n_rows,
+           COALESCE(CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT), 0) AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        )
+    return "\n    UNION ALL".join(parts)
+
+
+@register("fk_orphan_audit", oracle=_fk_audit_oracle())
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in _FK_RELS:
+        c = read_table(spark, sf_dir, child).select(fk)
+        p = read_table(spark, sf_dir, parent).select(pk)
+        if parent in _FK_BROADCAST:
+            p = F.broadcast(p)
+        row = (
+            c.join(p, F.col(fk) == F.col(pk), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col(pk).isNull().cast("bigint")), F.lit(0)
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{fk}->{parent}").alias("relationship"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
