@@ -587,3 +587,48 @@ def test_bm25_query_side_broadcasts(spark):
     for the join."""
     plan = plan_of(spark, "bm25_topk_docs")
     assert "BroadcastHashJoin" in plan
+
+
+def test_fk_audit_broadcasts_all_dimension_parents(spark):
+    # every dimension-parent FK edge must validate via broadcast; only
+    # the lineitem->orders edge may shuffle. 6 broadcast edges of 7.
+    plan = plan_of(spark, "fk_orphan_audit")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 6
+    # no FK edge may emit an inner/cartesian expansion.
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_window_runs_over_distinct_prices(spark):
+    # the skyline's global window must consume the price-aggregated
+    # table (one row per distinct price), never the raw dimension —
+    # pinned as: exactly one Window, fed by a HashAggregate.
+    plan = plan_of(spark, "pareto_frontier_parts")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_khop_is_one_lazy_plan_with_reused_edges(spark):
+    # bounded BFS must stage the edge list once (InMemoryRelation from
+    # the persist) and never plan a cartesian hop.
+    plan = plan_of(spark, "khop_parts_from_seeds")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_distinct_broadcasts_report_days(spark):
+    # the report-day spine is bounded (days, not data) — it must ship
+    # as a broadcast, never shuffle the exploded cover set twice.
+    plan = plan_of(spark, "active_users_trailing_7d")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pattern_audit_is_map_side_partial(spark):
+    # the corpus scan aggregates map-side: partial+final HashAggregate
+    # pair, and only the two needed columns are read.
+    plan = plan_of(spark, "pii_pattern_audit")
+    assert plan.count("HashAggregate") >= 2
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "text",
+        "source",
+    }

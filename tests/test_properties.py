@@ -438,6 +438,9 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "bpe_merge_candidates",
         "cusum_drift_per_user",
         "forward_fill_purchase_value",
+        "ewma_value_per_user",
+        "regression_price_qty_by_flag",
+        "khop_parts_from_seeds",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
@@ -584,3 +587,41 @@ def test_pruned_merge_equals_plain_merge(
         for r in merge_update(base, ups, on=["k"], update_cols=["x"]).collect()
     )
     assert got == want
+
+
+def test_simhash_near_dup_recall_is_exact_below_band_bound(spark):
+    # Pigeonhole guarantee of the 4-band layout: EVERY pair of 63-bit
+    # fingerprints within hamming distance 3 must be emitted, and no
+    # pair above the threshold may appear. Fingerprints are synthetic
+    # (the property targets the pairing operator, not simhash64).
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+
+    base = 0x12345678_9ABCDE5
+    flip_sets = [
+        (),          # distance 0 from base
+        (0,),        # 1
+        (5, 40),     # 2
+        (1, 30, 62),             # 3 — still must pair with base
+        (2, 11, 33, 55),         # 4 — must NOT pair with base
+        (3, 7, 21, 44, 60, 13),  # 6
+        (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    ]
+    fps = []
+    for i, flips in enumerate(flip_sets):
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        fps.append((i, v))
+    fps.append((99, 0x7FFFFFFF_00000000))  # unrelated far point
+    expected = {
+        (a, b)
+        for ai, (a, av) in enumerate(fps)
+        for b, bv in fps[ai + 1 :]
+        if bin(av ^ bv).count("1") <= 3
+    }
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_near_dup(df, "doc_id", "simhash", ham_max=3).collect()
+    }
+    assert got == expected
