@@ -644,6 +644,11 @@ def simhash_near_dup(
 
     Returns ``(a_id, b_id, hamming)`` with ``a_id < b_id``.
     """
+    # Persist the fingerprint frame: the 4-way band union would
+    # otherwise re-run the upstream subtree (for simhash64 input,
+    # the 63-bit-sum aggregate) once per band — Catalyst does not
+    # dedupe repeated subtrees (repo rule; see shingle_index).
+    fp = fp.persist()
     slices = [
         fp.select(
             F.col(id_col),
@@ -660,6 +665,10 @@ def simhash_near_dup(
         banded = banded.unionByName(s)
     from pyspark.sql import Window
 
+    # NOT persisted: the a/b join sides re-derive band+window from the
+    # cached fp scan (cheap), and persisting the window-terminated
+    # frame measurably slowed the join (the cache-scan poisoning
+    # NOTES.md documents for shingle_index: 6.9s vs 3.9s at sf0.1).
     banded = banded.withColumn(
         "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bv"))
     ).filter(F.col("bn") <= max_band_docs)

@@ -423,6 +423,48 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_all_order_cadence",
+    oracle="""
+    WITH m95 AS (
+      SELECT o_custkey, CAST(month(o_orderdate) AS INTEGER) AS order_month
+      FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    m94 AS (
+      SELECT o_custkey, CAST(month(o_orderdate) AS INTEGER) AS order_month
+      FROM orders WHERE year(o_orderdate) = 1994
+    )
+    SELECT 'kept' AS op, o_custkey, order_month
+    FROM (SELECT * FROM m95 INTERSECT ALL SELECT * FROM m94)
+    UNION ALL
+    SELECT 'surplus' AS op, o_custkey, order_month
+    FROM (SELECT * FROM m95 EXCEPT ALL SELECT * FROM m94)
+    """,
+)
+def setop_all_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): per-customer
+    order-month multiplicity matched between 1995 and 1994 ('kept') and
+    the 1995 surplus. The ALL variants preserve duplicate counts —
+    min(c95, c94) and c95 - min respectively — which the distinct
+    variants above (setop_repeat/churned_customers) deliberately drop;
+    both compile to one aggregate-with-counts + generate, no join."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def months(y: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == y).select(
+            "o_custkey", F.month("o_orderdate").alias("order_month")
+        )
+
+    m95, m94 = months(1995), months(1994)
+    kept = m95.intersectAll(m94).select(
+        F.lit("kept").alias("op"), "o_custkey", "order_month"
+    )
+    surplus = m95.exceptAll(m94).select(
+        F.lit("surplus").alias("op"), "o_custkey", "order_month"
+    )
+    return kept.unionByName(surplus)
+
+
+@register(
     "setop_repeat_customers",
     oracle="""
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
