@@ -211,3 +211,97 @@ def test_continuous_ingest_dedup_loop(spark, tmp_path):
     finally:
         for t in ("bands", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_streaming_ingest_loop_with_incremental_dedup(spark, tmp_path):
+    """The production continuous-ingest shape end-to-end: a document
+    stream drained through ``foreachBatch``, each micro-batch probed
+    against the persisted index (``incremental_near_dup``), near-dups
+    dropped, survivors admitted (``append_to_dedup_index``) so later
+    batches see earlier ones. Two availableNow drains against one
+    checkpoint force deterministic batch boundaries (second drain
+    reads only the files that arrived after the first)."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_near_dup,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(F.col("doc_id") >= 400)
+    wave1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    wave2 = docs.filter(F.col("doc_id") < 200)
+
+    prefix = "dedup_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_dedup_index(seed, prefix, n_buckets=4, path=str(tmp_path / "dd"))
+
+    flagged: list[int] = []
+    admitted: list[int] = []
+
+    def ingest(batch_df, _bid):
+        pairs = incremental_near_dup(spark, prefix, batch_df, threshold=0.5)
+        dup_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+        keep = batch_df.join(dup_ids, "doc_id", "left_anti")
+        flagged.extend(r.doc_id for r in dup_ids.collect())
+        admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+        append_to_dedup_index(keep, prefix)
+
+    def drain():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.write.mode("append").parquet(in_dir)
+        drain()
+        admitted_w1 = sorted(admitted)
+        wave2.write.mode("append").parquet(in_dir)
+        drain()
+
+        # ground truth for wave 1: near-dup of the SEED corpus only
+        full = minhash_lsh_pairs(
+            docs.filter(F.col("doc_id") >= 200), "doc_id", "text",
+            threshold=0.5,
+        )
+        w1_expected_flagged = sorted(
+            {
+                r.id_a
+                for r in full.filter(
+                    (F.col("id_a") >= 200)
+                    & (F.col("id_a") < 400)
+                    & (F.col("id_b") >= 400)
+                ).collect()
+            }
+        )
+        got_w1_flagged = sorted(set(range(200, 400)) - set(admitted_w1))
+        assert got_w1_flagged == w1_expected_flagged
+        # wave 2 was checked against seed + admitted wave-1 docs: every
+        # flagged wave-2 doc must have a near-dup partner in that set,
+        # and no admitted wave-2 doc may (cross-check with full LSH).
+        visible = set(r.doc_id for r in seed.select("doc_id").collect()) | set(
+            admitted_w1
+        )
+        full_all = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        cross2 = {
+            r.id_a
+            for r in full_all.filter(F.col("id_a") < 200).collect()
+            if r.id_b in visible
+        }
+        w2_flagged = set(flagged) - set(got_w1_flagged)
+        assert w2_flagged == cross2
+        # the stream actually caught duplicates (synthetic corpus has them)
+        assert flagged, "no near-dups flagged across the whole stream"
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
