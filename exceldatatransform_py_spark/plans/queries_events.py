@@ -1394,3 +1394,158 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
     )
     return staged.select("user_id", "n_purchases", ewma.alias("ewma_value"))
+
+
+# ---------------------------------------------------------------------------
+# Model-eval ops at warehouse scale — the queries that score a
+# trained quality/propensity model's output without leaving the
+# engine. Both are exact: rank statistics in integer arithmetic, one
+# double division at the end (the repo-wide fixed-point idiom).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rank_auc_purchase_score",
+    oracle="""
+    WITH au AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS sl,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events
+    ),
+    aug AS (
+      SELECT sl, COUNT(*) AS cnt, CAST(SUM(lab) AS BIGINT) AS pos
+      FROM au GROUP BY sl
+    ),
+    auw AS (
+      SELECT sl, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY sl
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum
+      FROM aug
+    ),
+    aus AS (
+      SELECT CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS s2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+      FROM auw
+    )
+    SELECT n_pos, n_neg,
+           CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM aus
+    """,
+)
+def rank_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a purchase predictor, via the
+    Mann-Whitney rank statistic with tie-averaged ranks. Scores are
+    quantized to exact integer cents, so the rank table groups on a
+    BOUNDED distinct-value domain (like the skyline's distinct
+    prices) — the prefix-sum window never sees data-sized input. All
+    arithmetic is int64 until the final division; rank sums stay
+    under 2^63 up to ~10^9 rows per evaluated segment (segment or
+    sample beyond that)."""
+    ev = read_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("sl"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("lab"),
+    )
+    aug = au.groupBy("sl").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("lab").alias("pos")
+    )
+    w = Window.orderBy("sl").rowsBetween(Window.unboundedPreceding, -1)
+    auw = aug.withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    aus = auw.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum") + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return aus.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("s2") - np_ * (np_ + 1)).cast("double")
+            / (2 * np_ * nn).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "decile_gain_table",
+    oracle="""
+    WITH dg AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY user_id
+    ),
+    dgn AS (
+      SELECT *, CAST(ntile(10) OVER (ORDER BY clicks DESC, user_id)
+                     AS INTEGER) AS decile
+      FROM dg
+    ),
+    dga AS (
+      SELECT decile, COUNT(*) AS n_users,
+             CAST(SUM(purchases) AS BIGINT) AS n_purchases
+      FROM dgn GROUP BY decile
+    ),
+    dgt AS (
+      SELECT CAST(SUM(n_purchases) AS BIGINT) AS tot_p,
+             CAST(SUM(n_users) AS BIGINT) AS tot_u
+      FROM dga
+    )
+    SELECT decile, n_users, n_purchases,
+           CAST(n_purchases AS DOUBLE) / CAST(tot_p AS DOUBLE)
+             AS purchases_share,
+           CAST(SUM(n_purchases) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(tot_p AS DOUBLE) AS cum_gain,
+           (CAST(n_purchases AS DOUBLE) / CAST(tot_p AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) / CAST(tot_u AS DOUBLE)) AS lift
+    FROM dga CROSS JOIN dgt
+    """,
+)
+def decile_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain/lift table: users ranked by engagement (clicks), split
+    into deciles, each decile scored by its share of purchases and
+    lift over uniform. The ntile runs over one aggregated row per
+    user (same posture as rfm_customer_segments); shares are integer
+    counts with one double division per output cell."""
+    ev = read_table(spark, sf_dir, "events")
+    dg = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "purchases"
+        ),
+    )
+    dgn = dg.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("clicks"), F.asc("user_id"))),
+    )
+    dga = dgn.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("purchases").alias("n_purchases"),
+    )
+    dgt = dga.agg(
+        F.sum("n_purchases").alias("tot_p"), F.sum("n_users").alias("tot_u")
+    )
+    joined = dga.crossJoin(F.broadcast(dgt))
+    wcum = Window.orderBy("decile").rangeBetween(Window.unboundedPreceding, 0)
+    share = F.col("n_purchases").cast("double") / F.col("tot_p").cast("double")
+    return joined.select(
+        "decile",
+        "n_users",
+        "n_purchases",
+        share.alias("purchases_share"),
+        (
+            F.sum("n_purchases").over(wcum).cast("double")
+            / F.col("tot_p").cast("double")
+        ).alias("cum_gain"),
+        (
+            share
+            / (F.col("n_users").cast("double") / F.col("tot_u").cast("double"))
+        ).alias("lift"),
+    )
