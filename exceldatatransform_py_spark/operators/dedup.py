@@ -249,6 +249,74 @@ def _verify_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A→B) = |A∩B| / |A|.
+
+    Jaccard under-scores a small document embedded verbatim inside a
+    much larger one (boilerplate-wrapped articles, quoted posts,
+    concatenated crawls) — the overlap is all of A but a sliver of
+    A∪B. Containment is the sub-document-duplication signal real
+    corpus pipelines filter on (Broder's original resemblance *and
+    containment* pairing).
+
+    Candidate generation is the exact inverted-index join (same plan
+    shape and skew guard as ``ngram_jaccard_pairs`` — only docs
+    sharing a hashed shingle ever meet), NOT MinHash banding:
+    a whole-doc MinHash signature is dominated by the large side, so
+    banded LSH systematically misses exactly the asymmetric pairs
+    this operator exists to find. At corpus scale the
+    ``max_shingle_docs`` hot-shingle drop is the knob that keeps the
+    collision join linear-ish, same as the Jaccard path.
+
+    Output: one row per unordered pair ``(id_a < id_b)`` with BOTH
+    directions — ``cont_a_in_b = common/n_a``, ``cont_b_in_a =
+    common/n_b`` — kept when either direction ≥ ``threshold``.
+    Integer counts, one double division per output cell (the
+    repo-wide cross-engine determinism idiom).
+    """
+    inv = shingle_index(df, id_col, text_col, n=n)
+
+    if max_shingle_docs is not None:
+        hot = (
+            inv.groupBy("h", "g")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_docs)
+            .select("h", "g")
+        )
+        inv = inv.join(F.broadcast(hot), ["h", "g"], "left_anti")
+
+    a = inv.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "h", "g"
+    )
+    b = inv.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "h", "g"
+    )
+    pairs = (
+        a.join(b, ["h", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c_ab = F.col("common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("common").cast("double") / F.col("n_b").cast("double")
+    return (
+        pairs.withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "common", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -31,6 +31,7 @@ from exceldatatransform_py_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
+    containment_pairs,
     ngram_jaccard_pairs,
     shingle_index,
     simhash64,
@@ -2373,4 +2374,236 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("b") + 1) * _VG_BUCKET).alias("docs_seen"),
         "new_shingles",
         F.sum("new_shingles").over(w).alias("vocab_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment — the sub-document-duplication signal
+# Jaccard misses (a short doc pasted into a long one has tiny Jaccard
+# but containment ~1). Candidates come from the exact inverted-index
+# join, NOT MinHash banding: whole-doc signatures are dominated by the
+# large side, so banded LSH systematically misses asymmetric pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "containment_pairs",
+    oracle=_JACCARD_CTE
+    + """
+    SELECT id_a, id_b, common,
+           CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a_in_b,
+           CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b_in_a
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.7
+       OR CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.7
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: single-row-group parquet scans are 1 task; the
+    # shingle/hash explode pipeline must parallelize before it.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    return containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc unigram surprisal under the corpus's own language model —
+# the CCNet-style "is this document ordinary text for this corpus?"
+# quality score. Surprisal is measured in WHOLE BITS via an exact
+# dyadic surrogate, floor(log2(total // cnt)) = len(bin(x)) - 1, so
+# every stage is integer arithmetic both engines compute identically
+# (a real log2 differs across libms in the low bits and would
+# hash-drift; see NOTES.md). High mean surprisal = rare-token-heavy
+# doc (gibberish / codey); low = boilerplate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_surprisal_score",
+    oracle=f"""
+    WITH ust AS (
+      SELECT doc_id, unnest({_TOKS.format(col="text")}) AS tok
+      FROM documents
+    ),
+    ustf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM ust GROUP BY 1, 2
+    ),
+    uscf AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM ustf GROUP BY 1
+    ),
+    ustot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uscf)
+    SELECT f.doc_id,
+           CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.tf * (length(bin(t.total // c.cnt)) - 1))
+                AS BIGINT) AS surprisal_bits,
+           CAST(SUM(f.tf * (length(bin(t.total // c.cnt)) - 1)) AS DOUBLE)
+             / CAST(SUM(f.tf) AS DOUBLE) AS mean_bits
+    FROM ustf f JOIN uscf c USING (tok) CROSS JOIN ustot t
+    GROUP BY f.doc_id
+    """,
+)
+def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    # tf feeds both the corpus-frequency build AND the scoring join;
+    # Catalyst does not dedupe self-join subtrees — persist or the
+    # tokenize+agg pipeline runs twice (the tfidf_top_terms lesson).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = cf.agg(F.sum("cnt").alias("total"))
+    # floor(log2(total // cnt)) via bin-string length — exact in both
+    # engines at ANY corpus size (SQL DIV ≡ DuckDB // on BIGINT;
+    # total // cnt >= 1 always since cnt <= total).
+    bits = F.length(F.bin(F.expr("total DIV cnt"))) - F.lit(1)
+    scored = (
+        tf.join(cf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * bits).alias("surprisal_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bits",
+        (
+            F.col("surprisal_bits").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("mean_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence lift — word2vec/GloVe training prep: token
+# pairs within a ±2 window, scored by observed-vs-independent lift
+# (the PMI ranking without PMI's log, so every cell is one
+# fixed-shape double expression over exact integer counts). Pair
+# generation is MAP-SIDE (zip_with over token-array shifts — the
+# co-occurrence-family idiom), never a positional self-join.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH pmt AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents
+    ),
+    pmp AS (
+      SELECT unnest(
+               list_concat(
+                 list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> concat(least(toks[i], toks[i+1]), ' ',
+                               greatest(toks[i], toks[i+1]))),
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> concat(least(toks[i], toks[i+2]), ' ',
+                               greatest(toks[i], toks[i+2])))
+               )) AS pair
+      FROM pmt
+    ),
+    pmpc AS (SELECT pair, COUNT(*) AS pair_cnt FROM pmp GROUP BY 1),
+    pmu AS (
+      SELECT unnest(toks) AS tok FROM pmt
+    ),
+    pmuc AS (SELECT tok, COUNT(*) AS cnt FROM pmu GROUP BY 1),
+    pmtot AS (
+      SELECT CAST((SELECT SUM(cnt) FROM pmuc) AS BIGINT) AS total_toks,
+             CAST((SELECT SUM(pair_cnt) FROM pmpc) AS BIGINT) AS total_pairs
+    ),
+    pms AS (
+      SELECT split_part(pair, ' ', 1) AS tok_a,
+             split_part(pair, ' ', 2) AS tok_b,
+             pair_cnt, a.cnt AS cnt_a, b.cnt AS cnt_b,
+             CAST(pair_cnt AS DOUBLE) * CAST(total_toks AS DOUBLE)
+               * CAST(total_toks AS DOUBLE)
+               / (CAST(total_pairs AS DOUBLE) * CAST(a.cnt AS DOUBLE)
+                  * CAST(b.cnt AS DOUBLE)) AS lift
+      FROM pmpc CROSS JOIN pmtot
+      JOIN pmuc a ON a.tok = split_part(pair, ' ', 1)
+      JOIN pmuc b ON b.tok = split_part(pair, ' ', 2)
+      WHERE pair_cnt >= {_PMI_MIN_PAIR}
+    )
+    SELECT tok_a, tok_b, pair_cnt, cnt_a, cnt_b, lift
+    FROM pms
+    ORDER BY lift DESC, tok_a, tok_b
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+
+    # Token arrays are staged as a materialized (persisted) column
+    # before the zip_with lambdas — HOF lambda bodies re-evaluate
+    # captured outer expression trees per element (NOTES.md), and a
+    # bare select is not a barrier. The staged frame also feeds the
+    # unigram count, so the tokenize runs once.
+    staged = docs.select(
+        "doc_id", ws_tokens("text").alias("toks")
+    ).persist()
+    toks = F.col("toks")
+    n = F.size(toks)
+
+    def shifted_pairs(dist: int):
+        width = F.greatest(n - dist, F.lit(0))
+        lhs = F.slice(toks, 1, width)
+        rhs = F.slice(toks, 1 + dist, width)
+        return F.zip_with(
+            lhs,
+            rhs,
+            lambda x, y: F.concat_ws(" ", F.least(x, y), F.greatest(x, y)),
+        )
+
+    pairs = staged.select(
+        F.explode(
+            F.concat(shifted_pairs(1), shifted_pairs(2))
+        ).alias("pair")
+    )
+    # pair_cnt and uni each feed two consumers (scoring + totals);
+    # both are vocab-bounded, so the persists are O(vocab), not O(N).
+    pair_cnt = (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_cnt")).persist()
+    )
+    uni = (
+        staged.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("cnt").alias("total_toks")).crossJoin(
+        pair_cnt.agg(F.sum("pair_cnt").alias("total_pairs"))
+    )
+    filtered = pair_cnt.filter(F.col("pair_cnt") >= _PMI_MIN_PAIR).select(
+        F.split(F.col("pair"), " ").getItem(0).alias("tok_a"),
+        F.split(F.col("pair"), " ").getItem(1).alias("tok_b"),
+        "pair_cnt",
+    )
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    lift = (
+        F.col("pair_cnt").cast("double")
+        * F.col("total_toks").cast("double")
+        * F.col("total_toks").cast("double")
+        / (
+            F.col("total_pairs").cast("double")
+            * F.col("cnt_a").cast("double")
+            * F.col("cnt_b").cast("double")
+        )
+    )
+    return (
+        filtered.join(a, "tok_a")
+        .join(b, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "pair_cnt", "cnt_a", "cnt_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(_PMI_TOPK)
     )

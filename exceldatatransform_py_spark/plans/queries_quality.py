@@ -474,3 +474,327 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Statistical testing / distribution-drift batch.
+#
+# Three audits a warehouse team schedules against a living table:
+# independence of two categorical columns (chi-square residuals),
+# conformance of a numeric column to Benford's law (fraud/entry-error
+# screen), and distribution drift of a measure between two time
+# periods (the PSI/KS slot on an ML-ops dashboard, expressed as total
+# variation distance so the statistic is *exact integer arithmetic* —
+# PSI's logs would hash-drift across engines; see NOTES.md on libm).
+#
+# Determinism rules used below (repo-wide idiom):
+# * per-cell doubles come from ONE fixed-shape expression over
+#   integers — identical bit patterns on both engines;
+# * cross-row double sums are NEVER left to aggregate order: the
+#   chi-square total folds a sorted array (F.aggregate / list_reduce
+#   over list(... ORDER BY ...)) so both engines add in the same
+#   sequence; the TVD total is an integer sum with one final division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow_iso,
+             COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot
+           FROM obs GROUP BY 1),
+    ct AS (SELECT dow_iso, CAST(SUM(obs) AS BIGINT) AS col_tot
+           FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total,
+                 COUNT(DISTINCT event_type) AS n_rows_d,
+                 COUNT(DISTINCT dow_iso) AS n_cols_d
+          FROM obs),
+    cells AS (
+      SELECT o.event_type, o.dow_iso, o.obs,
+             CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+               / CAST(n.n_total AS DOUBLE) AS expected
+      FROM obs o JOIN rt USING (event_type) JOIN ct USING (dow_iso)
+      CROSS JOIN n
+    ),
+    scored AS (
+      SELECT event_type, dow_iso, obs, expected,
+             (CAST(obs AS DOUBLE) - expected)
+               * (CAST(obs AS DOUBLE) - expected) / expected AS contrib
+      FROM cells
+    ),
+    tot AS (
+      SELECT list_reduce(list(contrib ORDER BY event_type, dow_iso),
+                         (x, y) -> x + y) AS chi2_total
+      FROM scored
+    )
+    SELECT s.event_type, s.dow_iso, s.obs, s.expected, s.contrib,
+           t.chi2_total,
+           CAST((n.n_rows_d - 1) * (n.n_cols_d - 1) AS INTEGER) AS dof
+    FROM scored s CROSS JOIN tot t CROSS JOIN n
+    """,
+)
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event_type × ISO weekday.
+
+    One groupBy builds the contingency table; row/column margins
+    re-aggregate the (tiny) cell table, never the fact — at 100 TB
+    the only data-sized operation is the first partial-aggregated
+    groupBy, everything after runs on ≤ |types|·7 rows, and the
+    margins broadcast back onto the cells. The chi-square total is a
+    sorted-array fold (both engines add ~35 doubles in the identical
+    sequence) rather than a SUM whose accumulation order neither
+    engine pins down.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts")) + F.lit(1)).cast("int").alias("dow_iso"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    obs = obs.persist()  # margins + cells + distinct counts all reuse it
+    rt = obs.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = obs.groupBy("dow_iso").agg(F.sum("obs").alias("col_tot"))
+    n = obs.agg(
+        F.sum("obs").alias("n_total"),
+        F.countDistinct("event_type").alias("n_rows_d"),
+        F.countDistinct("dow_iso").alias("n_cols_d"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow_iso")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow_iso",
+            "obs",
+            expected.alias("expected"),
+            "n_rows_d",
+            "n_cols_d",
+        )
+    )
+    d = F.col("obs").cast("double") - F.col("expected")
+    scored = cells.withColumn("contrib", d * d / F.col("expected"))
+    tot = scored.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("event_type", "dow_iso", "contrib")
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("chi2_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow_iso",
+            "obs",
+            "expected",
+            "contrib",
+            "chi2_total",
+            ((F.col("n_rows_d") - 1) * (F.col("n_cols_d") - 1))
+            .cast("int")
+            .alias("dof"),
+        )
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), inlined as
+# 17-significant-digit literals so BOTH engines parse the identical
+# nearest-double — no runtime log10 call to drift by an ulp.
+_BENFORD = {
+    1: "0.30102999566398120",
+    2: "0.17609125905568124",
+    3: "0.12493873660829993",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+# The WHEN values go through CAST('…' AS DOUBLE) — a bare numeric
+# literal parses as DECIMAL(18,17) in DuckDB, and that decimal's
+# scaled integer exceeds 2^53, so its conversion to double can differ
+# from the correctly-rounded strtod parse by an ulp (NOTES.md). The
+# string cast is strtod on both engines and bit-matches Spark's
+# F.lit(float(...)).
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST('{v}' AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_price_audit",
+    oracle=f"""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    agg AS (
+      SELECT first_digit, COUNT(*) AS n_orders FROM fd GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM agg)
+    SELECT first_digit, n_orders,
+           CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+           {_BENFORD_SQL_CASE} AS benford_share,
+           CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)
+             - {_BENFORD_SQL_CASE} AS deviation
+    FROM agg CROSS JOIN tot
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals' first significant
+    digit — the classic entry-error / synthetic-data screen.
+
+    Map-side digit extraction (string head of the integer part, no
+    logs), one 9-group aggregate, the grand total broadcast back.
+    The expected shares are compile-time literals, so the only
+    doubles are two fixed-shape divisions per output row. Scale: the
+    aggregate is algebraic over 9 groups; nothing else exists.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    fd = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    agg = fd.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = agg.agg(F.sum("n_orders").alias("n_total"))
+    benford = F.element_at(
+        F.create_map(
+            *[x for d, v in _BENFORD.items() for x in (F.lit(d), F.lit(float(v)))]
+        ),
+        F.col("first_digit"),
+    )
+    obs = F.col("n_orders").cast("double") / F.col("n_total").cast("double")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_orders",
+        obs.alias("obs_share"),
+        benford.alias("benford_share"),
+        (obs - benford).alias("deviation"),
+    )
+
+
+@register(
+    "value_drift_tvd",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS u0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS u1
+      FROM events
+    ),
+    bucketed AS (
+      SELECT CAST(least(floor(e.value / 20), 30) AS BIGINT) AS bucket,
+             CASE WHEN epoch_us(e.ts) < b.u0 + (b.u1 - b.u0) // 2
+                  THEN 1 ELSE 0 END AS is_early
+      FROM events e CROSS JOIN b
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(is_early) AS BIGINT) AS n_early,
+             CAST(SUM(1 - is_early) AS BIGINT) AS n_late
+      FROM bucketed GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_early) AS BIGINT) AS tot_early,
+             CAST(SUM(n_late) AS BIGINT) AS tot_late,
+             CAST(SUM(abs(n_early * (SELECT SUM(n_late) FROM cells)
+                          - n_late * (SELECT SUM(n_early) FROM cells)))
+                  AS BIGINT) AS tvd_num
+      FROM cells
+    )
+    SELECT c.bucket, c.n_early, c.n_late,
+           CAST(c.n_early AS DOUBLE) / CAST(t.tot_early AS DOUBLE)
+             AS share_early,
+           CAST(c.n_late AS DOUBLE) / CAST(t.tot_late AS DOUBLE)
+             AS share_late,
+           CAST(t.tvd_num AS DOUBLE)
+             / CAST(2 * t.tot_early * t.tot_late AS DOUBLE) AS tvd_total
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of `value` between the first and second half
+    of the event stream, as total variation distance.
+
+    The drift-monitoring slot PSI usually fills — restated so the
+    statistic is EXACT: per-bucket counts are integers, the TVD
+    numerator Σ|n_early·T_late − n_late·T_early| is an integer sum
+    (bucket counts × totals stay ≪ 2^63 up to ~10^9 rows per side;
+    segment or go DECIMAL(38) beyond), and the only doubles are one
+    division per output cell. PSI's Σ(p−q)·ln(p/q) would cross libm
+    and hash-differently per engine. Plan: one pruned scan, the time
+    midpoint broadcast, one 31-group aggregate, margins broadcast
+    back — nothing data-sized after the first groupBy.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    # read_table normalizes events.ts to TIMESTAMP_NTZ; unix_micros
+    # needs TIMESTAMP. The NTZ→TZ cast applies the session zone — UTC
+    # on both harnesses (NOTES.md), so the micros are unambiguous.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("u0"), F.max(us).alias("u1"))
+    # Exact integer-microsecond midpoint — a double/interval midpoint
+    # can land 1 µs off per engine and flip boundary events.
+    umid = F.col("u0") + F.floor(
+        (F.col("u1") - F.col("u0")) / F.lit(2)
+    ).cast("bigint")
+    bucketed = ev.crossJoin(F.broadcast(b)).select(
+        F.least(F.floor(F.col("value") / 20), F.lit(30))
+        .cast("bigint")
+        .alias("bucket"),
+        (us < umid).cast("bigint").alias("is_early"),
+    )
+    cells = bucketed.groupBy("bucket").agg(
+        F.sum("is_early").alias("n_early"),
+        F.sum(F.lit(1) - F.col("is_early")).alias("n_late"),
+    )
+    cells = cells.persist()  # margins, numerator, and output reuse it
+    tot = cells.agg(
+        F.sum("n_early").alias("tot_early"),
+        F.sum("n_late").alias("tot_late"),
+    )
+    with_tot = cells.crossJoin(F.broadcast(tot))
+    num = with_tot.agg(
+        F.sum(
+            F.abs(
+                F.col("n_early") * F.col("tot_late")
+                - F.col("n_late") * F.col("tot_early")
+            )
+        ).alias("tvd_num")
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(num))
+        .select(
+            "bucket",
+            "n_early",
+            "n_late",
+            (
+                F.col("n_early").cast("double")
+                / F.col("tot_early").cast("double")
+            ).alias("share_early"),
+            (
+                F.col("n_late").cast("double")
+                / F.col("tot_late").cast("double")
+            ).alias("share_late"),
+            (
+                F.col("tvd_num").cast("double")
+                / (2 * F.col("tot_early") * F.col("tot_late")).cast("double")
+            ).alias("tvd_total"),
+        )
+    )
