@@ -632,3 +632,42 @@ def test_pattern_audit_is_map_side_partial(spark):
         "text",
         "source",
     }
+
+
+def test_statistical_audits_stage_margins_broadcast(spark):
+    """chi_square/value_drift: after the first data-sized groupBy,
+    every margin/total joins back via broadcast — nothing re-shuffles
+    the fact, and the persisted cell table is reused (InMemory*), not
+    recomputed per consumer."""
+    for name in ("chi_square_type_dow", "value_drift_tvd"):
+        plan = plan_of(spark, name)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # margins/totals are 1-to-35-row frames: broadcast, never SMJ.
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pmi_pairs_generate_map_side(spark):
+    """token_pmi_pairs: pair generation must be the zip_with expansion
+    over the staged token arrays — no positional self-join (zero Join
+    nodes before the first aggregate), and the persisted stage reused."""
+    plan = plan_of(spark, "token_pmi_pairs")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # global top-k must be TakeOrdered, not a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_surprisal_reuses_persisted_tf(spark):
+    # tf feeds both the corpus-frequency build and the scoring join;
+    # the persist must show up (else the tokenize+agg runs twice).
+    plan = plan_of(spark, "unigram_surprisal_score")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_containment_is_inverted_index_join(spark):
+    # same candidate-generation posture as near_dup_jaccard: the only
+    # pair-producing join runs on the (h, g) shingle key (an equi-join
+    # over the persisted index), never a cartesian.
+    plan = plan_of(spark, "containment_pairs")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
