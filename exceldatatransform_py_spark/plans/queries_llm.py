@@ -2607,3 +2607,115 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "tok_a", "tok_b")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (Abbas et al. 2023): semantic dedup via k-means cells —
+# cluster the embedding space, score cosine ONLY within a cell, drop
+# every vector that duplicates (cos ≥ θ) a lower-id cell-mate. The
+# scale story is the clustering itself: pairwise work is Σ|cell|²,
+# bounded by choosing k ∝ N (cells stay ~constant size), vs the
+# corpus-quadratic all-pairs scan it replaces. Reuses the fixed-point
+# k-means (engine-exact assignments) and the exact-decimal cosine, so
+# the DuckDB twin replays training + pairing bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SD_THRESH = 0.40
+
+
+def _semdedup_oracle() -> str:
+    return ("\n    WITH " + _kmeans_train_ctes() + _km_round(_KM_ITERS) + f""",
+    sdv AS (SELECT e.vec_id, a.cid AS cluster_id, e.embedding
+            FROM embeddings e JOIN a{_KM_ITERS} a USING (vec_id)),
+    sdq AS (SELECT vec_id AS id_a, cluster_id, embedding AS qv FROM sdv),
+    sdc AS (SELECT vec_id AS id_b, cluster_id, embedding AS cv FROM sdv),
+    sdp AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, {_COSINE} AS cosine
+        FROM sdq JOIN sdc USING (cluster_id) WHERE id_a < id_b
+      ) WHERE cosine >= {_SD_THRESH}
+    ),
+    sdptr AS (
+      SELECT id_a AS vec_id, id_b AS partner FROM sdp
+      UNION ALL
+      SELECT id_b AS vec_id, id_a AS partner FROM sdp
+    ),
+    sdagg AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+             CAST(SUM(CASE WHEN partner < vec_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lower
+      FROM sdptr GROUP BY vec_id
+    )
+    SELECT v.vec_id, v.cluster_id,
+           CAST(COALESCE(g.n_partners, 0) AS BIGINT) AS n_partners,
+           COALESCE(g.n_lower, 0) > 0 AS dropped
+    FROM sdv v LEFT JOIN sdagg g USING (vec_id)
+    """)
+
+
+@register("semantic_dedup_kmeans", oracle=_semdedup_oracle())
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.similarity import (
+        _cosine_pre,
+        _norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
+    assign = kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+    # One staged frame (vector + cell + pre-computed norm) feeds both
+    # sides of the pairing join AND the final decision rows — persist
+    # so k-means training and the norm pass run once, and the O(dim)
+    # interpreted self-dot never runs per PAIR.
+    staged = (
+        emb.join(assign.select("vec_id", "cluster_id"), "vec_id")
+        .select(
+            "vec_id", "cluster_id", "embedding",
+            _norm(F.col("embedding")).alias("__n"),
+        )
+        .persist()
+    )
+    a = staged.select(
+        F.col("vec_id").alias("id_a"), "cluster_id",
+        F.col("embedding").alias("__qv"), F.col("__n").alias("__qn"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("id_b"), "cluster_id",
+        F.col("embedding").alias("__cv"), F.col("__n").alias("__cn"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), F.col("__cn")),
+        )
+        .filter(F.col("cosine") >= _SD_THRESH)
+        .select("id_a", "id_b")
+    )
+    partners = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("partner")
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("vec_id"), F.col("id_a").alias("partner")
+        )
+    )
+    agg = partners.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.sum((F.col("partner") < F.col("vec_id")).cast("bigint")).alias(
+            "n_lower"
+        ),
+    )
+    return (
+        staged.select("vec_id", "cluster_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("n_partners"), F.lit(0)).alias("n_partners"),
+            (F.coalesce(F.col("n_lower"), F.lit(0)) > 0).alias("dropped"),
+        )
+    )

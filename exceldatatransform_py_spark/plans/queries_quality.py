@@ -798,3 +798,102 @@ def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh — materialized-view maintenance: the
+# MV (orders by status: count + exact cents sum) is refreshed from
+# (old MV) ⊕ (CDC delta) ONLY, never by rescanning the new table
+# version. THE 100 TB pattern: a full MV rebuild rescans the world,
+# the incremental plan touches O(|delta|) + O(|MV|) rows. Updates
+# that MOVE a row between groups (status → 'X') contribute a retract
+# to the old group and an insert to the new one — the general
+# dataflow retract/accumulate rule, not a same-group shortcut. The
+# oracle aggregates the v1 table directly, so the hash match PROVES
+# incremental ≡ full refresh. (Here the delta comes from a v0⋈v1
+# diff because the fixture derives v1 in-plan; in production it
+# comes from the CDC log / snapshot layer — see snapshot_diff_orders
+# and sources/snapshots.py.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_refresh",
+    oracle=f"""
+    WITH v1 AS ({_V1_SQL})
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM v1 GROUP BY 1
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v0 = read_table(spark, sf_dir, "orders")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+
+    # The deterministic v1 mutation (same fixture as
+    # snapshot_diff_orders): ~1% deleted, ~1% status→'X', ~1% inserted.
+    kept = v0.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    inserted = v0.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+
+    # Old MV: the v0 aggregate (in production: the stored MV).
+    old_mv = v0.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("sum_cents"),
+    )
+
+    # CDC delta in retract/accumulate form, WITHOUT scanning v1:
+    # every contribution is derivable from v0 predicates alone.
+    deletes = v0.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderstatus",
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-cents("o_totalprice")).alias("dc"),
+    )
+    moved = v0.filter(
+        (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 89 == 0)
+    )
+    retracts = moved.select(
+        "o_orderstatus",
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-cents("o_totalprice")).alias("dc"),
+    )
+    accumulates = moved.select(
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("dn"),
+        cents("o_totalprice").alias("dc"),
+    )
+    ins = inserted.select(
+        "o_orderstatus",
+        F.lit(1).cast("bigint").alias("dn"),
+        cents("o_totalprice").alias("dc"),
+    )
+    delta = (
+        deletes.unionByName(retracts)
+        .unionByName(accumulates)
+        .unionByName(ins)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+
+    merged = old_mv.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("sum_cents"), F.lit(0))
+            + F.coalesce(F.col("dc"), F.lit(0))
+        ).alias("sum_cents"),
+    )
+    # Groups whose count reaches 0 leave the MV (none do in this
+    # fixture, but the rule is part of the operator's contract).
+    return merged.filter(F.col("n_orders") > 0)
