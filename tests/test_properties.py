@@ -441,6 +441,18 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "ewma_value_per_user",
         "regression_price_qty_by_flag",
         "khop_parts_from_seeds",
+        # round-3 statistical/ML-eval batch: the sorted-fold chi-square
+        # total, the integer-arithmetic TVD/AUC/gain statistics, the
+        # dyadic surprisal, and the retract/accumulate MV refresh must
+        # all be pure functions of the data, not the partitioning.
+        "chi_square_type_dow",
+        "value_drift_tvd",
+        "rank_auc_purchase_score",
+        "decile_gain_table",
+        "unigram_surprisal_score",
+        "token_pmi_pairs",
+        "incremental_agg_refresh",
+        "semantic_dedup_kmeans",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
