@@ -162,3 +162,149 @@ def kmeans_centroids(
             "cs", lambda c: c.cast("double") / F.lit(float(scale))
         ).alias("cvec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component — Gram-matrix power iteration, fully
+# fixed-point so an iterative eigen-solve is engine-exact and
+# oracle-checkable (the same property argument as k-means above).
+# ---------------------------------------------------------------------------
+
+#: |scaled Gram| is truncated below 2^G_BITS so a Gram·v term
+#: (2^G_BITS · 2^V_BITS) times dim stays far inside int64.
+PCA_G_BITS = 34
+#: power-iteration vectors renormalize to |v| ≤ ~2^V_BITS each round.
+PCA_V_BITS = 20
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+    iters: int = 6,
+) -> DataFrame:
+    """Leading principal component of an embedding column — the
+    whitening/dimensionality-reduction prep step of an embedding
+    pipeline — via power iteration on the centered Gram (scatter)
+    matrix, entirely in exact integer arithmetic.
+
+    Determinism (what makes 6 chained iterations oracle-checkable):
+
+    * Points quantize once to fixed-point (``floor(x·10^6)``); the
+      per-dimension integer mean uses truncating division (Spark
+      ``DIV`` ≡ DuckDB ``//`` for ALL signs — both truncate toward
+      zero), so residuals are exact integers.
+    * Gram entries are exact integer sums of residual products; a
+      data-dependent power-of-two truncation (``g DIV 2^shift`` with
+      ``shift = max(bitlen(max|g|) − 34, 0)``) bounds them below
+      2^34 — ``2^shift`` is an exactly-representable double, and the
+      truncating division matches across engines.
+    * Each iteration renormalizes ``w = Gs·v`` with another
+      truncating division by ``(max|w| DIV 2^20) + 1``, keeping
+      |v| ≤ ~2^20 forever; Σ gs·v ≤ dim·2^54 stays inside int64.
+    * Init is all-ones — no RNG; the returned direction's sign is
+      therefore deterministic too.
+
+    Scale shape: the only data-sized work is quantize → residual →
+    map-side pair expansion (dim² structs per row, partially
+    aggregated BEFORE the shuffle — the exchange carries at most
+    dim²·partitions rows toward dim² groups). Everything after runs
+    on dim² ≤ 4096 rows; per-round frames are 64 rows with broadcast
+    scalars. Magnitude audit at this scale: |r| ≤ ~2^20, so a Gram
+    entry ≤ N·2^40 — int64-safe to N ≈ 2^22 rows per partition-sum
+    and ≈ 2^22 total without re-scaling; beyond that, raise the
+    quantization coarseness or sum into DECIMAL(38,0) (documented
+    upgrade path, same plan shape).
+
+    Output: ``(dim_i int, v_fixed bigint, loading double)`` — the
+    fixed-point eigenvector and its unit-normalized loadings.
+    """
+    xs = df.select(quantize_vec(vec_col, scale).alias("xs"))
+    ex = xs.select(F.posexplode("xs").alias("i", "x"))
+    sums = ex.groupBy("i").agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    means = sums.select("i", F.expr("s DIV n").alias("m"))
+    meanrow = means.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda st: st["m"]
+        ).alias("marr")
+    )
+    # Residual + indexed-struct arrays are STAGED (persisted) before
+    # the nested-transform pair expansion: HOF lambdas re-evaluate
+    # captured outer expression trees per element (NOTES.md), so the
+    # cross product must read a materialized attribute, not the
+    # zip_with pipeline — else the O(d) residual build reruns O(d²)
+    # times per row.
+    ri = (
+        xs.crossJoin(F.broadcast(meanrow))
+        .select(F.zip_with("xs", "marr", lambda x, m: x - m).alias("rs"))
+        .select(
+            F.transform(
+                "rs", lambda x, i: F.struct(i.alias("i"), x.alias("x"))
+            ).alias("ri")
+        )
+        .persist()
+    )
+    pairs = ri.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ri",
+                    lambda a: F.transform(
+                        F.col("ri"),
+                        lambda b: F.struct(
+                            a["i"].alias("i"),
+                            b["i"].alias("j"),
+                            (a["x"] * b["x"]).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select(F.col("c.i").alias("i"), F.col("c.j").alias("j"), F.col("c.p").alias("p"))
+    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("gij")).persist()
+    gdiv = g.agg(F.max(F.abs("gij")).alias("gmax")).select(
+        F.pow(
+            F.lit(2.0),
+            F.greatest(
+                F.length(F.bin("gmax")) - F.lit(1) - F.lit(PCA_G_BITS), F.lit(0)
+            ),
+        )
+        .cast("long")
+        .alias("gdiv")
+    )
+    # localCheckpoint (not persist): each round's w feeds BOTH the
+    # max-renorm scalar and the next v, so a lazy chain doubles per
+    # round — 2^iters copies of the whole preprocessing tree reach
+    # the analyzer (measured minutes at iters=6). Truncating lineage
+    # keeps every round's plan O(1); the checkpointed frames are
+    # dim²/dim rows. Same per-step-checkpoint rule as the
+    # connected-components loop (NOTES.md).
+    gs = (
+        g.crossJoin(F.broadcast(gdiv))
+        .select("i", "j", F.expr("gij DIV gdiv").alias("gs"))
+        .localCheckpoint()
+    )
+    v = means.select(
+        F.col("i").alias("j"), F.lit(1 << PCA_V_BITS).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            gs.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("v")).alias("w"))
+            .localCheckpoint()
+        )
+        d = w.agg(F.max(F.abs("w")).alias("mx")).select(
+            (F.expr(f"mx DIV {1 << PCA_V_BITS}") + F.lit(1)).alias("d")
+        )
+        v = w.crossJoin(F.broadcast(d)).select(
+            F.col("i").alias("j"), F.expr("w DIV d").alias("v")
+        )
+    n2 = v.agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    return v.crossJoin(F.broadcast(n2)).select(
+        F.col("j").alias("dim_i"),
+        F.col("v").alias("v_fixed"),
+        (F.col("v").cast("double") / F.sqrt(F.col("n2").cast("double"))).alias(
+            "loading"
+        ),
+    )

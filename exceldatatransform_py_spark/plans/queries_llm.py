@@ -2719,3 +2719,71 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_lower"), F.lit(0)) > 0).alias("dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA leading component — power iteration on the centered Gram
+# matrix, fixed-point exact (operators.clustering.pca_top_component).
+# The oracle unrolls all 6 iterations as CTEs, the same pattern that
+# proves k-means: every truncating division (Spark DIV ≡ DuckDB //,
+# both toward zero for all signs) and every integer sum is
+# engine-identical, so a 6-deep iterative eigen-solve hash-matches.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS, _PCA_GBITS, _PCA_VINIT = 6, 34, 1 << 20
+
+
+def _pca_oracle() -> str:
+    parts = [f"""
+    WITH pcx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    pce AS (
+      SELECT vec_id, unnest(range(0, len(xs))) AS i, unnest(xs) AS x FROM pcx
+    ),
+    pcm AS (
+      SELECT i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS m FROM pce GROUP BY i
+    ),
+    pcr AS (
+      SELECT e.vec_id, e.i, e.x - m.m AS r FROM pce e JOIN pcm m USING (i)
+    ),
+    pcg AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.r * b.r) AS BIGINT) AS gij
+      FROM pcr a JOIN pcr b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    pcdiv AS (
+      SELECT CAST(power(2, greatest(length(bin(max(abs(gij)))) - 1
+                                      - {_PCA_GBITS}, 0)) AS BIGINT) AS gdiv
+      FROM pcg
+    ),
+    pcgs AS MATERIALIZED (
+      SELECT i, j, gij // gdiv AS gs FROM pcg CROSS JOIN pcdiv
+    ),
+    pv0 AS (SELECT i AS j, CAST({_PCA_VINIT} AS BIGINT) AS v FROM pcm)"""]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(f""",
+    pw{t} AS MATERIALIZED (
+      SELECT g.i, CAST(SUM(g.gs * v.v) AS BIGINT) AS w
+      FROM pcgs g JOIN pv{t - 1} v USING (j) GROUP BY g.i
+    ),
+    pd{t} AS (SELECT (max(abs(w)) // {_PCA_VINIT}) + 1 AS d FROM pw{t}),
+    pv{t} AS (SELECT i AS j, w // d AS v FROM pw{t} CROSS JOIN pd{t})""")
+    parts.append(f""",
+    pcn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n2 FROM pv{_PCA_ITERS})
+    SELECT CAST(j AS INTEGER) AS dim_i, v AS v_fixed,
+           CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
+    FROM pv{_PCA_ITERS} CROSS JOIN pcn""")
+    return "".join(parts)
+
+
+@register("pca_top_component", oracle=_pca_oracle())
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
+    return pca_top_component(emb, vec_col="embedding", iters=_PCA_ITERS)
