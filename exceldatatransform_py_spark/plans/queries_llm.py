@@ -2787,3 +2787,96 @@ def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
     return pca_top_component(emb, vec_col="embedding", iters=_PCA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional surprisal — the 2-gram companion of
+# unigram_surprisal_score: how predictable is each next-token given
+# its predecessor, under the corpus's own bigram LM. Same exact
+# dyadic-bits surrogate (bitlen of a truncating integer division):
+# P(cur|prev) = pair_cnt / ctx_cnt, surprisal = floor(log2(ctx_cnt
+# // pair_cnt)). Low mean bits = formulaic/templated text; the
+# unigram-vs-bigram bits GAP is the repetition-structure signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_surprisal_score",
+    oracle=f"""
+    WITH bgt AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents
+    ),
+    bgp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> concat(toks[i], ' ', toks[i+1]))) AS pair
+      FROM bgt
+    ),
+    bgf AS (
+      SELECT doc_id, pair, COUNT(*) AS tf FROM bgp GROUP BY 1, 2
+    ),
+    bgc AS (
+      SELECT pair, CAST(SUM(tf) AS BIGINT) AS pair_cnt FROM bgf GROUP BY 1
+    ),
+    bgx AS (
+      SELECT split_part(pair, ' ', 1) AS prev,
+             CAST(SUM(pair_cnt) AS BIGINT) AS ctx_cnt
+      FROM bgc GROUP BY 1
+    )
+    SELECT f.doc_id,
+           CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(f.tf * (length(bin(x.ctx_cnt // c.pair_cnt)) - 1))
+                AS BIGINT) AS surprisal_bits,
+           CAST(SUM(f.tf * (length(bin(x.ctx_cnt // c.pair_cnt)) - 1))
+                AS DOUBLE) / CAST(SUM(f.tf) AS DOUBLE) AS mean_bits
+    FROM bgf f
+    JOIN bgc c USING (pair)
+    JOIN bgx x ON x.prev = split_part(f.pair, ' ', 1)
+    GROUP BY f.doc_id
+    """,
+)
+def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    staged = docs.select(
+        "doc_id", ws_tokens("text").alias("toks")
+    ).persist()
+    toks = F.col("toks")
+    n = F.size(toks)
+    width = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    pairs = staged.select("doc_id", F.explode(bigrams).alias("pair"))
+    # tf feeds the corpus counts AND the scoring join (the
+    # tfidf/unigram persist lesson).
+    tf = (
+        pairs.groupBy("doc_id", "pair")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    pc = tf.groupBy("pair").agg(F.sum("tf").alias("pair_cnt"))
+    ctx = pc.groupBy(
+        F.split(F.col("pair"), " ").getItem(0).alias("prev")
+    ).agg(F.sum("pair_cnt").alias("ctx_cnt"))
+    bits = F.length(F.bin(F.expr("ctx_cnt DIV pair_cnt"))) - F.lit(1)
+    scored = (
+        tf.join(pc, "pair")
+        .withColumn("prev", F.split(F.col("pair"), " ").getItem(0))
+        .join(ctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * bits).alias("surprisal_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_bits",
+        (
+            F.col("surprisal_bits").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_bits"),
+    )
