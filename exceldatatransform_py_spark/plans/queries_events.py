@@ -1549,3 +1549,94 @@ def decile_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_users").cast("double") / F.col("tot_u").cast("double"))
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed drift curve — the drift-dashboard time series: per 6-hour
+# event-time window, total-variation distance between the window's
+# value-bucket distribution and the whole-corpus distribution. The
+# aggregation shape is EXACTLY streaming.windows.windowed_value_
+# histogram (whose streaming twin is equivalence-tested in
+# test_streaming); this query is the batch consumer that turns those
+# histograms into the alert statistic. Same exactness posture as
+# value_drift_tvd: the TVD numerator is an integer sum, one double
+# division per window.
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.streaming.windows import (  # noqa: E402
+    windowed_value_histogram,
+)
+
+
+@register(
+    "windowed_drift_curve",
+    oracle="""
+    WITH wdh AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+             CAST(least(floor(value / 20), 30) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wdb AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_b FROM wdh GROUP BY 1),
+    wdt AS (SELECT CAST(SUM(n_b) AS BIGINT) AS t_tot FROM wdb),
+    wdw AS (SELECT ws, CAST(SUM(n) AS BIGINT) AS t_w FROM wdh GROUP BY 1),
+    wdc AS (
+      SELECT w.ws, w.t_w, b.bucket, b.n_b,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_wb
+      FROM wdw w CROSS JOIN wdb b
+      LEFT JOIN wdh h ON h.ws = w.ws AND h.bucket = b.bucket
+    ),
+    wdn AS (
+      SELECT ws, t_w, t.t_tot,
+             CAST(SUM(abs(n_wb * t.t_tot - n_b * t_w)) AS BIGINT) AS tvd_num
+      FROM wdc CROSS JOIN wdt t GROUP BY 1, 2, 3
+    )
+    SELECT ws AS window_start, ws + INTERVAL 6 HOUR AS window_end,
+           t_w AS n_window_events,
+           CAST(tvd_num AS DOUBLE) / CAST(2 * t_w * t_tot AS DOUBLE) AS tvd
+    FROM wdn
+    """,
+)
+def windowed_drift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # The per-(window, bucket) histogram feeds three consumers (corpus
+    # margins, window totals, cells) — persist the ~windows×31-row
+    # frame so the event scan runs once.
+    hist = windowed_value_histogram(ev, duration="6 hours").persist()
+    corpus_b = hist.groupBy("bucket").agg(F.sum("n_events").alias("n_b"))
+    tot = corpus_b.agg(F.sum("n_b").alias("t_tot"))
+    win_t = hist.groupBy("window_start", "window_end").agg(
+        F.sum("n_events").alias("t_w")
+    )
+    cells = (
+        win_t.crossJoin(F.broadcast(corpus_b))
+        .join(hist, ["window_start", "window_end", "bucket"], "left")
+        .select(
+            "window_start",
+            "window_end",
+            "t_w",
+            "n_b",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_wb"),
+        )
+    )
+    num = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("window_start", "window_end", "t_w", "t_tot")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_wb") * F.col("t_tot")
+                    - F.col("n_b") * F.col("t_w")
+                )
+            ).alias("tvd_num")
+        )
+    )
+    return num.select(
+        "window_start",
+        "window_end",
+        F.col("t_w").alias("n_window_events"),
+        (
+            F.col("tvd_num").cast("double")
+            / (2 * F.col("t_w") * F.col("t_tot")).cast("double")
+        ).alias("tvd"),
+    )

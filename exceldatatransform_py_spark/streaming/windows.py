@@ -319,3 +319,70 @@ def stream_purchase_attribution(
     return purchase_attribution_join(
         clicks, purchases, attribution_window=attribution_window
     )
+
+
+def windowed_value_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "6 hours",
+    value_col: str = "value",
+    bucket_width: float = 20.0,
+    bucket_cap: int = 30,
+) -> DataFrame:
+    """Per-window histogram of ``value_col`` — the aggregation under a
+    streaming drift monitor (the per-window bucket counts a consumer
+    compares against a reference distribution; see
+    ``plans.queries_events.windowed_drift_curve`` for the batch drift
+    curve computed from exactly this shape).
+
+    Output: ``(window_start, window_end, bucket, n_events)``. Bucket =
+    ``least(floor(value / width), cap)`` — fixed-width with an
+    overflow cap so the per-window state is bounded (cap+1 buckets per
+    window) no matter the value distribution. One groupBy, partial
+    map-side aggregation; at scale state size = windows-in-watermark ×
+    (cap+1) rows.
+    """
+    w = F.window(F.col(ts_col), duration)
+    bucket = F.least(
+        F.floor(F.col(value_col) / bucket_width), F.lit(bucket_cap)
+    ).cast("bigint")
+    return (
+        df.groupBy(w.alias("w"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "n_events",
+        )
+    )
+
+
+def stream_value_histogram(
+    spark: SparkSession,
+    events_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    duration: str = "6 hours",
+    watermark: str = "30 minutes",
+    value_col: str = "value",
+    bucket_width: float = 20.0,
+    bucket_cap: int = 30,
+) -> DataFrame:
+    """Streaming twin of ``windowed_value_histogram`` — the live side
+    of a drift monitor: file-source replay, watermarked event-time
+    windows, bounded per-window bucket state. The drift consumer joins
+    the (static, broadcast) reference histogram downstream and alerts
+    on the per-window distance; the equivalence test drains this into
+    a memory sink and matches the batch histogram exactly."""
+    stream = spark.readStream.schema(schema).format("parquet").load(events_path)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = stream.withWatermark(ts_col, watermark)
+    return windowed_value_histogram(
+        stream,
+        ts_col=ts_col,
+        duration=duration,
+        value_col=value_col,
+        bucket_width=bucket_width,
+        bucket_cap=bucket_cap,
+    )

@@ -526,3 +526,47 @@ def test_stream_stream_left_outer_emits_expired_nulls(spark, tmp_path):
         if r["click_id"] != 99
     }
     assert got == {(1, 10), (2, None)}
+
+
+def test_stream_value_histogram_matches_batch(spark, events_dir):
+    """The drift monitor's aggregation: the streaming per-window value
+    histogram must equal the batch histogram exactly (the same
+    equivalence contract as the tumbling counts — scored downstream by
+    windowed_drift_curve)."""
+    from exceldatatransform_py_spark.streaming.windows import (
+        stream_value_histogram,
+        windowed_value_histogram,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["window_end"], r["bucket"]): r["n_events"]
+        for r in windowed_value_histogram(
+            batch.withColumn("ts", F.col("ts").cast("timestamp")),
+            duration="6 hours",
+        ).collect()
+    }
+    assert expected, "batch histogram must be non-empty"
+
+    stream = stream_value_histogram(
+        spark, events_dir, schema=batch.schema, duration="6 hours"
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_vhist")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["window_end"], r["bucket"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM t_vhist").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert got == expected
