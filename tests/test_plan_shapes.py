@@ -671,3 +671,46 @@ def test_containment_is_inverted_index_join(spark):
     plan = plan_of(spark, "containment_pairs")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mv_refresh_joins_only_aggregated_frames(spark):
+    """incremental_agg_refresh's contract: the only join in the plan
+    is the MV ⊕ delta full-outer merge, and BOTH its inputs are
+    already aggregated to group granularity — the exchanges feeding
+    it carry ≤ |groups| rows, never the fact. (A full-outer equi-join
+    cannot broadcast in Spark, so the join itself is SMJ over two
+    ~7-row sides — immaterial; what must never appear is a
+    row-granular diff join, which is the full-refresh shape this
+    operator exists to avoid.)"""
+    plan = plan_of(spark, "incremental_agg_refresh")
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1
+    assert "FullOuter" in plan
+    # partial (map-side) + final aggregation below the join.
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_pairs_aggregate_map_side(spark):
+    """pca_top_component: the dim² pair expansion must partially
+    aggregate BEFORE its exchange (the shuffle carries ≤ dim² rows per
+    partition, not N·dim² structs), and the iteration frames come from
+    checkpointed lineage (ExistingRDD), not a 2^iters lazy chain."""
+    plan = plan_of(spark, "pca_top_component")
+    assert plan.count("HashAggregate") >= 2
+    assert "Scan ExistingRDD" in plan
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark):
+    # the only pair-producing join is the cluster_id equi-join over
+    # the persisted staged frame; k-means training is InMemory-reused.
+    plan = plan_of(spark, "semantic_dedup_kmeans")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_curve_margins_broadcast(spark):
+    # windowed_drift_curve: after the one histogram groupBy, margins
+    # and totals re-join via broadcast over the persisted histogram.
+    plan = plan_of(spark, "windowed_drift_curve")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan

@@ -453,6 +453,10 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "token_pmi_pairs",
         "incremental_agg_refresh",
         "semantic_dedup_kmeans",
+        "pca_top_component",
+        "bigram_surprisal_score",
+        "windowed_drift_curve",
+        "containment_pairs",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
