@@ -2088,31 +2088,33 @@ _BM25_NQ = 10  # query docs: doc_id < 10
 _BM25_K = 5
 
 
-@register(
-    "bm25_topk_docs",
-    oracle=rf"""
-    WITH btoks AS (
+def _bm25_topk_sql(p: str = "b") -> str:
+    """Standalone BM25-top-5 SELECT; ``p`` prefixes inner CTE names so
+    the fragment composes into a larger oracle's WITH scope (the
+    ``_brute_topk_sql`` convention)."""
+    return rf"""
+    WITH {p}toks AS (
       SELECT doc_id, unnest({_TOKS.format(col="lower(text)")}) AS tok
       FROM documents
     ),
-    btf AS (
-      SELECT doc_id, tok, COUNT(*) AS tf FROM btoks GROUP BY 1, 2
+    {p}tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM {p}toks GROUP BY 1, 2
     ),
-    blen AS (
-      SELECT doc_id, COUNT(*) AS dl FROM btoks GROUP BY 1
+    {p}len AS (
+      SELECT doc_id, COUNT(*) AS dl FROM {p}toks GROUP BY 1
     ),
-    bstats AS (
+    {p}stats AS (
       SELECT COUNT(*) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM blen
+      FROM {p}len
     ),
-    bdf AS (
-      SELECT tok, COUNT(*) AS df FROM btf GROUP BY 1
+    {p}df AS (
+      SELECT tok, COUNT(*) AS df FROM {p}tf GROUP BY 1
     ),
-    bq AS (
-      SELECT DISTINCT doc_id AS query_id, tok FROM btoks WHERE doc_id < {_BM25_NQ}
+    {p}q AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM {p}toks WHERE doc_id < {_BM25_NQ}
     ),
-    bterm AS (
+    {p}term AS (
       SELECT q.query_id, f.doc_id,
              CAST(FLOOR(
                (CAST(s.n_docs AS DOUBLE) / d.df)
@@ -2120,18 +2122,18 @@ _BM25_K = 5
                / (f.tf + {_BM25_K1} * (1 - {_BM25_B}
                   + {_BM25_B} * (l.dl / s.avgdl)))
                * {_BM25_SCALE}) AS BIGINT) AS contrib
-      FROM bq q
-      JOIN btf f USING (tok)
-      JOIN bdf d USING (tok)
-      JOIN blen l ON l.doc_id = f.doc_id
-      CROSS JOIN bstats s
+      FROM {p}q q
+      JOIN {p}tf f USING (tok)
+      JOIN {p}df d USING (tok)
+      JOIN {p}len l ON l.doc_id = f.doc_id
+      CROSS JOIN {p}stats s
       WHERE f.doc_id != q.query_id
     ),
-    bscore AS (
+    {p}score AS (
       SELECT query_id, doc_id,
              CAST(SUM(contrib) AS BIGINT) AS score_scaled,
              COUNT(*) AS n_terms
-      FROM bterm GROUP BY 1, 2
+      FROM {p}term GROUP BY 1, 2
     )
     SELECT query_id, doc_id, score_scaled, n_terms,
            CAST(score_scaled AS DOUBLE) / {_BM25_SCALE} AS score, rk
@@ -2139,10 +2141,12 @@ _BM25_K = 5
       SELECT *, CAST(row_number() OVER (
                PARTITION BY query_id
                ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rk
-      FROM bscore
+      FROM {p}score
     ) WHERE rk <= {_BM25_K}
-    """,
-)
+    """
+
+
+@register("bm25_topk_docs", oracle=_bm25_topk_sql())
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exceldatatransform_py_spark.operators.retrieval import tokenize
 
@@ -2879,4 +2883,75 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("surprisal_bits").cast("double")
             / F.col("n_bigrams").cast("double")
         ).alias("mean_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25) and
+# dense (exact cosine) retrievers: the standard production recipe for
+# combining incomparable score scales (Cormack et al.'s RRF,
+# score(d) = Σ_systems 1/(k0 + rank_s(d)), k0 = 60). Rank lists come
+# from the two already-verified retrievers; fusion is rank-only, so
+# the only doubles are ONE fixed-shape division per (list, hit) and a
+# sum of ≤ 2 such terms per candidate (two-term IEEE addition is
+# commutative — no accumulation-order hazard). Scale: fusion runs on
+# |Q|·k rows per system; the retrievers own the data-sized work.
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60
+_RRF_TOPK = 5
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH rrd AS ({_brute_topk_sql("rr1")}),
+    rrl AS ({_bm25_topk_sql("rr2")}),
+    rrc AS (
+      SELECT query_id, neighbor_id AS id,
+             CAST(1.0 AS DOUBLE) / ({_RRF_K0} + rk) AS contrib
+      FROM rrd
+      UNION ALL
+      SELECT query_id, doc_id AS id,
+             CAST(1.0 AS DOUBLE) / ({_RRF_K0} + rk) AS contrib
+      FROM rrl
+    ),
+    rrs AS (
+      SELECT query_id, id,
+             CAST(COUNT(*) AS BIGINT) AS n_systems,
+             SUM(contrib) AS rrf_score
+      FROM rrc GROUP BY 1, 2
+    )
+    SELECT query_id, id, n_systems, rrf_score, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, id) AS INTEGER) AS rk
+      FROM rrs
+    ) WHERE rk <= {_RRF_TOPK}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    contrib = F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rk"))
+    dense = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("id"), contrib.alias("contrib")
+    )
+    lex = bm25_topk_docs(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("id"), contrib.alias("contrib")
+    )
+    fused = (
+        dense.unionByName(lex)
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_systems"),
+            F.sum("contrib").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "id", "n_systems", "rrf_score", "rk")
     )
