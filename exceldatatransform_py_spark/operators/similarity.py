@@ -351,3 +351,54 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def jl_sign_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign planes (Achlioptas'
+    database-friendly construction — signs, not Gaussians, so the
+    projection of a fixed-point vector is EXACT integer arithmetic).
+    Derived driver-side from md5 so the literal matrix embedded in
+    Spark plans and oracle SQL is identical by construction."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def jl_project(qvec: Column, planes: list[list[int]]) -> Column:
+    """Project a PRE-QUANTIZED bigint vector onto fixed ±1 sign
+    planes as an exact bigint array: ``y_p = Σ_i sign_pi · x_i``.
+
+    ``qvec`` must be a materialized fixed-point column (quantize once
+    with ``clustering.quantize_vec`` and stage it — each plane's
+    zip_with re-evaluates its input expression, so passing the raw
+    quantize pipeline would run it n_planes times per row).
+
+    Exactness: signed integer sums — associative and engine-
+    identical, so similarity in the projected space is fully
+    oracle-checkable. Magnitudes: |y| ≤ dim·scale (~2^26 at 64 dims
+    ×1e6), projected dot products ≤ n_planes·(dim·scale)² ≈ 2^56 —
+    int64-safe. At 100 TB this is THE pre-indexing shrink: project
+    64→16 dims map-side (no shuffle), then feed the cheaper vectors
+    to LSH/IVF; the JL lemma bounds the cosine distortion and the
+    ``jl_distortion_audit`` query measures it on real pairs."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, sgn: x * sgn.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
+            for row in planes
+        ]
+    )

@@ -2955,3 +2955,135 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_TOPK)
         .select("query_id", "id", "n_systems", "rrf_score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection distortion audit — the pre-indexing shrink for
+# 100 TB ANN (project 64→16 dims map-side, index the cheap vectors)
+# with its quality MEASURED, not assumed: per query, the 20 worst
+# |cosine_original − cosine_projected| pairs. Achlioptas ±1 sign
+# planes over fixed-point vectors keep every projection an exact
+# integer sum, so both cosines are fixed-shape doubles over exact
+# integer dots — fully oracle-checkable (the ann_recall_at_k
+# philosophy applied to dimensionality reduction).
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.operators.similarity import (  # noqa: E402
+    jl_project,
+    jl_sign_planes,
+)
+from exceldatatransform_py_spark.operators.clustering import (  # noqa: E402
+    quantize_vec,
+)
+
+_JL_PLANES = jl_sign_planes(dim=64, n_planes=16, seed=7)
+_JL_WORST_K = 20
+
+
+def _jl_oracle() -> str:
+    proj_cols = ", ".join(
+        "CAST(list_sum(list_transform(range(1, len(xs) + 1), "
+        f"i -> xs[i] * ([{', '.join(str(s) for s in row)}])[i])) AS BIGINT)"
+        f" AS y{p}"
+        for p, row in enumerate(_JL_PLANES)
+    )
+    ys = "[" + ", ".join(f"y{p}" for p in range(len(_JL_PLANES))) + "]"
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+    return f"""
+    WITH jlx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    jlp AS (SELECT vec_id, xs, {proj_cols} FROM jlx),
+    jly AS (
+      SELECT vec_id, xs, {ys} AS ys,
+             {dot.format(a="xs", b="xs")} AS nx,
+             {dot.format(a=ys, b=ys)} AS ny
+      FROM jlp
+    ),
+    jlq AS (SELECT vec_id AS query_id, xs AS qxs, ys AS qys,
+                   nx AS qnx, ny AS qny FROM jly WHERE vec_id < 10),
+    jlc AS (SELECT vec_id AS neighbor_id, xs AS cxs, ys AS cys,
+                   nx AS cnx, ny AS cny FROM jly),
+    jls AS (
+      SELECT query_id, neighbor_id,
+             CAST({dot.format(a="qxs", b="cxs")} AS DOUBLE)
+               / (sqrt(CAST(qnx AS DOUBLE)) * sqrt(CAST(cnx AS DOUBLE)))
+               AS cos_orig,
+             CAST({dot.format(a="qys", b="cys")} AS DOUBLE)
+               / (sqrt(CAST(qny AS DOUBLE)) * sqrt(CAST(cny AS DOUBLE)))
+               AS cos_proj
+      FROM jlq, jlc WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_orig, cos_proj, abs_err, rk FROM (
+      SELECT *, abs(cos_orig - cos_proj) AS abs_err,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY abs(cos_orig - cos_proj) DESC, neighbor_id)
+               AS INTEGER) AS rk
+      FROM jls
+    ) WHERE rk <= {_JL_WORST_K}
+    """
+
+
+@register("jl_distortion_audit", oracle=_jl_oracle())
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
+    # Quantize once, STAGE, then project+norm over the materialized
+    # arrays (each plane's zip_with re-evaluates its input; see
+    # jl_project) — and the staged frame feeds both join sides.
+    xs = emb.select("vec_id", quantize_vec("embedding").alias("xs")).persist()
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    y = xs.select(
+        "vec_id",
+        "xs",
+        jl_project(F.col("xs"), _JL_PLANES).alias("ys"),
+    ).persist()
+    staged = y.select(
+        "vec_id", "xs", "ys", dot("xs", "xs").alias("nx"), dot("ys", "ys").alias("ny")
+    ).persist()
+    q = staged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xs").alias("qxs"), F.col("ys").alias("qys"),
+        F.col("nx").alias("qnx"), F.col("ny").alias("qny"),
+    )
+    c = staged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("xs").alias("cxs"), F.col("ys").alias("cys"),
+        F.col("nx").alias("cnx"), F.col("ny").alias("cny"),
+    )
+    cos_orig = dot("qxs", "cxs").cast("double") / (
+        F.sqrt(F.col("qnx").cast("double")) * F.sqrt(F.col("cnx").cast("double"))
+    )
+    cos_proj = dot("qys", "cys").cast("double") / (
+        F.sqrt(F.col("qny").cast("double")) * F.sqrt(F.col("cny").cast("double"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_orig.alias("cos_orig"),
+            cos_proj.alias("cos_proj"),
+        )
+        .withColumn("abs_err", F.abs(F.col("cos_orig") - F.col("cos_proj")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("abs_err"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _JL_WORST_K)
+        .select("query_id", "neighbor_id", "cos_orig", "cos_proj", "abs_err", "rk")
+    )
