@@ -457,6 +457,8 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "bigram_surprisal_score",
         "windowed_drift_curve",
         "containment_pairs",
+        "hybrid_rrf_retrieval",
+        "jl_distortion_audit",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
