@@ -897,3 +897,90 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Groups whose count reaches 0 leave the MV (none do in this
     # fixture, but the rule is part of the operator's contract).
     return merged.filter(F.col("n_orders") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test — the canonical distribution-
+# comparison statistic, computed EXACTLY: D = max_x |F1(x) − F2(x)|
+# over the empirical CDFs ≡ max over distinct values of
+# |cum1·n2 − cum2·n1| / (n1·n2) — an integer maximum with one final
+# division (same restatement discipline as TVD/AUC; a double-ECDF
+# subtraction per row would be fine too, but the integer form needs
+# no care at all). The prefix sums run over the bounded distinct-
+# cents domain, not events (the rank_auc posture); cum·n products
+# stay inside int64 to ~3·10^9 rows per side (then DECIMAL(38) or
+# per-segment KS — documented upgrade, same shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_two_sample_value",
+    oracle="""
+    WITH kb AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS u0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS u1
+      FROM events
+    ),
+    kc AS (
+      SELECT CAST(round(e.value * 100) AS BIGINT) AS cents,
+             CASE WHEN epoch_us(e.ts) < b.u0 + (b.u1 - b.u0) // 2
+                  THEN 1 ELSE 0 END AS is_early
+      FROM events e CROSS JOIN kb b
+    ),
+    kg AS (
+      SELECT cents, CAST(SUM(is_early) AS BIGINT) AS ne,
+             CAST(SUM(1 - is_early) AS BIGINT) AS nl
+      FROM kc GROUP BY 1
+    ),
+    kt AS (
+      SELECT CAST(SUM(ne) AS BIGINT) AS n1, CAST(SUM(nl) AS BIGINT) AS n2
+      FROM kg
+    ),
+    kw AS (
+      SELECT CAST(SUM(ne) OVER (ORDER BY cents) AS BIGINT) AS c1,
+             CAST(SUM(nl) OVER (ORDER BY cents) AS BIGINT) AS c2
+      FROM kg
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(c1 * t.n2 - c2 * t.n1)) AS DOUBLE)
+             / CAST(t.n1 * t.n2 AS DOUBLE) AS ks
+    FROM kw CROSS JOIN kt t GROUP BY t.n1, t.n2
+    """,
+)
+def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("u0"), F.max(us).alias("u1"))
+    umid = F.col("u0") + F.floor(
+        (F.col("u1") - F.col("u0")) / F.lit(2)
+    ).cast("bigint")
+    kc = ev.crossJoin(F.broadcast(b)).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (us < umid).cast("bigint").alias("is_early"),
+    )
+    kg = kc.groupBy("cents").agg(
+        F.sum("is_early").alias("ne"),
+        F.sum(F.lit(1) - F.col("is_early")).alias("nl"),
+    )
+    kg = kg.persist()  # totals + the ECDF window both consume it
+    kt = kg.agg(F.sum("ne").alias("n1"), F.sum("nl").alias("n2"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    kw = kg.select(
+        F.sum("ne").over(w).alias("c1"), F.sum("nl").over(w).alias("c2")
+    )
+    diff = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        kw.crossJoin(F.broadcast(kt))
+        .groupBy("n1", "n2")
+        .agg(F.max(diff).alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks"),
+        )
+    )
