@@ -459,6 +459,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "containment_pairs",
         "hybrid_rrf_retrieval",
         "jl_distortion_audit",
+        "ks_two_sample_value",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
