@@ -984,3 +984,158 @@ def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy release audit: k-anonymity of a quasi-identifier tuple.
+# Before a customer extract leaves the warehouse, every QI
+# combination (segment × nation × coarse balance band) must be shared
+# by ≥ k people — groups below k re-identify individuals. One
+# partial-aggregated groupBy; the k-anonymity level and violation
+# count are minima/counts over the (tiny) group table joined back as
+# a broadcast scalar. All integers — nothing to drift.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH kag AS (
+      SELECT c_mktsegment,
+             c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n_rows
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    kas AS (
+      SELECT CAST(min(n_rows) AS BIGINT) AS k_anonymity,
+             CAST(SUM(CASE WHEN n_rows < {_KANON_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violating_groups,
+             CAST(SUM(CASE WHEN n_rows < {_KANON_K} THEN n_rows ELSE 0 END)
+                  AS BIGINT) AS n_exposed_rows
+      FROM kag
+    )
+    SELECT g.c_mktsegment, g.c_nationkey, g.bal_band, g.n_rows,
+           g.n_rows < {_KANON_K} AS below_k,
+           s.k_anonymity, s.n_violating_groups, s.n_exposed_rows
+    FROM kag g CROSS JOIN kas s
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    groups = groups.persist()  # summary + output rows reuse it
+    summary = groups.agg(
+        F.min("n_rows").alias("k_anonymity"),
+        F.sum((F.col("n_rows") < _KANON_K).cast("bigint")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("n_rows") < _KANON_K, F.col("n_rows")).otherwise(0)
+        ).alias("n_exposed_rows"),
+    )
+    return groups.crossJoin(F.broadcast(summary)).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        "n_rows",
+        (F.col("n_rows") < _KANON_K).alias("below_k"),
+        "k_anonymity",
+        "n_violating_groups",
+        "n_exposed_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: does orders.o_totalprice equal the sum
+# of its lineitems' extendedprice·(1−discount)·(1+tax)? The classic
+# ledger-vs-detail consistency audit (the reference tool's whole
+# domain — a trustworthy ledger — at warehouse scale). Both sides in
+# exact cents (decimal quantization, then integer compare with a
+# cent tolerance); ONE co-partitioned join of two aggregates; output
+# is the per-status mismatch profile, not the row stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_total_consistency_audit",
+    oracle="""
+    WITH otl AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2))) * 100) AS BIGINT))
+               AS BIGINT) AS detail_cents,
+             COUNT(*) AS n_items
+      FROM lineitem GROUP BY 1
+    ),
+    oto AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents
+      FROM orders
+    ),
+    otj AS (
+      SELECT o.o_orderstatus,
+             CASE
+               WHEN l.l_orderkey IS NULL THEN 'no_lineitems'
+               WHEN abs(o.header_cents - l.detail_cents) <= 1
+                 THEN 'consistent'
+               ELSE 'mismatch'
+             END AS verdict,
+             CASE WHEN l.l_orderkey IS NOT NULL
+                  THEN abs(o.header_cents - l.detail_cents)
+                  ELSE 0 END AS abs_diff_cents
+      FROM oto o LEFT JOIN otl l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderstatus, verdict,
+           COUNT(*) AS n_orders,
+           CAST(MAX(abs_diff_cents) AS BIGINT) AS max_abs_diff_cents
+    FROM otj GROUP BY 1, 2
+    """,
+)
+def order_total_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+    )
+    otl = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(net * 100).cast("bigint")).alias("detail_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    oto = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("header_cents"),
+    )
+    joined = oto.join(
+        otl, oto.o_orderkey == otl.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.when(F.col("l_orderkey").isNull(), F.lit("no_lineitems"))
+        .when(
+            F.abs(F.col("header_cents") - F.col("detail_cents")) <= 1,
+            F.lit("consistent"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("verdict"),
+        F.when(
+            F.col("l_orderkey").isNotNull(),
+            F.abs(F.col("header_cents") - F.col("detail_cents")),
+        )
+        .otherwise(F.lit(0))
+        .alias("abs_diff_cents"),
+    )
+    return joined.groupBy("o_orderstatus", "verdict").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("abs_diff_cents").alias("max_abs_diff_cents"),
+    )
