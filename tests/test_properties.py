@@ -460,6 +460,8 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "hybrid_rrf_retrieval",
         "jl_distortion_audit",
         "ks_two_sample_value",
+        "k_anonymity_audit",
+        "order_total_consistency_audit",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
