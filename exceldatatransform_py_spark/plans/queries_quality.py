@@ -1139,3 +1139,106 @@ def order_total_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         F.max("abs_diff_cents").alias("max_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Lorenz deciles + Gini coefficient of
+# per-customer revenue — the concentration audit behind "what share
+# of revenue depends on the top decile". Exact posture: revenue in
+# cents, ranks from a deterministic (revenue, custkey) ordering, the
+# Gini numerator Σ(2i−n−1)·x_i as an integer sum (≤ ~2^51 at 10^6
+# customers × $10^5; DECIMAL(38) beyond), shares as one fixed-shape
+# division per cell. The rank window runs over the per-customer
+# aggregate (dimension-sized), never the fact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH rcr AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    rck AS (
+      SELECT rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents, o_custkey)
+                  AS BIGINT) AS i,
+             CAST(ntile(10) OVER (ORDER BY rev_cents, o_custkey)
+                  AS INTEGER) AS decile
+      FROM rcr
+    ),
+    rcn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_cents) AS BIGINT) AS tot
+      FROM rck
+    ),
+    rct AS (
+      SELECT n.n, n.tot,
+             CAST(SUM((2 * k.i - n.n - 1) * k.rev_cents) AS BIGINT)
+               AS gini_num
+      FROM rck k CROSS JOIN rcn n GROUP BY n.n, n.tot
+    ),
+    rcd AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+      FROM rck GROUP BY 1
+    )
+    SELECT d.decile, d.n_cust, d.rev_cents,
+           CAST(d.rev_cents AS DOUBLE) / CAST(t.tot AS DOUBLE) AS rev_share,
+           CAST(SUM(d.rev_cents) OVER (ORDER BY d.decile) AS DOUBLE)
+             / CAST(t.tot AS DOUBLE) AS cum_share,
+           CAST(t.gini_num AS DOUBLE)
+             / CAST(t.n * t.tot AS DOUBLE) AS gini
+    FROM rcd d CROSS JOIN rct t
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    rcr = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    wo = Window.orderBy("rev_cents", "o_custkey")
+    rck = rcr.select(
+        "rev_cents",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.ntile(10).over(wo).cast("int").alias("decile"),
+    )
+    rck = rck.persist()  # totals + gini numerator + deciles consume it
+    rcn = rck.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_cents").alias("tot")
+    )
+    rct = (
+        rck.crossJoin(F.broadcast(rcn))
+        .groupBy("n", "tot")
+        .agg(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("rev_cents")
+            ).alias("gini_num")
+        )
+    )
+    rcd = rck.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )
+    wcum = Window.orderBy("decile").rangeBetween(Window.unboundedPreceding, 0)
+    return rcd.crossJoin(F.broadcast(rct)).select(
+        "decile",
+        "n_cust",
+        "rev_cents",
+        (F.col("rev_cents").cast("double") / F.col("tot").cast("double")).alias(
+            "rev_share"
+        ),
+        (
+            F.sum("rev_cents").over(wcum).cast("double")
+            / F.col("tot").cast("double")
+        ).alias("cum_share"),
+        (
+            F.col("gini_num").cast("double")
+            / (F.col("n") * F.col("tot")).cast("double")
+        ).alias("gini"),
+    )
