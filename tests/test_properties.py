@@ -462,6 +462,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "ks_two_sample_value",
         "k_anonymity_audit",
         "order_total_consistency_audit",
+        "revenue_concentration_gini",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
