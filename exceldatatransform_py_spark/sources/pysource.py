@@ -151,9 +151,23 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
             lo = prev.get(f, 0)
             if lo is None:  # legacy offset: treat as fully emitted
                 lo = cur
+            # Cap the recorded extent at the last complete line: a
+            # writer that has appended a partial line (no trailing
+            # '\n' yet) would otherwise get that fragment emitted as a
+            # truncated row now and the remainder as a second corrupt
+            # row next batch. Only newline-terminated bytes enter the
+            # offset; the partial tail is picked up once completed.
+            hi = lo
             if cur > lo:
-                ranges.append((f, lo, cur))
-            end.append([f, max(cur, lo)])
+                with open(os.path.join(self.dir, f), "rb") as fh:
+                    fh.seek(lo)
+                    chunk = fh.read(cur - lo)
+                nl = chunk.rfind(b"\n")
+                if nl >= 0:
+                    hi = lo + nl + 1
+            if hi > lo:
+                ranges.append((f, lo, hi))
+            end.append([f, max(hi, lo)])
         # files that vanished stay in the offset so older batches keep
         # their recorded extent for replay bookkeeping.
         now = {f for f, _ in self._sizes()}
@@ -166,10 +180,19 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
         prev = self._prev(start)
         ranges = []
         for name, size in self._prev(end).items():
-            lo = prev.get(name, 0) or 0
             hi = size if size is not None else os.path.getsize(
                 os.path.join(self.dir, name)
             )
+            if name not in prev:
+                lo = 0  # file first appeared inside (start, end]
+            elif prev[name] is None:
+                # legacy whole-file entry = fully emitted before this
+                # range at an unrecorded size; replaying it from 0
+                # would duplicate every already-emitted row. Mirror
+                # read(): nothing of this file belongs to the range.
+                lo = hi
+            else:
+                lo = prev[name]
             if hi > lo:
                 ranges.append((name, lo, hi))
         return iter(list(self._emit(sorted(ranges))))
@@ -211,9 +234,18 @@ class SheetDirWriter(DataSourceWriter):
         self.stage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
 
     def write(self, rows) -> _SheetCommit:
+        from pyspark import TaskContext
+
         os.makedirs(self.stage, exist_ok=True)
         handles: dict = {}
-        task = uuid.uuid4().hex[:12]
+        # Fragment names lead with the zero-padded partition id so the
+        # commit-side sorted() merge is partition order — deterministic
+        # across runs and retries (a retry reuses the partition id; the
+        # uuid suffix only keeps attempts from clobbering each other,
+        # and exactly one attempt's message reaches commit).
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        task = f"{pid:010d}-{uuid.uuid4().hex[:12]}"
         staged = []
         for r in rows:
             sheet = r["sheet"]

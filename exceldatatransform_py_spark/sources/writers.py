@@ -112,6 +112,25 @@ def write_excel_workbook(
     """
     if staging_dir is None:
         staging_dir = path + ".staging"
+    # Two sheet names identical after 31-char truncation would merge
+    # silently at the partitionBy staging step (and the shim's sheet
+    # dict would likewise collapse them) — combining two groups' rows
+    # into one sheet. Fail loudly before staging instead. Cheap: one
+    # aggregate over DISTINCT sheet names (key cardinality, not rows).
+    collision = (
+        df.select(F.col(sheet_col).cast("string").alias("_name"))
+        .distinct()
+        .groupBy(F.substring("_name", 1, sheet_name_len).alias("_short"))
+        .agg(F.collect_set("_name").alias("_names"))
+        .where(F.size("_names") > 1)
+        .limit(1)
+        .collect()
+    )
+    if collision:
+        raise ValueError(
+            f"sheet names {sorted(collision[0]['_names'])!r} collide "
+            f"after truncation to {sheet_name_len} chars"
+        )
     parts = stage_sheet_partitions(
         df, staging_dir, sheet_col, sheet_name_len=sheet_name_len
     )

@@ -21,6 +21,7 @@ the only one that preserves formatting on in-place update.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import xml.etree.ElementTree as ET
@@ -196,6 +197,14 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and not math.isfinite(value):
+            # SpreadsheetML numeric cells cannot carry NaN/Infinity —
+            # Excel rejects <v>nan</v>. Carry them as inline strings
+            # (Excel itself has no non-finite numeric representation).
+            return (
+                f'<c r="{ref}" t="inlineStr"><is>'
+                f"<t>{_xml_escape(repr(value))}</t></is></c>"
+            )
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     if not isinstance(value, str):
         # dates/datetimes/decimals arrive here: carried as ISO-ish text

@@ -571,3 +571,65 @@ def test_incremental_join_agg_maintenance(spark):
         (r["nation"], r["month"], r["n_orders"], str(r["rev"])) for r in df.collect()
     )
     assert canon(merged) == canon(full)
+
+
+def test_xlsx_shim_nonfinite_floats_are_not_numeric_cells(tmpdir_):
+    """NaN/Infinity cannot appear in a SpreadsheetML numeric <v> —
+    Excel rejects <v>nan</v>. The shim must carry them as inline
+    strings (Excel has no non-finite numeric representation) and its
+    own reader must round-trip the workbook without error."""
+    import zipfile
+
+    from exceldatatransform_py_spark.sources import xlsx_shim
+
+    path = os.path.join(tmpdir_, "nonfinite.xlsx")
+    xlsx_shim.write_workbook(
+        path,
+        {
+            "S": (
+                ["x", "y"],
+                [
+                    [float("nan"), 1.5],
+                    [float("inf"), float("-inf")],
+                ],
+            )
+        },
+    )
+    with zipfile.ZipFile(path) as z:
+        sheet_xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>nan</v>" not in sheet_xml
+    assert "<v>inf</v>" not in sheet_xml and "<v>-inf</v>" not in sheet_xml
+    header, rows = xlsx_shim.read_workbook(path)["S"]
+    assert header == ["x", "y"]
+    # finite neighbor survives as a number; non-finites land as text
+    assert rows[0][1] == 1.5
+    assert rows[0][0] == "nan"
+    assert rows[1] == ["inf", "-inf"]
+
+
+def test_excel_writer_rejects_truncation_collisions(spark, tmpdir_):
+    """Two sheet names identical after the 31-char truncation would
+    silently merge at the staging partitionBy (one combined sheet) —
+    the writer must refuse instead of mixing two groups' rows."""
+    import pytest
+
+    from exceldatatransform_py_spark.sources.writers import write_excel_workbook
+
+    df = spark.createDataFrame(
+        [
+            ("rossi_verylongtail_A", "X", 1.0),
+            ("rossi_verylongtail_B", "Y", 2.0),
+        ],
+        ["surname", "commessa", "ore"],
+    )
+    out = os.path.join(tmpdir_, "collide.xlsx")
+    with pytest.raises(ValueError, match="collide"):
+        write_excel_workbook(df, out, "surname", sheet_name_len=10)
+    assert not os.path.exists(out)
+    # non-colliding names at the same cap still write fine
+    ok = spark.createDataFrame(
+        [("rossi", "X", 1.0), ("fava", "Y", 2.0)],
+        ["surname", "commessa", "ore"],
+    )
+    write_excel_workbook(ok, out, "surname", sheet_name_len=10)
+    assert os.path.exists(out)
