@@ -16,7 +16,7 @@ training-data-pipeline operators a 100 TB corpus needs. Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from exceldatatransform_py_spark.functions.text import (
@@ -759,4 +759,84 @@ def simhash_near_dup(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def positioned_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """``(id, pos, gram_digest)`` — one row per word n-gram occurrence,
+    1-based token position, md5 digest of the gram text.
+
+    Docs shorter than ``n`` tokens contribute no rows (span detection
+    has nothing to find there — unlike ``word_shingles``, which pads
+    short docs so Jaccard stays defined). Grams leave the scan as
+    32-byte md5 digests, so downstream shuffles never carry gram text.
+    All JVM built-ins; the explode is map-side (no shuffle before the
+    digest groupBy).
+    """
+    toks = ws_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(grams).alias("pos0", "gram")).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram")).alias("gram_digest"),
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span profile per document.
+
+    A token position is *duplicated* when the word n-gram starting
+    there also occurs in at least one OTHER document. Consecutive
+    duplicated positions merge into spans (gaps-and-islands), the
+    canonical signal for verbatim cross-document duplication —
+    boilerplate, licenses, syndicated text — that set-based shingle
+    Jaccard (``ngram_jaccard_pairs``) deliberately ignores: Jaccard
+    sees *which* grams repeat, spans see *how much contiguous text*.
+
+    Returns one row per doc that carries ≥1 duplicated n-gram:
+    ``(id, n_dup_ngrams, n_dup_spans, max_dup_span_tokens)`` where
+    ``max_dup_span_tokens`` counts the tokens covered by the longest
+    contiguous duplicated span (island length + n - 1).
+
+    Scale shape: positioned grams → groupBy on the 32-byte digest with
+    a distinct-doc count (map-side partial agg) → semi-join back (the
+    duplicated-gram set is a small fraction of the index) → per-doc
+    window over positions. No pairwise doc×doc join anywhere, so cost
+    is linear in corpus size; the per-doc window partitions by doc id
+    (bounded state — a doc's own positions).
+    """
+    grams = positioned_ngrams(df, id_col, text_col, n=n)
+    dup_grams = (
+        grams.groupBy("gram_digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram_digest")
+    )
+    dup_pos = grams.join(dup_grams, "gram_digest").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy(id_col, "grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.sum("island_len").cast("bigint").alias("n_dup_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            (F.max("island_len") + (n - 1)).cast("bigint").alias(
+                "max_dup_span_tokens"
+            ),
+        )
     )

@@ -1489,3 +1489,76 @@ def khop_parts_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hop").cast("int").alias("hops"))
         .select(F.col("node").alias("p_partkey"), "hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join against an SCD2 dimension: for each fact
+# row, pick the dimension VERSION whose validity interval covers the
+# fact's event date — the canonical warehouse pattern for joining
+# facts to slowly-changing dimensions without leaking future attribute
+# values. Differs from as-of (asof_latest_order: latest-before on a
+# single timeline) by joining into closed [from, to] version intervals
+# with an open current version. Shape: the SCD2 build is the two
+# windows of scd2_customer_priority; the PIT join itself is an
+# equi-join on custkey with the interval predicate evaluated inside
+# the join — never a cartesian, and at 100 TB the version side is tiny
+# relative to facts (versions ≪ facts) and co-shuffles on the same
+# key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pit_join_scd2_priority",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_p
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, od, o_orderkey FROM seq
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    ),
+    dim AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             od AS effective_from,
+             LEAD(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+               - 1 AS effective_to
+      FROM changes
+    )
+    SELECT d.priority AS dim_priority,
+           o.o_orderpriority AS order_priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.effective_from
+     AND (d.effective_to IS NULL
+          OR CAST(o.o_orderdate AS DATE) <= d.effective_to)
+    GROUP BY 1, 2
+    """,
+)
+def pit_join_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.plans.queries_analytics import (
+        scd2_customer_priority,
+    )
+
+    dim = scd2_customer_priority(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    joined = orders.join(
+        dim,
+        (orders["o_custkey"] == dim["custkey"])
+        & (orders["od"] >= dim["effective_from"])
+        & (dim["effective_to"].isNull() | (orders["od"] <= dim["effective_to"])),
+    )
+    return joined.groupBy(
+        dim["priority"].alias("dim_priority"),
+        orders["o_orderpriority"].alias("order_priority"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))

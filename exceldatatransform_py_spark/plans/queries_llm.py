@@ -29,6 +29,7 @@ from exceldatatransform_py_spark.functions.text import (
 )
 from exceldatatransform_py_spark.operators.dedup import (
     connected_components,
+    duplicate_ngram_spans,
     exact_dedup,
     minhash_lsh_pairs,
     containment_pairs,
@@ -3087,3 +3088,53 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _JL_WORST_K)
         .select("query_id", "neighbor_id", "cos_orig", "cos_proj", "abs_err", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (contiguous cross-doc n-gram runs).
+# ---------------------------------------------------------------------------
+
+#: duplicate_ngram_spans gram width — 8-word grams balance precision
+#: (an 8-gram rarely repeats by chance) against recall on short docs.
+_SPAN_N = 8
+
+_SPAN_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')) AS d
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1)) AS u(i)
+    ), dup AS (
+      SELECT d FROM grams GROUP BY d HAVING count(DISTINCT doc_id) >= 2
+    ), dup_pos AS (
+      SELECT doc_id, pos FROM grams WHERE d IN (SELECT d FROM dup)
+    ), isl AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup_pos
+    ), spans AS (
+      SELECT doc_id, grp, count(*) AS island_len FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(sum(island_len) AS BIGINT) AS n_dup_ngrams,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(max(island_len) + {_SPAN_N - 1} AS BIGINT)
+             AS max_dup_span_tokens
+    FROM spans GROUP BY doc_id
+    """
+
+
+@register("duplicate_ngram_spans", oracle=_SPAN_ORACLE)
+def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verbatim-duplication profile: contiguous runs of word
+    8-grams shared with at least one OTHER document (ExactSubstr-style
+    span dedup — the contiguous-text complement of shingle Jaccard).
+    Linear plan: positioned grams leave the scan as md5 digests, the
+    duplicated-gram set comes from one hash-agg, spans from a per-doc
+    window; no doc-pair join anywhere. fan_out: the gram build
+    (8-token concat + md5 per position) is the expensive map stage and
+    the testdata parquet is single-row-group."""
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    return duplicate_ngram_spans(docs, id_col="doc_id", text_col="text", n=_SPAN_N)
