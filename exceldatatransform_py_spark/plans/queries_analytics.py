@@ -618,14 +618,69 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Blocked fuzzy matching: near-identical part names by edit distance
-# within a blocking key. The join is equi on the block (brand) so it
-# shuffles normally; levenshtein only runs inside blocks — the classic
-# record-linkage shape (never all-pairs). At 100 TB the blocking key
-# is the knob: tighter blocks (brand × name length bucket) bound the
-# per-block quadratic cost exactly like max_shingle_docs bounds LSH.
+# within a brand. The r4 review flagged the old shape — row-level
+# self-join blocked on brand alone — as the repo's one scale-killer:
+# brand has constant cardinality (~25), so in-block ROW pairs grow
+# quadratically with table size (8.0M at sf0.1 → ~10¹¹ at sf10).
+#
+# Fix: run the quadratic edit-distance work on DISTINCT NAMES, not
+# rows. Levenshtein is a function of the two strings, so the
+# name-pair table (every ordered pair of distinct names within
+# _FUZZY_MAX_DIST, self-pairs included at dist 0) is complete and the
+# row-level answer is a pure equi-join expansion of it — candidate
+# cost scales with distinct-value cardinality (64 names at sf0.1 →
+# 4.1k name-pair candidates vs 8.0M row pairs, ~2000×; see SCALE.md),
+# while the expansion joins shuffle on (name) / (brand, name) and
+# only ever materialize output-sized data.
+#
+# The name-level self-join is itself blocked on a LOSSLESS
+# length-bucket key: |len(a) − len(b)| ≤ levenshtein(a, b), so with
+# bucket width W = _FUZZY_MAX_DIST the two sides' floor(len/W) differ
+# by at most 1, and a probe side exploded into bucket ±1 meets every
+# qualifying pair in exactly one bucket. On corpora where names are
+# near-unique (distinct ≈ n) this bucket bound is what keeps the
+# name-level join from degenerating to all-pairs.
 # ---------------------------------------------------------------------------
 
 _FUZZY_MAX_DIST = 2
+_FUZZY_BUCKET_W = _FUZZY_MAX_DIST  # ΔL ≤ max_dist ⇒ Δbucket ≤ 1
+
+
+def fuzzy_name_pairs(names: DataFrame, name_col: str, max_dist: int) -> DataFrame:
+    """All ORDERED pairs of distinct names within ``max_dist`` edits.
+
+    Input must be distinct on ``name_col``. Output columns
+    (nx, ny, edit_dist) include self-pairs (nx = ny, dist 0) and both
+    orderings of every unequal pair, so a downstream row expansion
+    can dedup with a plain key inequality. Blocked on a lossless
+    length bucket — see the module comment for the proof.
+    """
+    w = max(max_dist, 1)
+    bucket = F.floor(F.length(name_col) / w)
+    na = names.select(
+        F.col(name_col).alias("nx"), bucket.alias("len_bucket")
+    )
+    # probe side lands in its own bucket and both neighbors, so every
+    # qualifying pair meets in exactly one bucket (no dup candidates:
+    # the three probe buckets are distinct, the build side has one).
+    nb = names.select(
+        F.col(name_col).alias("ny"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("len_bucket"),
+    )
+    # Thresholded levenshtein (Spark 3.5+): the banded DP early-exits
+    # once the distance provably exceeds the bound — O(len·k) per pair
+    # instead of O(len²) — and still returns the EXACT distance when
+    # within it (−1 otherwise), so results are identical.
+    dist = F.levenshtein("nx", "ny", max_dist)
+    # result-preserving prefilter: edit distance >= |length diff|, and
+    # the length check is ~free while even banded levenshtein isn't —
+    # the conjunct order matters, codegen short-circuits left to right.
+    len_ok = F.abs(F.length("nx") - F.length("ny")) <= max_dist
+    return (
+        na.join(nb, "len_bucket")
+        .filter(len_ok & (dist >= 0))
+        .select("nx", "ny", dist.alias("edit_dist"))
+    )
 
 
 @register(
@@ -642,34 +697,30 @@ _FUZZY_MAX_DIST = 2
 )
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
+    # quadratic work on DISTINCT names only (map-side-combined agg);
+    # the row-level joins below are pure equi expansions of it.
+    name_pairs = fuzzy_name_pairs(
+        part.select("p_name").distinct(), "p_name", _FUZZY_MAX_DIST
+    )
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
     )
     b = part.select(
-        F.col("p_brand").alias("brand"),
+        F.col("p_brand").alias("brand_b"),
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
     )
-    # Thresholded levenshtein (Spark 3.5+): the banded DP early-exits
-    # once the distance provably exceeds the bound — O(len·k) per pair
-    # instead of O(len²) — and still returns the EXACT distance when
-    # within it (−1 otherwise), so results are identical. At ~8M
-    # in-block pairs this is the dominant CPU of the query (measured
-    # ~2× end-to-end).
-    dist = F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST)
-    # result-preserving prefilter: edit distance >= |length diff|, and
-    # the length check is ~free while even banded levenshtein isn't —
-    # the conjunct order matters, codegen short-circuits left to right.
-    len_ok = (
-        F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
-    )
     return (
-        a.join(b, "brand")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .filter(len_ok & (dist >= 0))
-        .select("part_a", "part_b", "name_a", "name_b", dist.alias("edit_dist"))
+        a.join(name_pairs, F.col("name_a") == F.col("nx"))
+        .join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("name_b") == F.col("ny"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
     )
 
 

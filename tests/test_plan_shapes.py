@@ -714,3 +714,46 @@ def test_drift_curve_margins_broadcast(spark):
     plan = plan_of(spark, "windowed_drift_curve")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_quadratic_only_on_distinct_names(spark):
+    """fuzzy_part_name_pairs: the levenshtein must run over the
+    DISTINCT-name self-join (cardinality-bounded), never over a
+    row-level brand-blocked self-join (quadratic in table size —
+    the r4 scale-killer). Pins: (a) an aggregate (the distinct)
+    sits below the levenshtein join, (b) candidate generation is
+    bounded by bucket-blocked distinct names, not rows."""
+    plan = plan_of(spark, "fuzzy_part_name_pairs")
+    assert "levenshtein" in plan
+    # distinct-name agg below the join: partial+final HashAggregate.
+    assert plan.count("HashAggregate") >= 2
+    # never a cartesian / broadcast-nested-loop over the fact rows.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # data-level bound: raw name-level candidates are O(sum of
+    # bucket-block sizes squared), a tiny fraction of the row-level
+    # brand-block pair count the old shape generated.
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.plans.queries_analytics import (
+        fuzzy_name_pairs,
+    )
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    names = part.select("p_name").distinct()
+    n_names = names.count()
+    candidates = (
+        fuzzy_name_pairs(names, "p_name", 2)
+        .count()
+    )
+    row_pairs = (
+        part.groupBy("p_brand")
+        .count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    # candidate table is at most all ordered name pairs + self pairs…
+    assert candidates <= n_names * n_names
+    # …and strictly smaller than the old row-level candidate set.
+    assert candidates < row_pairs
