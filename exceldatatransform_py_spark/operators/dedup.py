@@ -375,12 +375,21 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: every node's
     label converges to the minimum node id in its component. Returns
-    ``(v, cluster_id)`` for every node that appears in an edge (callers
-    attach singletons with a left join + coalesce).
+    ``(v, cluster_id)`` for every node that appears in an edge; pass
+    ``nodes`` (the full vertex universe, e.g. the documents table) to
+    also attach singletons — nodes absent from every edge come back
+    labeled with their own id, which is exactly the left-join +
+    coalesce every dedup caller was re-implementing. ``node_col``
+    names the id column in ``nodes`` (defaults to ``src``).
 
     This is THE dedup-clustering step: near-dup *pairs* (MinHash output)
     become dedup *groups* whose canonical representative is the min id.
@@ -486,7 +495,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-    return labels.select("v", F.col("lbl").alias("cluster_id"))
+    out = labels.select("v", F.col("lbl").alias("cluster_id"))
+    if nodes is None:
+        return out
+    universe = nodes.select(F.col(node_col or src).alias("v"))
+    return universe.join(out, "v", "left").select(
+        "v", F.coalesce("cluster_id", "v").alias("cluster_id")
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -281,37 +281,41 @@ def ivf_assign(
     return best.select(id_col, (-F.col("__best.__ncid")).alias("cell"))
 
 
-def ivf_topk(
-    queries: DataFrame,
+def _ivf_cells(
     corpus: DataFrame,
     centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_probe: int = 2,
-    norm_col: str | None = None,
+    id_col: str,
+    vec_col: str,
+    norm_col: str | None,
 ) -> DataFrame:
-    """IVF approximate top-k: each query probes its ``n_probe``
-    nearest centroid cells and scores ONLY the vectors assigned there
-    — the inverted-file ANN structure (coarse quantizer → cell lists).
-
-    Scale shape: the corpus is scored per (query, cell) via an
-    equi-join on ``cell``, so work is |Q| · n_probe · avg-cell-size
-    instead of |Q| · N; cell lists would be bucketed/partitioned by
-    ``cell`` on disk in a persisted index.
-
-    Output matches ``cosine_topk``: ``(query_id, neighbor_id,
-    cosine, rk)``, self-pairs excluded, ties by neighbor id.
-    """
+    """Cell lists: ``(neighbor_id, vec, vnorm, cell)`` — every corpus
+    vector tagged with its nearest centroid and its pre-staged norm.
+    This is the IVF index payload, whether used live or persisted."""
     cells = ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, norm_col=norm_col
     )
-    corpus_cells = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _corpus_norm(vec_col, norm_col).alias("__cn"),
+        F.col(vec_col).alias("vec"),
+        _corpus_norm(vec_col, norm_col).alias("vnorm"),
     ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
+
+def _ivf_serve(
+    queries: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Probe + score against prepared cell lists (live or from a
+    persisted index): each query ranks the centroids, keeps its
+    ``n_probe`` nearest cells, and scores only those cells' vectors
+    via the ``cell`` equi-join. Shared by ``ivf_topk`` and
+    ``ivf_topk_from_index`` so the two paths are identical by
+    construction."""
     c = centroids.select(
         F.col("cent_id").alias("__cid"),
         F.col("cent_vec").alias("__cv0"),
@@ -340,7 +344,9 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+            _cosine_pre(
+                F.col("__qv"), F.col("vec"), F.col("__qn"), F.col("vnorm")
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -350,6 +356,101 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    norm_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe``
+    nearest centroid cells and scores ONLY the vectors assigned there
+    — the inverted-file ANN structure (coarse quantizer → cell lists).
+
+    Scale shape: the corpus is scored per (query, cell) via an
+    equi-join on ``cell``, so work is |Q| · n_probe · avg-cell-size
+    instead of |Q| · N. This live path recomputes cell assignment per
+    call; production serving uses ``build_ivf_index`` +
+    ``ivf_topk_from_index`` (cell lists partitioned by ``cell`` on
+    disk, so a probe reads only the probed cells' files).
+
+    Output matches ``cosine_topk``: ``(query_id, neighbor_id,
+    cosine, rk)``, self-pairs excluded, ties by neighbor id.
+    """
+    corpus_cells = _ivf_cells(corpus, centroids, id_col, vec_col, norm_col)
+    return _ivf_serve(
+        queries, corpus_cells, centroids, id_col, vec_col, k, n_probe
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str | None = None,
+) -> None:
+    """Persist the IVF index (the ANN twin of ``build_bm25_index``):
+
+    * ``<prefix>_cells`` — cell lists ``(neighbor_id, vec, vnorm)``
+      PARTITIONED BY ``cell``. Partitioning (not bucketing) is the
+      point: the serve-side equi-join on ``cell`` against the
+      broadcast probe set triggers **dynamic partition pruning**, so
+      a top-k probe reads only the |Q|·n_probe probed cells' files —
+      at 100 TB the scan is index-bytes, never corpus-bytes.
+    * ``<prefix>_centroids`` — ``(cent_id, cent_vec)``, one small
+      file; the coarse quantizer every query broadcasts.
+
+    Assignment and norms are computed ONCE here; serving never
+    re-scores the corpus against centroids.
+    """
+    cells = _ivf_cells(corpus, centroids, id_col, vec_col, norm_col)
+    (
+        cells.write.mode("overwrite")
+        .partitionBy("cell")
+        .option("path", f"{path}/cells")
+        .saveAsTable(f"{table_prefix}_cells")
+    )
+    (
+        centroids.select("cent_id", "cent_vec")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/centroids")
+        .saveAsTable(f"{table_prefix}_centroids")
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index — zero corpus
+    re-scoring: cell assignment and corpus norms are read back from
+    the index, and partition pruning on ``cell`` keeps the scan to
+    the probed cells. Results are identical to live ``ivf_topk`` over
+    the same corpus+centroids (pinned by test): floats round-trip
+    parquet exactly and the scoring expression is shared."""
+    return _ivf_serve(
+        queries,
+        spark.table(f"{table_prefix}_cells"),
+        spark.table(f"{table_prefix}_centroids"),
+        id_col,
+        vec_col,
+        k,
+        n_probe,
     )
 
 

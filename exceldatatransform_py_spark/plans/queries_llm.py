@@ -1027,10 +1027,10 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3, k=_MH_K, bands=_MH_BANDS,
         threshold=0.5,
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
-    return docs.join(cc, docs.doc_id == cc.v, "left").select(
-        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs, node_col="doc_id"
     )
+    return cc.select(F.col("v").alias("doc_id"), "cluster_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1205,10 +1205,12 @@ def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3, k=_MH_K, bands=_MH_BANDS,
         threshold=0.5,
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
-    assign = docs.join(cc, docs.doc_id == cc.v, "left").select(
-        "doc_id", "text", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs, node_col="doc_id"
     )
+    assign = docs.join(
+        cc.select(F.col("v").alias("doc_id"), "cluster_id"), "doc_id"
+    ).select("doc_id", "text", "cluster_id")
     toks = ws_tokens(F.lower(F.col("text")))
     staged = assign.select(
         "doc_id",

@@ -305,3 +305,91 @@ def test_streaming_ingest_loop_with_incremental_dedup(spark, tmp_path):
     finally:
         for t in ("bands", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN build/serve split (the dense twin of the BM25 split above):
+# the persisted index must answer probes without re-assigning or
+# re-scoring the corpus, with results identical to the live path.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_parts(spark):
+    emb = read_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return emb, centroids, queries
+
+
+@pytest.fixture()
+def ivf_index(spark, tmp_path):
+    from exceldatatransform_py_spark.operators.similarity import build_ivf_index
+
+    prefix = "ivf_test_idx"
+    emb, centroids, _ = _ivf_parts(spark)
+    build_ivf_index(
+        emb, centroids, prefix, path=str(tmp_path / "ivf"),
+        id_col="vec_id", vec_col="embedding",
+    )
+    yield prefix
+    for t in ("cells", "centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_ivf_index_serving_matches_live(spark, ivf_index):
+    from exceldatatransform_py_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb, centroids, queries = _ivf_parts(spark)
+    served = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(
+            spark, ivf_index, queries, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=2,
+        ).collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=2,
+        ).collect()
+    )
+    assert served == live
+    assert len(served) == 10 * 5
+
+
+def test_ivf_index_serving_prunes_and_never_rescans_corpus(spark, ivf_index):
+    """Serve plan posture: (a) zero corpus re-scoring — no aggregate
+    anywhere (live assignment needs a groupBy arg-max; the index path
+    must not), (b) the cell-partitioned scan carries a dynamic
+    partition pruning filter from the broadcast probe side, so a
+    probe reads only the probed cells' files."""
+    import contextlib
+    import io
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        ivf_topk_from_index,
+    )
+
+    _, _, queries = _ivf_parts(spark)
+    df = ivf_topk_from_index(
+        spark, ivf_index, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_probe=2,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" not in plan
+    assert "dynamicpruning" in plan
+    # the raw corpus table is only ever read for the FILTERED query
+    # side — every scan of embeddings.parquet carries the query-id
+    # pushdown; the corpus vectors come exclusively from the index.
+    for block in plan.split("\n\n"):
+        if "embeddings.parquet" in block:
+            assert "LessThan(vec_id,10)" in block
