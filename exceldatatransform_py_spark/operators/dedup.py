@@ -830,6 +830,25 @@ def duplicate_ngram_spans(
     is linear in corpus size; the per-doc window partitions by doc id
     (bounded state — a doc's own positions).
     """
+    spans = _dup_span_islands(df, id_col, text_col, n=n)
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.sum("island_len").cast("bigint").alias("n_dup_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            (F.max("island_len") + (n - 1)).cast("bigint").alias(
+                "max_dup_span_tokens"
+            ),
+        )
+    )
+
+
+def _dup_span_islands(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Maximal runs of duplicated n-gram start positions per doc:
+    ``(id, grp, span_start, island_len)`` — the shared core of the
+    span profile and the span-removal transformation."""
     grams = positioned_ngrams(df, id_col, text_col, n=n)
     dup_grams = (
         grams.groupBy("gram_digest")
@@ -842,16 +861,75 @@ def duplicate_ngram_spans(
     islands = dup_pos.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
-    spans = islands.groupBy(id_col, "grp").agg(
+    return islands.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("span_start"),
         F.count(F.lit(1)).alias("island_len"),
     )
-    return (
-        spans.groupBy(id_col)
-        .agg(
-            F.sum("island_len").cast("bigint").alias("n_dup_ngrams"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-            (F.max("island_len") + (n - 1)).cast("bigint").alias(
-                "max_dup_span_tokens"
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_span: int | None = None,
+) -> DataFrame:
+    """ExactSubstr's actual EDIT: rewrite each document with every
+    duplicated span of ≥ ``min_span`` tokens removed (default: any
+    duplicated span, i.e. ``min_span = n``). A span's token coverage
+    is its island of duplicated gram starts extended by ``n - 1``
+    trailing tokens; kept tokens are re-joined with single spaces
+    (whitespace-normalized output, like the profile's tokenizer).
+
+    Output: one row per input doc — ``(id, n_tokens, n_removed,
+    clean_text)``; fully-duplicated docs come back with empty text,
+    untouched docs with their normalized text.
+
+    Scale shape: everything up to the islands is the profile's linear
+    plan (digest hash-agg, no pair join); the removal itself is a
+    per-doc interval anti-join — tokens × spans equi on the doc id,
+    both sides partitioned by it, interval predicate as the join
+    residual — then one per-doc aggregate re-assembles the text.
+    Nothing ever pairs documents with each other.
+    """
+    if min_span is None:
+        min_span = n
+    from exceldatatransform_py_spark.functions.text import ws_tokens
+
+    spans = _dup_span_islands(df, id_col, text_col, n=n)
+    intervals = spans.filter(
+        F.col("island_len") + (n - 1) >= min_span
+    ).select(
+        F.col(id_col).alias("__iv_id"),
+        F.col("span_start").alias("__a"),
+        (F.col("span_start") + F.col("island_len") + (n - 2)).alias("__b"),
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("__p0", "__tok")
+    ).select(id_col, (F.col("__p0") + 1).alias("__tpos"), "__tok")
+    kept = toks.join(
+        intervals,
+        (F.col(id_col) == F.col("__iv_id"))
+        & (F.col("__tpos") >= F.col("__a"))
+        & (F.col("__tpos") <= F.col("__b")),
+        "left_anti",
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
+                lambda s: s["__tok"],
             ),
-        )
+        ).alias("__clean"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(ws_tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(clean, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("__clean", F.lit("")).alias("clean_text"),
     )

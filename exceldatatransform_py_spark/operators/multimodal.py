@@ -29,6 +29,13 @@ Scale posture: ``mapInPandas`` streams Arrow record batches through
 one Python worker per core with constant memory per batch; featurize
 output is small (metadata + feature vectors), so the expensive bytes
 never cross more than once and never shuffle.
+
+The image and audio paths additionally use REAL public formats
+(``operators.codecs``): 24-bit BMP encoded/decoded with spec-correct
+headers, bottom-up padded BGR rows, and actual pixel math
+(nearest-neighbor resize, grayscale), and RIFF/WAV PCM via the stdlib
+``wave`` module with actual sample math (peak/energy/RMS). Only the
+video *container* remains the documented synthetic SVC format.
 """
 
 from __future__ import annotations
@@ -274,41 +281,220 @@ def frame_sample(
     )
 
 
-def resize_stub(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    bin_col: str = "payload",
-    target_bytes: int = 32,
-) -> DataFrame:
-    """Normalize payloads to a fixed size (truncate/zero-pad) — the
-    stand-in for image resize/letterbox before a vision encoder. Row
-    count and partitioning are preserved (map-only, no shuffle);
-    output schema carries the typed metadata a real resize would
-    (original + final dimensions).
-    """
+# ---------------------------------------------------------------------------
+# Real image path: 24-bit BMP (operators.codecs). Deterministic per-id
+# dimensions keep the oracle computable from first principles; widths
+# are deliberately NOT multiples of 4 so the row padding the decoder
+# must strip is actually present.
+# ---------------------------------------------------------------------------
 
-    def _resize(payload: bytes) -> bytes:
-        if payload is None:
-            raise NotImplementedError("resize_stub: NULL payload (codec error path)")
-        return payload[:target_bytes].ljust(target_bytes, b"\x00")
+
+def bmp_width(rid: int) -> int:
+    return 12 + (rid % 5) * 3  # 12..24, includes non-4-aligned strides
+
+
+def bmp_height(rid: int) -> int:
+    return 8 + (rid % 4) * 2  # 8..14
+
+
+def pack_bmp(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Encode each payload as a real 24-bit BMP: the payload bytes
+    become row-major RGB pixel data (zero-padded / truncated to
+    ``w·h·3``), written with spec-correct headers, bottom-up padded
+    BGR rows. Output ``(id_col long, image binary)``; map-only.
+    """
+    from exceldatatransform_py_spark.operators.codecs import bmp_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = list(pdf[bin_col])
+            images = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    raise ValueError("pack_bmp: NULL payload")
+                w, h = bmp_width(int(rid)), bmp_height(int(rid))
+                rgb = bytes(payload[: w * h * 3]).ljust(w * h * 3, b"\x00")
+                images.append(bmp_encode(rgb, w, h))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "image": images}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, image binary")
+
+
+def bmp_metadata(
+    df: DataFrame, id_col: str = "doc_id", image_col: str = "image"
+) -> DataFrame:
+    """Parse each BMP's headers (magic, info header, bit depth,
+    stride) — the ffprobe-equivalent for the image path. Output:
+    ``(id_col, width, height, bpp, stride, file_bytes, pixel_bytes)``;
+    every field is recomputable from the BMP spec, so a parser that
+    didn't really read the binary can't fake them."""
+    from exceldatatransform_py_spark.operators.codecs import bmp_decode_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "width": [], "height": [], "bpp": [], "stride": [],
+                "file_bytes": [], "pixel_bytes": [],
+            }
+            for payload in pdf[image_col]:
+                meta = bmp_decode_header(payload)
+                cols["width"].append(meta["width"])
+                cols["height"].append(meta["height"])
+                cols["bpp"].append(meta["bpp"])
+                cols["stride"].append(meta["stride"])
+                cols["file_bytes"].append(meta["file_bytes"])
+                cols["pixel_bytes"].append(meta["pixel_bytes"])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "orig_len": pd.Series(
-                        [len(p) for p in payloads], dtype="int32"
-                    ),
-                    "resized": [_resize(p) for p in payloads],
-                    "resized_len": pd.Series(
-                        [target_bytes] * len(payloads), dtype="int32"
-                    ),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "bpp": pd.Series(cols["bpp"], dtype="int32"),
+                    "stride": pd.Series(cols["stride"], dtype="int32"),
+                    "file_bytes": pd.Series(cols["file_bytes"], dtype="int64"),
+                    "pixel_bytes": pd.Series(cols["pixel_bytes"], dtype="int64"),
                 }
             )
 
     return df.mapInPandas(
         run,
-        schema=f"{id_col} long, orig_len int, resized binary, resized_len int",
+        schema=(
+            f"{id_col} long, width int, height int, bpp int, stride int, "
+            "file_bytes long, pixel_bytes long"
+        ),
+    )
+
+
+def bmp_resize_gray(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    image_col: str = "image",
+    tw: int = 8,
+    th: int = 8,
+) -> DataFrame:
+    """Real pixel math over decoded BMPs: nearest-neighbor resample to
+    ``tw × th`` (floor index map), then integer grayscale
+    ``(r + g + b) // 3`` per sampled pixel — the resize/normalize step
+    before a vision encoder. The decode must undo stride padding,
+    bottom-up rows, and BGR order or the pixel values are wrong.
+
+    Output: ``(id_col, width, height, gray array<int>)`` with the
+    ``tw·th`` grayscale values row-major top-down.
+    """
+    from exceldatatransform_py_spark.operators.codecs import (
+        bmp_decode,
+        nearest_resize,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, grays = [], [], []
+            for payload in pdf[image_col]:
+                w, h, img = bmp_decode(payload)
+                small = nearest_resize(img, tw, th).astype("int64")
+                gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3
+                widths.append(w)
+                heights.append(h)
+                grays.append([int(v) for v in gray.reshape(-1)])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "gray": grays,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, width int, height int, gray array<int>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real audio path: RIFF/WAV PCM via the stdlib wave module.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def pack_wav(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Encode each payload as a real mono 16-bit PCM WAV: byte ``b``
+    becomes the sample ``(b - 128) * 256`` (u8 → s16 center-scaling,
+    the standard 8-bit-to-16-bit PCM widening). Output
+    ``(id_col long, audio binary)``; map-only."""
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            audios = []
+            for payload in pdf[bin_col]:
+                if payload is None:
+                    raise ValueError("pack_wav: NULL payload")
+                samples = (
+                    np.frombuffer(payload, dtype=np.uint8).astype("<i2") - 128
+                ) * 256
+                audios.append(wav_encode(samples.tobytes(), rate=WAV_RATE))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "audio": audios}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, audio binary")
+
+
+def wav_stats(
+    df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
+) -> DataFrame:
+    """Decode WAV files and compute real sample statistics: frame
+    count / rate / duration from the RIFF headers, peak amplitude and
+    exact integer energy (sum of squared samples) from the PCM data,
+    and RMS. Output: ``(id_col, n_frames, framerate, duration_ms,
+    peak, sum_sq, rms)``."""
+    import math
+
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "n_frames": [], "framerate": [], "duration_ms": [],
+                "peak": [], "sum_sq": [], "rms": [],
+            }
+            for payload in pdf[audio_col]:
+                d = wav_decode(payload)
+                s = d["samples"].astype("int64")
+                sum_sq = int((s * s).sum())
+                n = int(d["n_frames"])
+                cols["n_frames"].append(n)
+                cols["framerate"].append(d["framerate"])
+                cols["duration_ms"].append(n * 1000 // d["framerate"])
+                cols["peak"].append(int(np.abs(s).max()) if n else 0)
+                cols["sum_sq"].append(sum_sq)
+                cols["rms"].append(math.sqrt(sum_sq / n) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "framerate": pd.Series(cols["framerate"], dtype="int32"),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="int64"),
+                    "peak": pd.Series(cols["peak"], dtype="int32"),
+                    "sum_sq": pd.Series(cols["sum_sq"], dtype="int64"),
+                    "rms": pd.Series(cols["rms"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_frames long, framerate int, duration_ms long, "
+            "peak int, sum_sq long, rms double"
+        ),
     )

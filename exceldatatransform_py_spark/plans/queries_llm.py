@@ -672,10 +672,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from exceldatatransform_py_spark.operators.multimodal import (  # noqa: E402
+    bmp_metadata,
+    bmp_resize_gray,
     frame_sample,
     media_metadata,
+    pack_bmp,
     pack_media,
-    resize_stub,
+    pack_wav,
+    wav_stats,
 )
 
 
@@ -737,22 +741,116 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media, id_col="doc_id", media_col="media")
 
 
+# Shared byte accessor for the BMP/WAV oracles: pixel/sample byte j
+# (1-indexed) of a document is the j-th text byte, or 0 past the end
+# (the encoder zero-pads). Corpus is pure ASCII so char == byte.
+_PIX = (
+    "CASE WHEN {j} <= length(text) "
+    "THEN ord(substring(text, CAST({j} AS INTEGER), 1)) ELSE 0 END"
+)
+
+
+def _gray_oracle_expr() -> str:
+    """Nearest-neighbor 8×8 grayscale of the w×h RGB image whose
+    pixel bytes are the document text (zero-padded): output index i →
+    source pixel (y·h//8, x·w//8), gray = (r + g + b) // 3."""
+    off = "((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * 3"
+    return (
+        "list_transform(range(0, 64), i -> CAST(("
+        + " + ".join(_PIX.format(j=f"({off} + {k})") for k in (1, 2, 3))
+        + ") // 3 AS INTEGER))"
+    )
+
+
 @register(
     "resize_normalize_media",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS INTEGER) AS orig_len,
-           encode(substring(text, 1, 32))
-             || repeat('\\x00'::BLOB, greatest(0, 32 - length(text))) AS resized,
-           CAST(32 AS INTEGER) AS resized_len
-    FROM documents
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height,
+           {_gray_oracle_expr()} AS gray
+    FROM dims
     """,
 )
 def resize_normalize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image path: encode each document's bytes as a 24-bit BMP
+    # (spec-correct headers, bottom-up padded BGR rows), decode it
+    # back, nearest-neighbor-resample to 8×8, and grayscale. The
+    # oracle recomputes every output pixel from first principles on
+    # the raw bytes — a decoder that mishandled the stride padding,
+    # the row flip, or the BGR order produces different values.
     docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return resize_stub(docs, id_col="doc_id", bin_col="payload", target_bytes=32)
+    images = pack_bmp(docs, id_col="doc_id", bin_col="payload")
+    return bmp_resize_gray(images, id_col="doc_id", image_col="image", tw=8, th=8)
+
+
+@register(
+    "bmp_image_metadata",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST((w * 3 + 3) // 4 * 4 AS INTEGER) AS stride,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS file_bytes,
+           CAST(w * h * 3 AS BIGINT) AS pixel_bytes
+    FROM dims
+    """,
+)
+def bmp_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the image-path ffprobe: every field comes out of a real header
+    # parse (magic, BITMAPINFOHEADER, bit depth, stride) and the
+    # oracle recomputes them from the BMP spec's arithmetic.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    images = pack_bmp(docs, id_col="doc_id", bin_col="payload")
+    return bmp_metadata(images, id_col="doc_id", image_col="image")
+
+
+@register(
+    "wav_audio_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n,
+             list_sum(list_transform(range(1, length(text) + 1),
+               j -> CAST(({_PIX.format(j="j")} - 128) * 256 AS BIGINT)
+                    * (({_PIX.format(j="j")} - 128) * 256))) AS sum_sq,
+             list_max(list_transform(range(1, length(text) + 1),
+               j -> abs(({_PIX.format(j="j")} - 128) * 256))) AS peak
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(8000 AS INTEGER) AS framerate,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(peak AS INTEGER) AS peak,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+    FROM s
+    """,
+)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the audio path end-to-end: bytes → s16 PCM → real RIFF/WAV file
+    # (stdlib wave writer) → decode (chunk parse) → sample statistics.
+    # Frame count and rate come from the RIFF headers; peak/energy/RMS
+    # from the decoded samples — the oracle recomputes all of it from
+    # the raw bytes and the u8→s16 widening rule.
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    audio = pack_wav(docs, id_col="doc_id", bin_col="payload")
+    return wav_stats(audio, id_col="doc_id", audio_col="audio")
 
 
 # ---------------------------------------------------------------------------
@@ -3140,3 +3238,70 @@ def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the testdata parquet is single-row-group."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     return duplicate_ngram_spans(docs, id_col="doc_id", text_col="text", n=_SPAN_N)
+
+
+#: span-removal threshold: drop duplicated spans covering ≥ this many
+#: tokens (ExactSubstr's L). Above _SPAN_N so single isolated
+#: duplicated grams survive and the threshold actually selects.
+_SPAN_MIN_REMOVE = 12
+
+_SPAN_CLEAN_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')) AS d
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1)) AS u(i)
+    ), dup AS (
+      SELECT d FROM grams GROUP BY d HAVING count(DISTINCT doc_id) >= 2
+    ), dup_pos AS (
+      SELECT doc_id, pos FROM grams WHERE d IN (SELECT d FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup_pos
+    ), iv AS (
+      SELECT doc_id, min(pos) AS a,
+             min(pos) + count(*) + {_SPAN_N - 2} AS b
+      FROM isl GROUP BY doc_id, grp
+      HAVING count(*) + {_SPAN_N - 1} >= {_SPAN_MIN_REMOVE}
+    ), tok_rows AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tpos, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT k.doc_id, k.tpos, k.tok
+      FROM tok_rows k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = k.doc_id AND k.tpos BETWEEN iv.a AND iv.b
+      )
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("span_dedup_clean", oracle=_SPAN_CLEAN_ORACLE)
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's actual edit, scored end-to-end: rewrite every
+    document with duplicated spans ≥ {_SPAN_MIN_REMOVE} tokens
+    removed. The oracle rebuilds the expected cleaned text token by
+    token (interval anti-semantics included), so the per-doc
+    remaining-token counts AND the exact output text are verified."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    return remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", n=_SPAN_N,
+        min_span=_SPAN_MIN_REMOVE,
+    )

@@ -69,3 +69,117 @@ def test_pack_then_demux_matches_source_bytes(spark):
         raw = text.encode()
         for fi in range(-(-len(raw) // 128)):
             assert frames[(rid, fi)] == raw[fi * 128 : fi * 128 + 64]
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (operators.codecs): BMP via struct, WAV via stdlib wave.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_encode_is_spec_exact():
+    """Pin the on-disk layout against hand-built reference bytes for a
+    2×2 image: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows,
+    BGR channel order, rows padded to 4 bytes (2·3=6 → stride 8)."""
+    import struct
+
+    from exceldatatransform_py_spark.operators.codecs import bmp_encode
+
+    # top-down RGB: row0 = red, green; row1 = blue, white
+    rgb = bytes(
+        [255, 0, 0, 0, 255, 0,
+         0, 0, 255, 255, 255, 255]
+    )
+    got = bmp_encode(rgb, 2, 2)
+    stride = 8
+    body = (
+        # stored bottom-up: file row 0 is image row 1, channels BGR
+        bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+        + bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    )
+    want = (
+        struct.pack("<2sIHHI", b"BM", 54 + stride * 2, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, stride * 2,
+                      2835, 2835, 0, 0)
+        + body
+    )
+    assert got == want
+
+
+def test_bmp_roundtrip_with_padding_and_rejects():
+    import numpy as np
+    import pytest
+
+    from exceldatatransform_py_spark.operators.codecs import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    # width 13 → 39 pixel bytes/row → stride 40: padding must vanish
+    rgb = bytes((i * 31) % 256 for i in range(13 * 5 * 3))
+    w, h, img = bmp_decode(bmp_encode(rgb, 13, 5))
+    assert (w, h) == (13, 5)
+    assert img.tobytes() == rgb
+    assert isinstance(img, np.ndarray) and img.shape == (5, 13, 3)
+    with pytest.raises(ValueError, match="magic"):
+        bmp_decode(b"XX" + bmp_encode(rgb, 13, 5)[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(bmp_encode(rgb, 13, 5)[:-4])
+
+
+def test_nearest_resize_reference():
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import nearest_resize
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = nearest_resize(img, 2, 3)
+    # xs = [0, 2], ys = [0, 2, 4]
+    assert out.shape == (3, 2, 3)
+    assert (out == img[[0, 2, 4]][:, [0, 2]]).all()
+
+
+def test_wav_roundtrip_and_headers():
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    pcm = np.array([0, 1000, -32768, 32767, -1], dtype="<i2").tobytes()
+    payload = wav_encode(pcm, rate=16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = wav_decode(payload)
+    assert d["n_channels"] == 1 and d["sampwidth"] == 2
+    assert d["framerate"] == 16000 and d["n_frames"] == 5
+    assert d["samples"].tobytes() == pcm
+
+
+def test_pack_bmp_resize_gray_matches_local_pixel_math(spark):
+    """The distributed decode+resize+grayscale equals the same pixel
+    math done locally on the raw bytes — Arrow transfer, batch
+    boundaries, and the codec all byte-exact."""
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import nearest_resize
+    from exceldatatransform_py_spark.operators.multimodal import (
+        bmp_height,
+        bmp_resize_gray,
+        bmp_width,
+        pack_bmp,
+    )
+
+    rows = [(i, bytes((i * 13 + j) % 256 for j in range(50 + i * 37)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, list(r.gray))
+        for r in bmp_resize_gray(pack_bmp(df)).collect()
+    }
+    for rid, payload in rows:
+        w, h = bmp_width(rid), bmp_height(rid)
+        rgb = payload[: w * h * 3].ljust(w * h * 3, b"\x00")
+        img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        small = nearest_resize(img, 8, 8).astype("int64")
+        gray = ((small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3)
+        assert got[rid] == (w, h, [int(v) for v in gray.reshape(-1)])

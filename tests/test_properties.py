@@ -647,3 +647,35 @@ def test_simhash_near_dup_recall_is_exact_below_band_bound(spark):
         for r in simhash_near_dup(df, "doc_id", "simhash", ham_max=3).collect()
     }
     assert got == expected
+
+
+def test_remove_duplicate_spans_micro_semantics(spark):
+    """Hand-built corpus pinning the span-removal edit: a 10-token
+    run shared verbatim by two docs is excised from both (coverage =
+    island + n−1 trailing tokens), text below the min_span threshold
+    survives, and a doc that is one whole duplicated span comes back
+    empty."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    rows = [
+        (1, f"a1 a2 a3 {shared} z1 z2"),
+        (2, f"b1 {shared} y1 y2 y3"),
+        (3, shared),                      # exactly the span → empty
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8"),   # unique 8 tokens → untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=4, min_span=6
+        ).collect()
+    }
+    # islands: every 4-gram inside the shared run duplicates across
+    # docs → island of 7 starts → 10 covered tokens ≥ 6 → removed.
+    assert got[1] == (15, 10, "a1 a2 a3 z1 z2")
+    assert got[2] == (14, 10, "b1 y1 y2 y3")
+    assert got[3] == (10, 10, "")
+    assert got[4] == (8, 0, "u1 u2 u3 u4 u5 u6 u7 u8")
