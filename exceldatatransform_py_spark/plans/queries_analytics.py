@@ -1593,10 +1593,6 @@ def khop_parts_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pit_join_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exceldatatransform_py_spark.plans.queries_analytics import (
-        scd2_customer_priority,
-    )
-
     dim = scd2_customer_priority(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey",

@@ -95,6 +95,10 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("sheetdir source requires option 'path'")
         self.dir = path
         self.skip_header = options.get("header", "true").lower() == "true"
+        # a final line with no trailing newline is emitted once the
+        # file size is unchanged for this many consecutive triggers
+        # (quiescence = the writer is done, not mid-append); see read().
+        self.tail_quiesce = int(options.get("tailquiescetriggers", "2"))
 
     def _sizes(self) -> list[tuple[str, int]]:
         out = []
@@ -107,7 +111,7 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
     def _prev(offset: dict) -> dict[str, int | None]:
         """Offset entries → {name: emitted byte count}. Tolerates the
         legacy whole-file-list format (value None = fully emitted at
-        an unrecorded size)."""
+        an unrecorded size) and ignores trailing tail-pending fields."""
         out: dict[str, int | None] = {}
         for e in offset.get("seen", []):
             if isinstance(e, str):
@@ -115,6 +119,34 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
             else:
                 out[e[0]] = e[1]
         return out
+
+    @staticmethod
+    def _pending(offset: dict) -> dict[str, tuple[int, int]]:
+        """Tail-pending entries → {name: (observed size, consecutive
+        stable triggers)} — the quiescence state for files whose last
+        bytes lack a newline."""
+        out: dict[str, tuple[int, int]] = {}
+        for e in offset.get("seen", []):
+            if not isinstance(e, str) and len(e) >= 4:
+                out[e[0]] = (e[2], e[3])
+        return out
+
+    @staticmethod
+    def _last_newline(path: str, lo: int, hi: int, block: int = 65536) -> int:
+        """Absolute offset of the last ``b'\\n'`` in ``[lo, hi)``, or
+        -1 — scanning BACKWARD in bounded blocks from the end, so a
+        multi-GB appended delta costs one small read instead of being
+        loaded whole into driver memory just to find its last line."""
+        with open(path, "rb") as fh:
+            end = hi
+            while end > lo:
+                start = max(lo, end - block)
+                fh.seek(start)
+                nl = fh.read(end - start).rfind(b"\n")
+                if nl >= 0:
+                    return start + nl
+                end = start
+        return -1
 
     def _emit(self, ranges: list[tuple[str, int, int]]) -> Iterator[tuple]:
         """Yield (sheet, line_no, line) for each file's byte range
@@ -145,6 +177,7 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
         # sheets per trigger); a data-plane-scale streaming connector
         # uses the partition-planning DataSourceStreamReader instead.
         prev = self._prev(start)
+        pend = self._pending(start)
         ranges = []
         end: list[list] = []
         for f, cur in self._sizes():
@@ -155,19 +188,30 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
             # writer that has appended a partial line (no trailing
             # '\n' yet) would otherwise get that fragment emitted as a
             # truncated row now and the remainder as a second corrupt
-            # row next batch. Only newline-terminated bytes enter the
-            # offset; the partial tail is picked up once completed.
+            # row next batch. Normally only newline-terminated bytes
+            # enter the offset — but a file whose FINAL row
+            # legitimately lacks the trailing newline would then never
+            # emit it, so once the file size sits unchanged for
+            # ``tail_quiesce`` consecutive triggers (the writer is
+            # done, not mid-append) the stable tail is emitted as the
+            # final row, matching the batch SheetDirReader.
             hi = lo
             if cur > lo:
-                with open(os.path.join(self.dir, f), "rb") as fh:
-                    fh.seek(lo)
-                    chunk = fh.read(cur - lo)
-                nl = chunk.rfind(b"\n")
+                nl = self._last_newline(os.path.join(self.dir, f), lo, cur)
                 if nl >= 0:
-                    hi = lo + nl + 1
+                    hi = nl + 1
+            entry = [f, hi]
+            if cur > hi:  # unterminated tail pending
+                seen_size, stable = pend.get(f, (None, 0))
+                stable = stable + 1 if seen_size == cur else 1
+                if stable >= self.tail_quiesce:
+                    hi = cur  # quiescent: emit the tail as a final row
+                    entry = [f, hi]
+                else:
+                    entry = [f, hi, cur, stable]
             if hi > lo:
                 ranges.append((f, lo, hi))
-            end.append([f, max(hi, lo)])
+            end.append(entry)
         # files that vanished stay in the offset so older batches keep
         # their recorded extent for replay bookkeeping.
         now = {f for f, _ in self._sizes()}

@@ -12,10 +12,15 @@ filesystem with nothing but parquet and one JSON manifest per commit:
 
 * Writers NEVER mutate existing data: each commit writes a fresh data
   directory, then publishes it by writing the next manifest. The
-  manifest write is the commit point (a single small-file create —
-  atomic enough for a single-writer pipeline; real formats add a
-  log-store/CAS for concurrent writers, which is exactly the piece
-  this module does not claim).
+  manifest write is the commit point, and it is CREATE-EXCLUSIVE
+  (``_publish``: unique temp + ``os.link``): concurrent writers
+  racing for the same version see exactly one winner, and the loser
+  gets ``SnapshotConflictError`` instead of silently clobbering —
+  the same optimistic-concurrency protocol Delta runs on its log
+  store (put-if-absent on the next log entry). Read-modify-write
+  commits (``snapshot_merge_update``) capture the version they read
+  and commit conditionally on it, so lost updates are impossible;
+  ``max_retries`` re-runs the read-merge-commit loop on conflict.
 * Readers resolve the manifest FIRST, then read only that version's
   data directory — a reader never sees a half-written commit, and
   old versions stay readable until vacuumed (snapshot isolation).
@@ -36,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,6 +119,56 @@ def _collect_stats(
     return out
 
 
+class SnapshotConflictError(RuntimeError):
+    """Optimistic-concurrency loser: another writer published this
+    version first. The commit was NOT applied and left no trace —
+    re-read the table and retry the transaction."""
+
+    def __init__(self, table: str, version: int):
+        super().__init__(
+            f"snapshot commit conflict: {table} v{version} already published"
+        )
+        self.table = table
+        self.version = version
+
+
+def _publish(table: str, manifest: dict) -> None:
+    """Atomically publish a manifest with CREATE-EXCLUSIVE semantics —
+    the optimistic-concurrency commit point. The JSON is staged to a
+    uniquely-named temp file, then ``os.link``ed to the final name:
+    the link makes the full content appear atomically AND fails with
+    ``FileExistsError`` if any other writer published this version
+    first (unlike ``os.replace``, which would silently clobber the
+    winner). Raises ``SnapshotConflictError`` for the loser."""
+    v = manifest["version"]
+    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
+    final = _version_path(table, v)
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(table, v) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _stage_data_dir(table: str, df: DataFrame, data_dir: str) -> None:
+    """Write ``df`` into ``data_dir`` via a uniquely-named staging
+    directory + directory rename: concurrent writers racing for the
+    same version each stage safely, and exactly one wins the rename —
+    the loser cleans its staging and gets a conflict instead of a
+    mid-write collision inside the parquet job."""
+    stage = os.path.join(table, f"{data_dir}.stage-{uuid.uuid4().hex[:8]}")
+    df.write.mode("errorifexists").parquet(stage)
+    try:
+        os.rename(stage, os.path.join(table, data_dir))
+    except OSError as e:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise SnapshotConflictError(table, int(data_dir[1:6])) from e
+
+
 def _commit(
     table: str,
     df: DataFrame,
@@ -122,8 +178,7 @@ def _commit(
 ) -> int:
     v = 0 if parent is None else parent + 1
     data_dir = f"d{v:05d}"
-    df.write.mode("errorifexists").parquet(os.path.join(table, data_dir))
-    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
+    _stage_data_dir(table, df, data_dir)
     manifest = {
         "version": v,
         "data_dir": data_dir,
@@ -138,11 +193,13 @@ def _commit(
             if f.endswith(".parquet")
         )
         manifest["stats"] = _collect_stats(table, rel_files, stats_cols)
-    # Publish: write-then-rename so the manifest appears atomically.
-    tmp = _version_path(table, v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _version_path(table, v))
+    try:
+        _publish(table, manifest)
+    except SnapshotConflictError:
+        # a writer that never staged data (rollback is metadata-only)
+        # may have taken this version: withdraw our unreferenced dir.
+        shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+        raise
     return v
 
 
@@ -170,7 +227,8 @@ def snapshot_compact(
     intact, old versions readable until vacuumed. ``coalesce`` when
     shrinking (narrow, no shuffle); ``repartition`` only when growing
     the file count (oversized files are being rewritten anyway)."""
-    df = snapshot_read(spark, table)
+    parent = latest_version(table)
+    df = snapshot_read(spark, table, version=parent)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     n_parts = df.rdd.getNumPartitions()
@@ -178,9 +236,7 @@ def snapshot_compact(
         df = df.coalesce(n_files)
     elif n_files > n_parts:
         df = df.repartition(n_files)
-    return _commit(
-        table, df, "compact", latest_version(table), stats_cols=stats_cols
-    )
+    return _commit(table, df, "compact", parent, stats_cols=stats_cols)
 
 
 def _manifest_files(table: str, manifest: dict) -> list[str]:
@@ -226,14 +282,31 @@ def snapshot_merge_update(
     updates: DataFrame,
     on: Sequence[str],
     update_cols: Sequence[str],
+    max_retries: int = 0,
 ) -> int:
     """S5 as a snapshot commit: update-only merge of ``updates`` into
     the latest version, committed as a NEW version — the previous
     version stays readable (audit/rollback), unlike the in-place
-    rewrite sink. Returns the new version number."""
-    current = snapshot_read(spark, table)
-    merged = merge_update(current, updates, on=on, update_cols=update_cols)
-    return _commit(table, merged, "merge_update", latest_version(table))
+    rewrite sink. Returns the new version number.
+
+    Optimistic concurrency: the merge reads version P and commits
+    P+1 conditionally on P still being latest (create-exclusive
+    manifest publish). If another writer got there first the commit
+    raises ``SnapshotConflictError`` — no clobber, no lost update —
+    and with ``max_retries > 0`` the read-merge-commit is re-run
+    against the new latest version (CAS loop)."""
+    for attempt in range(max_retries + 1):
+        parent = latest_version(table)
+        if parent is None:
+            raise FileNotFoundError(f"no versions in {table}")
+        current = snapshot_read(spark, table, version=parent)
+        merged = merge_update(current, updates, on=on, update_cols=update_cols)
+        try:
+            return _commit(table, merged, "merge_update", parent)
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _footer_minmax(path: str, col: str):
@@ -342,9 +415,7 @@ def snapshot_merge_update_pruned(
     if touched:
         target = spark.read.parquet(*[os.path.join(table, r) for r in touched])
         merged = merge_update(target, updates, on=on, update_cols=update_cols)
-        merged.write.mode("errorifexists").parquet(
-            os.path.join(table, data_dir)
-        )
+        _stage_data_dir(table, merged, data_dir)
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -372,11 +443,12 @@ def snapshot_merge_update_pruned(
             "inherited_files": len(inherited),
         },
     }
-    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
-    tmp = _version_path(table, v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _version_path(table, v))
+    try:
+        _publish(table, manifest)
+    except SnapshotConflictError:
+        if touched:
+            shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+        raise
     return v
 
 
@@ -391,11 +463,7 @@ def rollback(table: str, version: int) -> int:
     parent = ms[-1]["version"]
     v = parent + 1
     manifest = dict(by_v[version], version=v, kind="rollback", parent=parent)
-    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
-    tmp = _version_path(table, v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _version_path(table, v))
+    _publish(table, manifest)
     return v
 
 

@@ -59,7 +59,7 @@ def stage_sheet_partitions(
     df: DataFrame,
     staging_dir: str,
     sheet_col: str,
-    sheet_name_len: int = 31,
+    sheet_name_len: int | None = 31,
 ) -> dict[str, str]:
     """Distributed half of the Excel workbook sink: partition the data
     one-directory-per-sheet and return ``{sheet name: partition dir}``.
@@ -112,29 +112,28 @@ def write_excel_workbook(
     """
     if staging_dir is None:
         staging_dir = path + ".staging"
-    # Two sheet names identical after 31-char truncation would merge
-    # silently at the partitionBy staging step (and the shim's sheet
-    # dict would likewise collapse them) — combining two groups' rows
-    # into one sheet. Fail loudly before staging instead. Cheap: one
-    # aggregate over DISTINCT sheet names (key cardinality, not rows).
-    collision = (
-        df.select(F.col(sheet_col).cast("string").alias("_name"))
-        .distinct()
-        .groupBy(F.substring("_name", 1, sheet_name_len).alias("_short"))
-        .agg(F.collect_set("_name").alias("_names"))
-        .where(F.size("_names") > 1)
-        .limit(1)
-        .collect()
-    )
-    if collision:
-        raise ValueError(
-            f"sheet names {sorted(collision[0]['_names'])!r} collide "
-            f"after truncation to {sheet_name_len} chars"
-        )
-    parts = stage_sheet_partitions(
-        df, staging_dir, sheet_col, sheet_name_len=sheet_name_len
-    )
     try:
+        # Stage by the FULL sheet name; truncation to Excel's 31-char
+        # cap happens only at packaging below. Two names identical
+        # after truncation would otherwise merge silently (at a
+        # truncated partitionBy, or in the shim's sheet dict); the
+        # collision check is derived from the staged directories
+        # themselves — one job total, and exact even for a
+        # non-deterministic df (a separate pre-check job would
+        # recompute rand/uuid-derived names and could pass while the
+        # staging run still collides).
+        parts = stage_sheet_partitions(
+            df, staging_dir, sheet_col, sheet_name_len=None
+        )
+        by_short: dict[str, list[str]] = {}
+        for name in parts:
+            by_short.setdefault(name[:sheet_name_len], []).append(name)
+        collided = [ns for ns in by_short.values() if len(ns) > 1]
+        if collided:
+            raise ValueError(
+                f"sheet names {sorted(collided[0])!r} collide "
+                f"after truncation to {sheet_name_len} chars"
+            )
         try:
             import openpyxl  # noqa: F401
             import pandas as pd

@@ -199,11 +199,16 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, (int, float)):
         if isinstance(value, float) and not math.isfinite(value):
             # SpreadsheetML numeric cells cannot carry NaN/Infinity —
-            # Excel rejects <v>nan</v>. Carry them as inline strings
-            # (Excel itself has no non-finite numeric representation).
+            # Excel rejects <v>nan</v>. Match the pandas/openpyxl
+            # engine cell-for-cell: NaN becomes an EMPTY cell (pandas
+            # na_rep=''), ±inf become inline strings (pandas
+            # inf_rep='inf'), so workbook content does not depend on
+            # which engine happens to be installed.
+            if math.isnan(value):
+                return ""
             return (
                 f'<c r="{ref}" t="inlineStr"><is>'
-                f"<t>{_xml_escape(repr(value))}</t></is></c>"
+                f"<t>{'-inf' if value < 0 else 'inf'}</t></is></c>"
             )
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     if not isinstance(value, str):

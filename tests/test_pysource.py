@@ -273,3 +273,72 @@ def test_sheetdir_writer_merge_order_is_partition_order(spark, tmp_path):
     df.write.format("sheetdir").option("path", out).mode("append").save()
     with open(os.path.join(out, "s.csv")) as f:
         assert f.read().splitlines() == [line for _, line in lines]
+
+
+def test_stream_quiescent_unterminated_tail_emits_once(tmp_path):
+    """A file whose FINAL row legitimately lacks a trailing newline:
+    the tail is held back while the file may still be mid-append, then
+    emitted exactly once after the size is unchanged for
+    tailQuiesceTriggers consecutive polls — so batch and stream agree
+    on unterminated CSVs instead of the stream losing the last row."""
+    import os
+
+    d = tmp_path / "quiesce"
+    os.makedirs(d)
+    with open(d / "S.csv", "w") as f:
+        f.write("a,b\n1,2\n3,4")  # final row, no trailing newline
+    r = _mk_stream_reader(d)
+    rows1, o1 = r.read(r.initialOffset())
+    assert [x[2] for x in sorted(rows1)] == ["1,2"]  # tail held (poll 1)
+    rows2, o2 = r.read(o1)
+    assert [x[2] for x in sorted(rows2)] == ["3,4"]  # quiescent → emitted
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == []  # exactly once
+    # replay of the committed ranges reproduces the same split
+    assert [x[2] for x in sorted(r.readBetweenOffsets(o1, o2))] == ["3,4"]
+    # a LATER append after the tail was emitted arrives as new rows;
+    # the newline that merely terminates the already-emitted tail
+    # does not produce a spurious empty row.
+    with open(d / "S.csv", "a") as f:
+        f.write("\n5,6\n")
+    rows4, _ = r.read(o3)
+    assert [x[2] for x in sorted(rows4)] == ["5,6"]
+
+
+def test_stream_growing_tail_resets_quiescence(tmp_path):
+    """A tail that keeps growing (writer mid-append) is never emitted:
+    each size change resets the stability counter."""
+    import os
+
+    d = tmp_path / "grow"
+    os.makedirs(d)
+    with open(d / "S.csv", "w") as f:
+        f.write("a,b\n1,2\n3")
+    r = _mk_stream_reader(d)
+    rows1, o1 = r.read(r.initialOffset())
+    assert [x[2] for x in sorted(rows1)] == ["1,2"]
+    with open(d / "S.csv", "a") as f:
+        f.write("4")  # tail grows: 3 → 34
+    rows2, o2 = r.read(o1)
+    assert list(rows2) == []  # counter reset, still held
+    with open(d / "S.csv", "a") as f:
+        f.write(",99\n")  # writer completes the line
+    rows3, _ = r.read(o2)
+    assert [x[2] for x in sorted(rows3)] == ["34,99"]
+
+
+def test_last_newline_backward_block_scan(tmp_path):
+    """The newline locator reads bounded blocks from the END of the
+    delta, not the whole delta: correct across block boundaries."""
+    from exceldatatransform_py_spark.sources.pysource import (
+        SheetDirStreamReader,
+    )
+
+    p = tmp_path / "big.csv"
+    data = b"x" * 100_000 + b"\n" + b"y" * 50_000  # newline at 100000
+    p.write_bytes(data)
+    f = SheetDirStreamReader._last_newline
+    assert f(str(p), 0, len(data), block=4096) == 100_000
+    assert f(str(p), 0, 99_999, block=4096) == -1
+    assert f(str(p), 100_001, len(data), block=4096) == -1
+    assert f(str(p), 0, len(data)) == 100_000

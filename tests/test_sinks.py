@@ -575,9 +575,10 @@ def test_incremental_join_agg_maintenance(spark):
 
 def test_xlsx_shim_nonfinite_floats_are_not_numeric_cells(tmpdir_):
     """NaN/Infinity cannot appear in a SpreadsheetML numeric <v> —
-    Excel rejects <v>nan</v>. The shim must carry them as inline
-    strings (Excel has no non-finite numeric representation) and its
-    own reader must round-trip the workbook without error."""
+    Excel rejects <v>nan</v>. The shim must match the pandas/openpyxl
+    engine cell-for-cell: NaN → EMPTY cell (na_rep=''), ±inf → inline
+    strings (inf_rep='inf'), so workbook content does not depend on
+    which engine is installed; its own reader round-trips it."""
     import zipfile
 
     from exceldatatransform_py_spark.sources import xlsx_shim
@@ -601,9 +602,10 @@ def test_xlsx_shim_nonfinite_floats_are_not_numeric_cells(tmpdir_):
     assert "<v>inf</v>" not in sheet_xml and "<v>-inf</v>" not in sheet_xml
     header, rows = xlsx_shim.read_workbook(path)["S"]
     assert header == ["x", "y"]
-    # finite neighbor survives as a number; non-finites land as text
+    # finite neighbor survives as a number; NaN is an empty cell
+    # (pandas parity), infinities land as text
     assert rows[0][1] == 1.5
-    assert rows[0][0] == "nan"
+    assert rows[0][0] is None
     assert rows[1] == ["inf", "-inf"]
 
 

@@ -396,3 +396,93 @@ def test_snapshot_history_and_schema_evolution(spark, table):
     assert snapshot_read(spark, table, 1).columns == ["k", "x", "tag"]
     got = {r.k: (r.x, r.tag) for r in snapshot_read(spark, table).collect()}
     assert got == {1: (1.0, "a"), 2: (-2.0, "b")}
+
+
+def test_concurrent_commit_loser_detects_conflict(spark, table):
+    """Two interleaved read-modify-write writers: both read v0, both
+    try to commit v1. Exactly one wins; the loser raises
+    SnapshotConflictError (no silent clobber), the winner's data is
+    intact, and no orphan data directory is left behind."""
+    from exceldatatransform_py_spark.operators.merge import merge_update
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit,
+    )
+
+    base = spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert snapshot_write(table, base) == 0
+
+    # both writers read version 0 …
+    parent_a = latest_version(table)
+    parent_b = latest_version(table)
+    read_a = snapshot_read(spark, table, version=parent_a)
+    read_b = snapshot_read(spark, table, version=parent_b)
+    upd_a = spark.createDataFrame([(1, 100)], "id long, v long")
+    upd_b = spark.createDataFrame([(2, 200)], "id long, v long")
+    merged_a = merge_update(read_a, upd_a, on=["id"], update_cols=["v"])
+    merged_b = merge_update(read_b, upd_b, on=["id"], update_cols=["v"])
+
+    # … writer A publishes first, writer B must lose, not clobber.
+    assert _commit(table, merged_a, "merge_update", parent_a) == 1
+    with pytest.raises(SnapshotConflictError):
+        _commit(table, merged_b, "merge_update", parent_b)
+
+    assert latest_version(table) == 1
+    assert _rows(snapshot_read(spark, table)) == [
+        (0, 0), (1, 100), (2, 4), (3, 6),
+    ]
+    # the loser withdrew everything: only v0+v1 data dirs remain.
+    dirs = sorted(
+        d for d in os.listdir(table)
+        if d.startswith("d") and os.path.isdir(os.path.join(table, d))
+    )
+    assert dirs == ["d00000", "d00001"]
+
+
+def test_merge_update_retry_wins_after_conflict(spark, table):
+    """CAS loop: a conflicting commit lands between writer B's read
+    and commit; with max_retries=1 writer B re-reads the NEW latest
+    and applies its update on top — both updates survive (no lost
+    update), versions are linear."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert snapshot_write(table, base) == 0
+
+    upd_a = spark.createDataFrame([(1, 100)], "id long, v long")
+    upd_b = spark.createDataFrame([(2, 200)], "id long, v long")
+
+    real_commit = snap._commit
+    fired = {"done": False}
+
+    def interloper(tbl, df, kind, parent, stats_cols=()):
+        # writer A sneaks in its commit after B's read, once.
+        if not fired["done"]:
+            fired["done"] = True
+            real_commit(tbl, snap.merge_update(
+                snapshot_read(spark, tbl, version=parent),
+                upd_a, on=["id"], update_cols=["v"],
+            ), "merge_update", parent)
+        return real_commit(tbl, df, kind, parent, stats_cols)
+
+    with mock.patch.object(snap, "_commit", side_effect=interloper):
+        v = snap.snapshot_merge_update(
+            spark, table, upd_b, on=["id"], update_cols=["v"],
+            max_retries=1,
+        )
+    assert v == 2
+    assert _rows(snapshot_read(spark, table)) == [
+        (0, 0), (1, 100), (2, 200), (3, 6),
+    ]
+    # and with max_retries=0 the same interleaving surfaces the error
+    fired["done"] = False
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+    with mock.patch.object(snap, "_commit", side_effect=interloper):
+        with pytest.raises(SnapshotConflictError):
+            snap.snapshot_merge_update(
+                spark, table, upd_b, on=["id"], update_cols=["v"],
+            )
