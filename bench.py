@@ -117,12 +117,16 @@ def run_one(name: str, sf_dir: str, warm_dir: str) -> None:
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
     secs = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         secs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-    print(json.dumps({"name": name, "sec": round(min(secs), 3)}))
+    print(json.dumps({
+        "name": name,
+        "sec": round(min(secs), 3),
+        "passes": [round(s, 3) for s in secs],
+    }))
     sys.stdout.flush()
     spark.stop()
 
@@ -148,7 +152,7 @@ def main() -> None:
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
     )
 
-    def run_child(name: str) -> float:
+    def run_child(name: str) -> dict:
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -160,26 +164,42 @@ def main() -> None:
         if proc.returncode != 0:
             print(proc.stderr[-2000:], file=sys.stderr, flush=True)
             raise RuntimeError(f"bench: query {name} failed")
-        line = proc.stdout.strip().splitlines()[-1]
-        sec = float(json.loads(line)["sec"])
-        print(f"bench: {name} {sec}s", file=sys.stderr, flush=True)
-        return sec
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"bench: {name} {rec['sec']}s", file=sys.stderr, flush=True)
+        return rec
 
     _assert_cohort_integrity()
     names = list(QUERIES)
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        times = dict(zip(names, pool.map(run_child, names)))
+        recs = dict(zip(names, pool.map(run_child, names)))
+    times = {k: float(r["sec"]) for k, r in recs.items()}
 
     total = round(sum(times.values()), 3)
     cohort_total = round(
         sum(v for k, v in times.items() if k in FROZEN_COHORT), 3
     )
+    # Variance bound for round-over-round attribution: per query, the
+    # gap between the two best passes directly measures run-to-run
+    # variability AT the reported timing point (min-of-N). Summed over
+    # the frozen cohort it bounds how much of a cohort_total delta can
+    # be noise: |Δcohort_total| below this band is not evidence of a
+    # regression or a win (NOTES.md bench protocol).
+    def _gap(r: dict) -> float:
+        ps = sorted(r.get("passes", [r["sec"]]))
+        return ps[1] - ps[0] if len(ps) > 1 else 0.0
+
+    cohort_noise_band = round(
+        sum(_gap(r) for k, r in recs.items() if k in FROZEN_COHORT), 3
+    )
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench_details.json")
     with open(details_path, "w") as f:
         json.dump({"total": total, "cohort_total": cohort_total,
+                   "cohort_noise_band": cohort_noise_band,
                    "sf": sf, "n_queries": len(times),
-                   "queries": times}, f, indent=1, sort_keys=True)
+                   "queries": times,
+                   "passes": {k: r.get("passes") for k, r in recs.items()}},
+                  f, indent=1, sort_keys=True)
 
     # Final stdout line must stay SHORT (the driver truncates long tails
     # and recorded parsed:null in round 1): total + a handful of headline
@@ -199,6 +219,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "cohort_total": cohort_total,
                 "cohort_n": sum(1 for k in times if k in FROZEN_COHORT),
+                "cohort_noise_band": cohort_noise_band,
                 "queries": {k: times[k] for k in headline if k in times},
             }
         )

@@ -409,7 +409,7 @@ def bmp_resize_gray(
             )
 
     return df.mapInPandas(
-        run, schema=f"{id_col} long, width int, height int, gray array<int>"
+        run, schema=f"{id_col} long, width int, height int, gray array<long>"
     )
 
 

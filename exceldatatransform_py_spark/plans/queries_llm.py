@@ -758,7 +758,7 @@ def _gray_oracle_expr() -> str:
     return (
         "list_transform(range(0, 64), i -> CAST(("
         + " + ".join(_PIX.format(j=f"({off} + {k})") for k in (1, 2, 3))
-        + ") // 3 AS INTEGER))"
+        + ") // 3 AS BIGINT))"
     )
 
 
