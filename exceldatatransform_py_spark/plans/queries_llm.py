@@ -3305,3 +3305,179 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=_SPAN_N,
         min_span=_SPAN_MIN_REMOVE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty — the incremental-curation signal: what fraction of
+# a document's distinct shingles appear here FIRST (by doc id order)?
+# Boilerplate-heavy or syndicated docs score near 0; fresh content
+# near 1. One hash-agg over the shared shingle index (min doc id per
+# shingle) + one join back — linear, no doc-pair join, and the 16-byte
+# (h, g) keys are what shuffles, never text.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_novelty_ratio",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    first_occ AS (
+      SELECT h, g, min(doc_id) AS first_doc FROM inv GROUP BY h, g
+    ),
+    per AS (
+      SELECT i.doc_id,
+             count(*) AS n_sh,
+             sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM inv i JOIN first_occ f ON i.h = f.h AND i.g = f.g
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_sh AS DOUBLE) AS novelty_ratio
+    FROM per
+    """,
+)
+def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    first = inv.groupBy("h", "g").agg(F.min("doc").alias("first_doc"))
+    per = (
+        inv.join(first, ["h", "g"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"))
+        .alias("novelty_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization with MEASURED recall — the vector-storage
+# path at 100 TB: per-dimension corpus min/max train a uint8 code per
+# element (4x smaller than float32), search runs over the
+# RECONSTRUCTED vectors, and the query scores recall@5 against the
+# exact float search. Training is one posexplode + 64-group agg
+# (map-side partial); the codebook is a single broadcast row; both
+# the quantize and the reconstruction are deterministic double
+# expressions, so recall itself is fully oracle-checked — like
+# ann_recall_at_k, quality is measured, never assumed.
+# ---------------------------------------------------------------------------
+
+
+def _sq8_oracle() -> str:
+    recon = (
+        "los[i] + (CASE WHEN his[i] = los[i] THEN 0.0 ELSE "
+        "floor((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0 "
+        "/ (his[i] - los[i])) END) * (his[i] - los[i]) / 255.0"
+    )
+    return f"""
+    WITH xstats AS (
+      SELECT i, min(embedding[i]) AS lo, max(embedding[i]) AS hi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY i
+    ),
+    arrs AS (
+      SELECT list(CAST(lo AS DOUBLE) ORDER BY i) AS los,
+             list(CAST(hi AS DOUBLE) ORDER BY i) AS his
+      FROM xstats
+    ),
+    rec AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1), i -> {recon}) AS rv
+      FROM embeddings, arrs
+    ),
+    aq AS (SELECT vec_id AS query_id, rv AS qv FROM rec WHERE vec_id < 10),
+    ac AS (SELECT vec_id AS neighbor_id, rv AS cv FROM rec),
+    ascore AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine
+      FROM aq, ac WHERE query_id != neighbor_id
+    ),
+    atop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM ascore
+      ) WHERE rk <= 5
+    ),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    escore AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine
+      FROM eq, ec WHERE query_id != neighbor_id
+    ),
+    etop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM escore
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(a.query_id) AS BIGINT) AS n_match,
+           CAST(count(a.query_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM etop e
+    LEFT JOIN atop a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@register("sq8_quantization_recall", oracle=_sq8_oracle())
+def sq8_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", fan_out=True)
+    # train: per-dimension corpus min/max → one broadcast codebook row
+    # of two dim-length arrays (the posexplode partial-aggregates
+    # map-side; the shuffle carries ≤ dim rows per partition).
+    dims = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    codebook = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+
+    def recon_elem(x, i):
+        lo = F.element_at(F.col("los"), i + 1).cast("double")
+        hi = F.element_at(F.col("his"), i + 1).cast("double")
+        q = F.when(hi == lo, F.lit(0.0)).otherwise(
+            F.floor((x.cast("double") - lo) * F.lit(255.0) / (hi - lo))
+            .cast("double")
+        )
+        return lo + q * (hi - lo) / F.lit(255.0)
+
+    rec = emb.join(F.broadcast(codebook)).select(
+        "vec_id", F.transform("embedding", recon_elem).alias("rv")
+    )
+    approx = cosine_topk(
+        rec.filter(F.col("vec_id") < 10), rec, id_col="vec_id",
+        vec_col="rv", k=5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__m"))
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    per = exact.join(approx, ["query_id", "neighbor_id"], "left").groupBy(
+        "query_id"
+    ).agg(F.count("__m").cast("bigint").alias("n_match"))
+    return per.select(
+        "query_id",
+        "n_match",
+        (F.col("n_match").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
