@@ -498,3 +498,58 @@ def wav_stats(
             "peak int, sum_sq long, rms double"
         ),
     )
+
+
+def wav_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    frame_samples: int = 160,
+    energy_floor: int = 600_000_000,
+) -> DataFrame:
+    """Windowed audio analysis through the real WAV codec — the VAD
+    primitive: decode the PCM, cut it into ``frame_samples``-sample
+    windows (160 = 20 ms at 8 kHz), and emit each window's exact
+    integer energy plus a voiced/unvoiced flag (mean energy ≥
+    ``energy_floor``). One input row fans out to ceil(n/frame)
+    windows AFTER the scan, so the audio bytes never shuffle — only
+    the small per-window stats do.
+
+    Output: ``(id_col, frame_idx, n_samples, energy, voiced)``.
+    """
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energies, voiced = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[audio_col]):
+                s = wav_decode(payload)["samples"].astype("int64")
+                for w in range(0, max(len(s), 1), frame_samples):
+                    win = s[w : w + frame_samples]
+                    if len(win) == 0:
+                        continue
+                    e = int((win * win).sum())
+                    ids.append(int(rid))
+                    idxs.append(w // frame_samples)
+                    ns.append(len(win))
+                    energies.append(e)
+                    voiced.append(e // len(win) >= energy_floor)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "voiced": pd.Series(voiced, dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_idx int, n_samples int, "
+            "energy long, voiced boolean"
+        ),
+    )

@@ -3481,3 +3481,55 @@ def sq8_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_match",
         (F.col("n_match").cast("double") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio energy (VAD primitive) through the real WAV path:
+# encode → RIFF decode → 20 ms windows → exact integer energy +
+# voiced flag. The oracle recomputes every window from the raw bytes
+# and the u8→s16 widening rule — integer-exact end to end.
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 160          # 20 ms at 8 kHz
+_VAD_FLOOR = 131_000_000  # mean-energy threshold ~ the corpus median, so the flag splits
+
+
+@register(
+    "wav_frame_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n FROM documents
+    ),
+    win AS (
+      SELECT doc_id, n, CAST(w AS INTEGER) AS frame_idx,
+             CAST(w * {_VAD_FRAME} + 1 AS BIGINT) AS a,
+             CAST(least((w + 1) * {_VAD_FRAME}, n) AS BIGINT) AS b
+      FROM s, UNNEST(range(0, CAST(ceil(n / {_VAD_FRAME}.0) AS BIGINT))) AS u(w)
+    ),
+    e AS (
+      SELECT doc_id, frame_idx,
+             CAST(b - a + 1 AS INTEGER) AS n_samples,
+             list_sum(list_transform(range(a, b + 1),
+               j -> CAST(({_PIX.format(j="j")} - 128) * 256 AS BIGINT)
+                    * (({_PIX.format(j="j")} - 128) * 256))) AS energy
+      FROM win JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, frame_idx, n_samples,
+           CAST(energy AS BIGINT) AS energy,
+           energy // n_samples >= {_VAD_FLOOR} AS voiced
+    FROM e
+    """,
+)
+def wav_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.multimodal import (
+        wav_frame_energy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    audio = pack_wav(docs, id_col="doc_id", bin_col="payload")
+    return wav_frame_energy(
+        audio, id_col="doc_id", audio_col="audio",
+        frame_samples=_VAD_FRAME, energy_floor=_VAD_FLOOR,
+    )

@@ -472,7 +472,13 @@ def vacuum(table: str, keep_last: int = 2) -> list[int]:
     the last ``keep_last`` — bounded storage growth, the VACUUM
     analogue. Directories shared with retained versions — rollback
     commits, and files INHERITED across pruned merges — are kept.
+    Also sweeps orphaned ``*.stage-*`` directories (left only by a
+    writer that crashed between staging and its rename — a completed
+    commit or a detected conflict always removes its own staging).
     Returns the vacuumed version numbers."""
+    for entry in os.listdir(table):
+        if ".stage-" in entry:
+            shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
     ms = _manifests(table)
     if len(ms) <= keep_last:
         return []

@@ -486,3 +486,18 @@ def test_merge_update_retry_wins_after_conflict(spark, table):
             snap.snapshot_merge_update(
                 spark, table, upd_b, on=["id"], update_cols=["v"],
             )
+
+
+def test_vacuum_sweeps_orphaned_staging_dirs(spark, table):
+    """A writer that crashed between staging and rename leaves a
+    *.stage-* directory no manifest references; vacuum removes it
+    without touching live data."""
+    base = spark.range(3).select(F.col("id"), (F.col("id") + 1).alias("v"))
+    snapshot_write(table, base)
+    orphan = os.path.join(table, "d00001.stage-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert vacuum(table, keep_last=2) == []
+    assert not os.path.exists(orphan)
+    assert _rows(snapshot_read(spark, table)) == [(0, 1), (1, 2), (2, 3)]
