@@ -73,7 +73,7 @@ def svc_decode_header(payload: bytes) -> dict:
     error path a real demuxer has.
     """
     if payload is None:
-        raise NotImplementedError("svc_decode_header: NULL payload")
+        raise ValueError("svc_decode_header: NULL payload")
     if len(payload) < _SVC_HDR.size:
         raise ValueError("SVC: truncated header")
     magic, version, width, height, n_frames = _SVC_HDR.unpack_from(payload, 0)
@@ -125,7 +125,7 @@ def pack_media(
             medias = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 if payload is None:
-                    raise NotImplementedError("pack_media: NULL payload")
+                    raise ValueError("pack_media: NULL payload")
                 frames = [
                     payload[i : i + frame_bytes]
                     for i in range(0, len(payload), frame_bytes)
@@ -220,7 +220,7 @@ def binary_featurize(
         for pdf in batches:
             payloads = list(pdf[bin_col])
             if any(p is None for p in payloads):
-                raise NotImplementedError("binary_featurize: NULL payload")
+                raise ValueError("binary_featurize: NULL payload")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),

@@ -428,6 +428,28 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str | None = None,
+) -> None:
+    """Continuous-ingest step (the ANN twin of
+    ``dedup.append_to_dedup_index``): assign ONLY the new batch
+    against the stored centroids and append its cell lists to the
+    index — work scales with the batch, the existing corpus is never
+    re-read or re-scored, and the partition-append lands each new
+    file inside its ``cell=`` directory so serve-side partition
+    pruning keeps working."""
+    centroids = spark.table(f"{table_prefix}_centroids")
+    cells = _ivf_cells(new_vectors, centroids, id_col, vec_col, norm_col)
+    cells.write.mode("append").partitionBy("cell").saveAsTable(
+        f"{table_prefix}_cells"
+    )
+
+
 def ivf_topk_from_index(
     spark,
     table_prefix: str,

@@ -30,7 +30,7 @@ def test_svc_rejects_bad_magic_and_truncation():
         svc_decode_header(good[:8])
     with pytest.raises(ValueError, match="out of bounds"):
         svc_decode_header(good[:-1])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         svc_decode_header(None)
 
 

@@ -393,3 +393,45 @@ def test_ivf_index_serving_prunes_and_never_rescans_corpus(spark, ivf_index):
     for block in plan.split("\n\n"):
         if "embeddings.parquet" in block:
             assert "LessThan(vec_id,10)" in block
+
+
+def test_ivf_index_append_matches_rebuild(spark, tmp_path):
+    """Continuous ingest: append a new vector batch to a persisted IVF
+    index (assigned against the STORED centroids, corpus untouched) —
+    serving the appended index must equal serving an index rebuilt
+    from scratch over the full corpus."""
+    from exceldatatransform_py_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb, centroids, queries = _ivf_parts(spark)
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    pa, pb = "ivf_appended_idx", "ivf_rebuilt_idx"
+    build_ivf_index(
+        seed, centroids, pa, path=str(tmp_path / "a"),
+        id_col="vec_id", vec_col="embedding",
+    )
+    build_ivf_index(
+        emb, centroids, pb, path=str(tmp_path / "b"),
+        id_col="vec_id", vec_col="embedding",
+    )
+    try:
+        append_to_ivf_index(
+            spark, batch, pa, id_col="vec_id", vec_col="embedding"
+        )
+        serve = lambda p: sorted(
+            tuple(r)
+            for r in ivf_topk_from_index(
+                spark, p, queries, id_col="vec_id", vec_col="embedding",
+                k=5, n_probe=2,
+            ).collect()
+        )
+        assert serve(pa) == serve(pb)
+        assert len(serve(pa)) == 10 * 5
+    finally:
+        for pre in (pa, pb):
+            for t in ("cells", "centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
