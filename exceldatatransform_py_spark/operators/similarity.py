@@ -185,6 +185,42 @@ def hyperplane_lsh_topk(
     bucket-restricted candidate set.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
+    corpus_buckets = _lsh_corpus(corpus, planes, id_col, vec_col, norm_col)
+    return _lsh_serve(
+        queries, corpus_buckets, planes, id_col, vec_col, k, probe_hamming
+    )
+
+
+def _lsh_corpus(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    norm_col: str | None,
+) -> DataFrame:
+    """Bucketed corpus ``(neighbor_id, vec, vnorm, bucket)`` — the LSH
+    index payload, live or persisted."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _corpus_norm(vec_col, norm_col).alias("vnorm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def _lsh_serve(
+    queries: DataFrame,
+    corpus_buckets: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    probe_hamming: int,
+) -> DataFrame:
+    """Probe + score against bucketed corpus vectors (live or from a
+    persisted index) — shared by ``hyperplane_lsh_topk`` and
+    ``lsh_topk_from_index`` so the two paths are identical by
+    construction."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -202,25 +238,21 @@ def hyperplane_lsh_topk(
     else:
         probe_arr = F.array(F.col("__qb"))
     q = q.select(
-        "query_id", "__qv", "__qn", F.explode(probe_arr).alias("__bucket")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-        _corpus_norm(vec_col, norm_col).alias("__cn"),
+        "query_id", "__qv", "__qn", F.explode(probe_arr).alias("bucket")
     )
     # each corpus vector owns exactly ONE bucket and a query's probe
     # list is distinct, so a (query, neighbor) pair meets at most once
     # — no post-join dedup needed.
     scored = (
-        c.join(F.broadcast(q), "__bucket")
+        corpus_buckets.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+            _cosine_pre(
+                F.col("__qv"), F.col("vec"), F.col("__qn"), F.col("vnorm")
+            ),
         )
-        .drop("__qv", "__cv", "__qn", "__cn", "__bucket")
+        .drop("__qv", "vec", "__qn", "vnorm", "bucket")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -229,6 +261,95 @@ def hyperplane_lsh_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 42,
+    norm_col: str | None = None,
+) -> None:
+    """Persist the hyperplane-LSH index: corpus vectors + norms
+    PARTITIONED BY ``bucket`` (probes dynamic-partition-prune to the
+    P+1 probed buckets' files) plus a ``<prefix>_planes`` table
+    making the index self-describing — serve reconstructs the exact
+    hyperplanes from it, never from caller-supplied parameters that
+    could drift from what was indexed."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    rows = _lsh_corpus(corpus, planes, id_col, vec_col, norm_col)
+    (
+        rows.write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("path", f"{path}/buckets")
+        .saveAsTable(f"{table_prefix}_buckets")
+    )
+    spark = corpus.sparkSession
+    plane_rows = [(p, coeffs) for p, coeffs in enumerate(planes)]
+    (
+        spark.createDataFrame(plane_rows, "p int, coeffs array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/planes")
+        .saveAsTable(f"{table_prefix}_planes")
+    )
+
+
+def append_to_lsh_index(
+    spark,
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str | None = None,
+) -> None:
+    """Continuous ingest: bucket ONLY the new batch against the STORED
+    planes and partition-append — work scales with the batch."""
+    planes = _stored_planes(spark, table_prefix)
+    rows = _lsh_corpus(new_vectors, planes, id_col, vec_col, norm_col)
+    rows.write.mode("append").partitionBy("bucket").saveAsTable(
+        f"{table_prefix}_buckets"
+    )
+
+
+def _stored_planes(spark, table_prefix: str) -> list[list[float]]:
+    """The index's own hyperplanes (control-plane metadata: P·dim
+    doubles, read once at plan-build time — they become expression
+    literals, exactly like the live path's generated planes)."""
+    return [
+        list(r.coeffs)
+        for r in spark.table(f"{table_prefix}_planes").orderBy("p").collect()
+    ]
+
+
+def lsh_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Serve LSH top-k from a persisted index: corpus buckets and
+    norms are index bytes (no re-hashing, no re-norming), and the
+    bucket equi-join against the broadcast probe set partition-prunes
+    the scan to the probed buckets. Identical to live
+    ``hyperplane_lsh_topk`` over the same corpus (pinned by test)."""
+    planes = _stored_planes(spark, table_prefix)
+    return _lsh_serve(
+        queries,
+        spark.table(f"{table_prefix}_buckets"),
+        planes,
+        id_col,
+        vec_col,
+        k,
+        probe_hamming,
     )
 
 

@@ -435,3 +435,65 @@ def test_ivf_index_append_matches_rebuild(spark, tmp_path):
         for pre in (pa, pb):
             for t in ("cells", "centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
+
+
+# ---------------------------------------------------------------------------
+# LSH build/serve split (completing the retrieval-index family:
+# BM25 ✓, IVF ✓, hyperplane LSH here).
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_index_serving_matches_live_and_appends(spark, tmp_path):
+    from exceldatatransform_py_spark.operators.similarity import (
+        append_to_lsh_index,
+        build_lsh_index,
+        hyperplane_lsh_topk,
+        lsh_topk_from_index,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    prefix = "lsh_test_idx"
+    build_lsh_index(
+        emb.filter(F.col("vec_id") % 2 == 0), prefix,
+        path=str(tmp_path / "lsh"), id_col="vec_id", vec_col="embedding",
+    )
+    try:
+        append_to_lsh_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), prefix,
+            id_col="vec_id", vec_col="embedding",
+        )
+        served = sorted(
+            tuple(r)
+            for r in lsh_topk_from_index(
+                spark, prefix, queries, id_col="vec_id",
+                vec_col="embedding", k=5, probe_hamming=1,
+            ).collect()
+        )
+        live = sorted(
+            tuple(r)
+            for r in hyperplane_lsh_topk(
+                queries, emb, id_col="vec_id", vec_col="embedding", k=5,
+                dim=64, n_planes=4, seed=42, probe_hamming=1,
+            ).collect()
+        )
+        assert served == live
+        assert len(served) == 10 * 5
+
+        # plan posture: partition pruning on the bucket scan, and the
+        # raw corpus only ever read for the filtered query side.
+        df = lsh_topk_from_index(
+            spark, prefix, queries, id_col="vec_id", vec_col="embedding",
+            k=5, probe_hamming=1,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan
+        for block in plan.split("\n\n"):
+            if "embeddings.parquet" in block:
+                assert "LessThan(vec_id,10)" in block
+    finally:
+        for t in ("buckets", "planes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
