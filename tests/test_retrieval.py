@@ -497,3 +497,78 @@ def test_lsh_index_serving_matches_live_and_appends(spark, tmp_path):
     finally:
         for t in ("buckets", "planes"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_streaming_ingest_loop_with_ivf_append(spark, tmp_path):
+    """Continuous ANN ingest end-to-end: an embedding stream drained
+    through foreachBatch, each micro-batch assigned against the
+    stored centroids and appended to the IVF index, so later probes
+    see earlier batches. After both waves the index serves
+    identically to a from-scratch rebuild over the full corpus."""
+    from exceldatatransform_py_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb, centroids, queries = _ivf_parts(spark)
+    seed = emb.filter(F.col("vec_id") >= 300)
+    wave1 = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300))
+    wave2 = emb.filter(F.col("vec_id") < 150)
+
+    prefix = "ivf_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_ivf_index(
+        seed, centroids, prefix, path=str(tmp_path / "ivf"),
+        id_col="vec_id", vec_col="embedding",
+    )
+
+    stream_schema = emb.select("vec_id", "embedding").schema
+
+    def ingest(batch_df, _bid):
+        append_to_ivf_index(
+            spark, batch_df, prefix, id_col="vec_id", vec_col="embedding"
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(stream_schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.select("vec_id", "embedding").write.mode("append").parquet(in_dir)
+        drain()
+        wave2.select("vec_id", "embedding").write.mode("append").parquet(in_dir)
+        drain()
+
+        served = sorted(
+            tuple(r)
+            for r in ivf_topk_from_index(
+                spark, prefix, queries, id_col="vec_id",
+                vec_col="embedding", k=5, n_probe=2,
+            ).collect()
+        )
+        build_ivf_index(
+            emb, centroids, "ivf_rebuild_ref", path=str(tmp_path / "ref"),
+            id_col="vec_id", vec_col="embedding",
+        )
+        rebuilt = sorted(
+            tuple(r)
+            for r in ivf_topk_from_index(
+                spark, "ivf_rebuild_ref", queries, id_col="vec_id",
+                vec_col="embedding", k=5, n_probe=2,
+            ).collect()
+        )
+        assert served == rebuilt
+        assert len(served) == 10 * 5
+    finally:
+        for pre in (prefix, "ivf_rebuild_ref"):
+            for t in ("cells", "centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
