@@ -886,50 +886,45 @@ def remove_duplicate_spans(
     untouched docs with their normalized text.
 
     Scale shape: everything up to the islands is the profile's linear
-    plan (digest hash-agg, no pair join); the removal itself is a
-    per-doc interval anti-join — tokens × spans equi on the doc id,
-    both sides partitioned by it, interval predicate as the join
-    residual — then one per-doc aggregate re-assembles the text.
-    Nothing ever pairs documents with each other.
+    plan (digest hash-agg, no pair join); the removal itself never
+    explodes tokens — the (tiny) interval set groups to one array per
+    doc, joins back on the doc id, and a map-side ``filter`` with an
+    ``exists`` interval test drops covered tokens in place. One
+    shuffle for the interval groupBy, zero for the rewrite; nothing
+    ever pairs documents with each other.
     """
     if min_span is None:
         min_span = n
     from exceldatatransform_py_spark.functions.text import ws_tokens
 
     spans = _dup_span_islands(df, id_col, text_col, n=n)
-    intervals = spans.filter(
-        F.col("island_len") + (n - 1) >= min_span
-    ).select(
-        F.col(id_col).alias("__iv_id"),
-        F.col("span_start").alias("__a"),
-        (F.col("span_start") + F.col("island_len") + (n - 2)).alias("__b"),
+    intervals = (
+        spans.filter(F.col("island_len") + (n - 1) >= min_span)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("a"),
+                    (F.col("span_start") + F.col("island_len") + (n - 2))
+                    .alias("b"),
+                )
+            ).alias("__ivs")
+        )
     )
-    toks = df.select(
-        F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("__p0", "__tok")
-    ).select(id_col, (F.col("__p0") + 1).alias("__tpos"), "__tok")
-    kept = toks.join(
-        intervals,
-        (F.col(id_col) == F.col("__iv_id"))
-        & (F.col("__tpos") >= F.col("__a"))
-        & (F.col("__tpos") <= F.col("__b")),
-        "left_anti",
-    )
-    clean = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-        ).alias("__clean"),
-    )
-    base = df.select(
-        F.col(id_col), F.size(ws_tokens(text_col)).cast("bigint").alias("n_tokens")
-    )
-    return base.join(clean, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
-        F.coalesce("__clean", F.lit("")).alias("clean_text"),
+    toks = ws_tokens(text_col)
+    ivs = F.coalesce(F.col("__ivs"), F.array())
+
+    def _kept_tok(t, i):
+        # i is the 0-based token index; spans use 1-based positions.
+        covered = F.exists(
+            ivs, lambda v: (i + 1 >= v["a"]) & (i + 1 <= v["b"])
+        )
+        return ~covered
+
+    kept = F.filter(toks, _kept_tok)
+    return df.join(intervals, id_col, "left").select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
