@@ -434,3 +434,72 @@ def numeric_conditional_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("qty_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew audit — the diagnostic that DECIDES when to salt: for a
+# planned equi-join (events.user_id = orders.o_custkey), the per-key
+# output contribution is |A_k| · |B_k|; the top keys' share of the
+# total tells you whether one reducer will own the join. Two
+# map-side-combined counts + a small key-level join — the audit runs
+# at key cardinality, never at join-output size (you run it INSTEAD
+# of discovering the skew by OOM).
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 10
+
+
+@register(
+    "join_skew_audit",
+    oracle=f"""
+    WITH a AS (SELECT user_id AS k, count(*) AS n_a FROM events GROUP BY 1),
+    b AS (SELECT o_custkey AS k, count(*) AS n_b FROM orders GROUP BY 1),
+    m AS (
+      SELECT a.k, n_a, n_b, n_a * n_b AS pairs FROM a JOIN b USING (k)
+    ),
+    tot AS (SELECT sum(pairs) AS total_pairs FROM m)
+    SELECT k AS join_key,
+           CAST(n_a AS BIGINT) AS left_rows,
+           CAST(n_b AS BIGINT) AS right_rows,
+           CAST(pairs AS BIGINT) AS output_pairs,
+           CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE) AS pair_share,
+           CAST(row_number() OVER (ORDER BY pairs DESC, k) AS INTEGER) AS rk
+    FROM m, tot
+    QUALIFY rk <= {_SKEW_TOP}
+    """,
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("join_key")
+    ).agg(F.count(F.lit(1)).alias("left_rows"))
+    orders = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("join_key")
+    ).agg(F.count(F.lit(1)).alias("right_rows"))
+    m = ev.join(orders, "join_key").select(
+        "join_key",
+        F.col("left_rows").cast("bigint").alias("left_rows"),
+        F.col("right_rows").cast("bigint").alias("right_rows"),
+        (F.col("left_rows") * F.col("right_rows"))
+        .cast("bigint")
+        .alias("output_pairs"),
+    )
+    # total as a broadcast scalar over the (small) matched-key frame;
+    # global top-10 via orderBy+limit (TakeOrdered — per-partition
+    # heaps, never one reducer holding every key), then the rank
+    # window runs over just the 10 survivors.
+    m = m.persist()
+    tot = m.groupBy().agg(F.sum("output_pairs").alias("__total"))
+    top = (
+        m.join(F.broadcast(tot))
+        .withColumn(
+            "pair_share",
+            F.col("output_pairs").cast("double") / F.col("__total").cast("double"),
+        )
+        .orderBy(F.col("output_pairs").desc(), F.col("join_key"))
+        .limit(_SKEW_TOP)
+    )
+    w = Window.orderBy(F.col("output_pairs").desc(), F.col("join_key"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "join_key", "left_rows", "right_rows", "output_pairs",
+        "pair_share", "rk",
+    )
