@@ -501,3 +501,41 @@ def test_vacuum_sweeps_orphaned_staging_dirs(spark, table):
     assert vacuum(table, keep_last=2) == []
     assert not os.path.exists(orphan)
     assert _rows(snapshot_read(spark, table)) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_publish_create_exclusive_under_real_concurrency(tmp_path):
+    """Eight threads race to publish the same version concurrently:
+    exactly one wins, seven get SnapshotConflictError, and the final
+    manifest is one intact JSON (the link-based publish is atomic —
+    no torn or merged content)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _publish,
+        _version_path,
+    )
+
+    table = str(tmp_path / "race")
+
+    def attempt(i: int) -> str:
+        try:
+            _publish(table, {"version": 3, "writer": i, "kind": "overwrite",
+                             "parent": 2, "data_dir": f"d-w{i}"})
+            return "won"
+        except SnapshotConflictError:
+            return "conflict"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outcomes = list(pool.map(attempt, range(8)))
+    assert outcomes.count("won") == 1
+    assert outcomes.count("conflict") == 7
+    with open(_version_path(table, 3)) as f:
+        m = json.load(f)  # parses → not torn
+    assert m["version"] == 3 and m["data_dir"] == f"d-w{m['writer']}"
+    import os
+
+    leftovers = [x for x in os.listdir(os.path.join(table, "_versions"))
+                 if x.endswith(".tmp")]
+    assert leftovers == []
