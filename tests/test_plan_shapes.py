@@ -757,3 +757,46 @@ def test_fuzzy_pairs_quadratic_only_on_distinct_names(spark):
     assert candidates <= n_names * n_names
     # …and strictly smaller than the old row-level candidate set.
     assert candidates < row_pairs
+
+
+def test_sq8_trains_once_and_broadcasts_codebook(spark):
+    """sq8_quantization_recall: the per-dimension min/max codebook is
+    a single broadcast row (never a shuffle of the corpus against
+    stats), and the dimension agg partial-aggregates map-side."""
+    plan = plan_of(spark, "sq8_quantization_recall")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook × corpus
+    assert plan.count("HashAggregate") >= 2   # partial+final dim stats
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_reuses_persisted_shingle_index(spark):
+    """doc_novelty_ratio: first-occurrence agg and the join back both
+    read the one persisted shingle index — no second tokenize/hash
+    pass over document text."""
+    plan = plan_of(spark, "doc_novelty_ratio")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    text_scans = [
+        s for s in plan.split("ReadSchema")[1:]
+        if "text:string" in s.splitlines()[0]
+    ]
+    assert len(text_scans) <= 1
+
+
+def test_skew_audit_runs_at_key_cardinality(spark):
+    """join_skew_audit: both sides pre-aggregate to key counts BEFORE
+    the join (map-side combine), and the global top-10 is a
+    TakeOrdered, not a single-partition window over every key."""
+    plan = plan_of(spark, "join_skew_audit")
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_span_clean_is_single_data_pass_plus_interval_map(spark):
+    """span_dedup_clean: the rewrite is a map-side interval filter —
+    no posexplode of tokens into a row-per-token join (the r5 rewrite
+    halved the query); the only Expand/Generate allowed is the gram
+    build inside the island subtree."""
+    plan = plan_of(spark, "span_dedup_clean")
+    assert "CartesianProduct" not in plan
+    # anti-join shape is gone: no LeftAnti anywhere in the plan.
+    assert "LeftAnti" not in plan
