@@ -701,6 +701,29 @@ def append_to_dedup_index(
 SIMHASH_BANDS: tuple[tuple[int, int], ...] = ((0, 16), (16, 16), (32, 16), (48, 15))
 
 
+def _simhash_band_rows(fp: DataFrame, id_col: str, fp_col: str) -> DataFrame:
+    """Band slices of each fingerprint: ``(id, fp, band, bv)`` — one
+    row per (doc, band). The deterministic content→bucket function
+    shared by the live pairing and the persisted index, so new
+    documents land in exactly the buckets their near-duplicates
+    occupied when indexed."""
+    slices = [
+        fp.select(
+            F.col(id_col),
+            F.col(fp_col),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(fp_col), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    ]
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    return banded
+
+
 def simhash_near_dup(
     fp: DataFrame,
     id_col: str,
@@ -732,20 +755,7 @@ def simhash_near_dup(
     # the 63-bit-sum aggregate) once per band — Catalyst does not
     # dedupe repeated subtrees (repo rule; see shingle_index).
     fp = fp.persist()
-    slices = [
-        fp.select(
-            F.col(id_col),
-            F.col(fp_col),
-            F.lit(i).alias("band"),
-            F.shiftright(F.col(fp_col), shift)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bv"),
-        )
-        for i, (shift, width) in enumerate(SIMHASH_BANDS)
-    ]
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
+    banded = _simhash_band_rows(fp, id_col, fp_col)
     from pyspark.sql import Window
 
     # NOT persisted: the a/b join sides re-derive band+window from the
@@ -927,4 +937,98 @@ def remove_duplicate_spans(
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def build_simhash_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the SimHash dedup state (completing the index family:
+    MinHash ✓, BM25 ✓, IVF ✓, LSH ✓): ``<prefix>_simbands``
+    ``(doc id, simhash, band, bv)`` bucketed by ``bv`` — the probe
+    side. The fingerprint rides along in every band row, so a probe
+    computes hamming distances without a second corpus table."""
+    from exceldatatransform_py_spark.sources.bucketing import write_bucketed
+
+    fp = simhash64(docs, id_col, text_col).persist()
+    write_bucketed(
+        _simhash_band_rows(fp, id_col, "simhash"),
+        f"{table_prefix}_simbands", ["bv"], n_buckets,
+        path=f"{path}/simbands",
+    )
+
+
+def incremental_simhash_near_dup(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ham_max: int = 3,
+    max_band_docs: int | None = 200,
+) -> DataFrame:
+    """SimHash near-dups of ``new_docs`` AGAINST the indexed corpus:
+    ``(id_a=new doc, id_b=corpus doc, hamming)``. The corpus is never
+    re-fingerprinted — the batch's band rows join the persisted table
+    on its bucket key; recall stays exact for ``ham_max`` ≤
+    ``len(SIMHASH_BANDS) - 1`` by the same pigeonhole (band agreement
+    does not care which side of the index split a pair straddles).
+    Work scales with the batch plus matched posting sizes."""
+    new_fp = simhash64(new_docs, id_col, text_col).persist()
+    new_bands = _simhash_band_rows(new_fp, id_col, "simhash")
+    corpus_bands = spark.table(f"{table_prefix}_simbands")
+
+    if max_band_docs is not None:
+        hot = (
+            corpus_bands.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_band_docs)
+            .select("band", "bv")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band", "bv"], "left_anti"
+        )
+
+    a = new_bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("a_fp"),
+        "band", "bv",
+    )
+    b = corpus_bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("b_fp"),
+        "band", "bv",
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "a_fp", "b_fp")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def append_to_simhash_index(
+    docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Admit a batch: append its band rows (``insertInto`` preserves
+    the bucket spec). Same ingest loop as the MinHash index."""
+    fp = simhash64(docs, id_col, text_col).persist()
+    (
+        _simhash_band_rows(fp, id_col, "simhash")
+        .write.mode("append")
+        .insertInto(f"{table_prefix}_simbands")
     )

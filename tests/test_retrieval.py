@@ -572,3 +572,65 @@ def test_streaming_ingest_loop_with_ivf_append(spark, tmp_path):
         for pre in (prefix, "ivf_rebuild_ref"):
             for t in ("cells", "centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
+
+
+def test_incremental_simhash_matches_full_batch_and_loops(spark, tmp_path):
+    """SimHash index probe ≡ the cross slice of full-batch SimHash
+    pairing (recall is exact for hamming ≤ 3 regardless of which side
+    of the index split a pair straddles), and an admitted batch is
+    visible to the next probe."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_simhash_index,
+        build_simhash_index,
+        incremental_simhash_near_dup,
+        simhash64,
+        simhash_near_dup,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    b1 = docs.filter(F.col("doc_id") < 50)
+    b2 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    prefix = "simhash_test_idx"
+    build_simhash_index(
+        corpus, prefix, n_buckets=4, path=str(tmp_path / "sh")
+    )
+    try:
+        # probe batch 1 against the corpus, admit it, probe batch 2
+        got1 = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in incremental_simhash_near_dup(
+                spark, prefix, b1, max_band_docs=10_000
+            ).collect()
+        )
+        append_to_simhash_index(b1, prefix)
+        got2 = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in incremental_simhash_near_dup(
+                spark, prefix, b2, max_band_docs=10_000
+            ).collect()
+        )
+        # ground truth: full-batch pairing over everything, sliced to
+        # (batch, seen-side) pairs, order-normalized (full emits
+        # a_id < b_id; the probe emits (new, indexed)).
+        full = simhash_near_dup(
+            simhash64(docs, "doc_id", "text"), "doc_id",
+            max_band_docs=10_000,
+        )
+
+        def cross(lo, hi, seen):
+            want = []
+            for r in full.collect():
+                a_in = lo <= r.a_id < hi
+                b_in = lo <= r.b_id < hi
+                if a_in and not b_in and seen(r.b_id):
+                    want.append((r.a_id, r.b_id, r.hamming))
+                elif b_in and not a_in and seen(r.a_id):
+                    want.append((r.b_id, r.a_id, r.hamming))
+            return sorted(want)
+
+        assert got1 == cross(0, 50, lambda i: i >= 100)
+        assert got2 == cross(50, 100, lambda i: i >= 100 or i < 50)
+        assert any(b < 50 for _, b, _ in got2)  # batch-1 docs visible
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
