@@ -1032,3 +1032,48 @@ def append_to_simhash_index(
         .write.mode("append")
         .insertInto(f"{table_prefix}_simbands")
     )
+
+
+def incremental_novelty(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Batch novelty against the indexed corpus: per new doc, the
+    fraction of its distinct shingles NOT present anywhere in the
+    persisted ``<prefix>_shingles`` table — the streaming-ingest
+    flavor of ``doc_novelty_ratio`` (there: first occurrence by doc
+    order within one corpus; here: unseen-by-the-index, the quantity
+    a curation loop thresholds before admitting a batch).
+
+    The corpus is never re-shingled: the batch's shingles probe the
+    bucketed table with a left anti-ish aggregate (left join + null
+    count). Work scales with the batch plus matched posting sizes.
+
+    Output: ``(id_col, n_shingles, n_novel, novelty_ratio)``.
+    """
+    new_inv = shingle_index(new_docs, id_col, text_col, n=n)
+    corpus_sh = (
+        spark.table(f"{table_prefix}_shingles").select("h", "g").distinct()
+    )
+    seen = corpus_sh.withColumn("__seen", F.lit(1))
+    per = (
+        new_inv.join(seen, ["h", "g"], "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"))
+        .alias("novelty_ratio"),
+    )

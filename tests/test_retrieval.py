@@ -634,3 +634,43 @@ def test_incremental_simhash_matches_full_batch_and_loops(spark, tmp_path):
         assert any(b < 50 for _, b, _ in got2)  # batch-1 docs visible
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
+
+
+def test_incremental_novelty_matches_from_scratch(spark, tmp_path):
+    """Batch novelty through the persisted shingle index equals the
+    same quantity computed from scratch over (corpus, batch)."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_novelty,
+        shingle_index,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    batch = docs.filter(F.col("doc_id") < 100)
+    prefix = "novelty_test_idx"
+    build_dedup_index(corpus, prefix, n_buckets=4, path=str(tmp_path / "nv"))
+    try:
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ratio)
+            for r in incremental_novelty(spark, prefix, batch).collect()
+        }
+        # scratch truth: batch shingles left-anti corpus shingles
+        b_inv = shingle_index(batch, "doc_id", "text", n=3)
+        c_sh = shingle_index(corpus, "doc_id", "text", n=3).select(
+            "h", "g"
+        ).distinct()
+        novel = b_inv.join(c_sh, ["h", "g"], "left_anti").groupBy("doc").count()
+        total = b_inv.groupBy("doc").count()
+        want = {}
+        novel_m = {r.doc: r["count"] for r in novel.collect()}
+        for r in total.collect():
+            nv = novel_m.get(r.doc, 0)
+            want[r.doc] = (r["count"], nv, nv / r["count"])
+        assert got == want
+        assert len(got) == 100
+        assert any(v[1] > 0 for v in got.values())
+        assert any(v[1] < v[0] for v in got.values())
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
