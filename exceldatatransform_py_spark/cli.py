@@ -186,6 +186,87 @@ def cmd_query(spark: SparkSession, args: argparse.Namespace) -> None:
         df.show(args.limit, truncate=False)
 
 
+def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Drive the persisted-index production loops (build → probe →
+    append) from the command line — dedup (MinHash), simhash, ivf,
+    lsh, bm25. ``probe`` delivers its result like ``query`` does
+    (stdout or a parquet/csv sink)."""
+    docs_kinds = {"dedup", "simhash", "novelty"}
+    df = spark.read.parquet(args.input) if args.input else None
+
+    def deliver(out):
+        if args.output:
+            fmt = "csv" if args.output.endswith(".csv") else "parquet"
+            w = out.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(args.output)
+            print(f"wrote probe result to {args.output}", file=sys.stderr)
+        else:
+            out.show(args.limit, truncate=False)
+
+    if args.kind in docs_kinds:
+        from exceldatatransform_py_spark.operators import dedup as dd
+
+        id_col, text_col = args.id_col, args.text_col
+        if args.action == "build":
+            build = (
+                dd.build_simhash_index
+                if args.kind == "simhash"
+                else dd.build_dedup_index  # novelty probes the dedup index
+            )
+            build(df, args.prefix, n_buckets=args.buckets, path=args.path,
+                  id_col=id_col, text_col=text_col)
+        elif args.action == "append":
+            if args.kind == "simhash":
+                dd.append_to_simhash_index(df, args.prefix, id_col, text_col)
+            else:
+                dd.append_to_dedup_index(df, args.prefix, id_col, text_col)
+        else:
+            probe = {
+                "dedup": dd.incremental_near_dup,
+                "simhash": dd.incremental_simhash_near_dup,
+                "novelty": dd.incremental_novelty,
+            }[args.kind]
+            deliver(probe(spark, args.prefix, df, id_col, text_col))
+        return
+
+    if args.kind in ("ivf", "lsh"):
+        from exceldatatransform_py_spark.operators import similarity as sim
+
+        id_col, vec_col = args.id_col, args.vec_col
+        if args.action == "build":
+            if args.kind == "ivf":
+                cent = spark.read.parquet(args.centroids)
+                sim.build_ivf_index(df, cent, args.prefix, path=args.path,
+                                    id_col=id_col, vec_col=vec_col)
+            else:
+                sim.build_lsh_index(df, args.prefix, path=args.path,
+                                    id_col=id_col, vec_col=vec_col)
+        elif args.action == "append":
+            append = (sim.append_to_ivf_index if args.kind == "ivf"
+                      else sim.append_to_lsh_index)
+            append(spark, df, args.prefix, id_col=id_col, vec_col=vec_col)
+        else:
+            serve = (sim.ivf_topk_from_index if args.kind == "ivf"
+                     else sim.lsh_topk_from_index)
+            deliver(serve(spark, args.prefix, df, id_col=id_col,
+                          vec_col=vec_col, k=args.k))
+        return
+
+    # bm25: build over documents; probe takes a query-terms parquet
+    from exceldatatransform_py_spark.operators import retrieval as ret
+
+    if args.action == "build":
+        ret.build_bm25_index(df, args.prefix, n_buckets=args.buckets,
+                             path=args.path, id_col=args.id_col,
+                             text_col=args.text_col)
+    elif args.action == "append":
+        raise SystemExit("bm25 index append is not supported; rebuild")
+    else:
+        deliver(ret.bm25_topk_from_index(spark, args.prefix, df, k=args.k))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="exceldatatransform_py_spark",
@@ -224,6 +305,30 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet dir or .csv path; omit to print")
     q.add_argument("--limit", type=int, default=20)
 
+    ix = sub.add_parser("index",
+                        help="build / probe / append the persisted "
+                             "retrieval & dedup indexes")
+    ix.add_argument("action", choices=["build", "probe", "append"])
+    ix.add_argument("kind",
+                    choices=["dedup", "simhash", "novelty", "ivf", "lsh",
+                             "bm25"])
+    ix.add_argument("--prefix", required=True,
+                    help="catalog table prefix, e.g. corpus_dedup")
+    ix.add_argument("--input", default=None,
+                    help="parquet of docs / vectors / query terms")
+    ix.add_argument("--path", default=None,
+                    help="external-table root (build only)")
+    ix.add_argument("--centroids", default=None,
+                    help="parquet of (cent_id, cent_vec) — ivf build only")
+    ix.add_argument("--buckets", type=int, default=16)
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument("--k", type=int, default=5)
+    ix.add_argument("--output", default=None,
+                    help="parquet dir or .csv path; omit to print")
+    ix.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"edt-{args.cmd}")
     {
@@ -231,6 +336,7 @@ def main(argv: list[str] | None = None) -> None:
         "update": cmd_update,
         "explain": cmd_explain,
         "query": cmd_query,
+        "index": cmd_index,
     }[args.cmd](spark, args)
 
 

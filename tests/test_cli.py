@@ -160,3 +160,47 @@ def test_every_registered_query_is_documented():
     ).read()
     missing = [q for q in QUERIES if f"`{q}`" not in readme]
     assert not missing, f"queries missing from README coverage: {missing}"
+
+
+def test_cli_index_build_probe_append_loop(spark, tmp_path):
+    """The production dedup loop driven entirely through the CLI:
+    build an index from a corpus parquet, probe a batch, append it,
+    probe the next batch — the second probe sees the first batch."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.cli import main
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus_p = str(tmp_path / "corpus")
+    b1_p = str(tmp_path / "b1")
+    b2_p = str(tmp_path / "b2")
+    docs.filter(F.col("doc_id") >= 100).write.parquet(corpus_p)
+    docs.filter(F.col("doc_id") < 50).write.parquet(b1_p)
+    docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+    ).write.parquet(b2_p)
+
+    prefix = "cli_dedup_idx"
+    out1 = str(tmp_path / "probe1")
+    out2 = str(tmp_path / "probe2")
+    try:
+        main(["index", "build", "dedup", "--prefix", prefix,
+              "--input", corpus_p, "--path", str(tmp_path / "idx"),
+              "--buckets", "4"])
+        main(["index", "probe", "dedup", "--prefix", prefix,
+              "--input", b1_p, "--output", out1])
+        main(["index", "append", "dedup", "--prefix", prefix,
+              "--input", b1_p])
+        main(["index", "probe", "dedup", "--prefix", prefix,
+              "--input", b2_p, "--output", out2])
+        p2 = spark.read.parquet(out2)
+        assert p2.count() > 0
+        # batch-1 ids are visible as match partners of batch 2
+        assert p2.filter(F.col("id_b") < 50).count() > 0
+        assert os.path.isdir(out1)
+    finally:
+        for t in ("bands", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
