@@ -192,7 +192,18 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
     lsh, bm25. ``probe`` delivers its result like ``query`` does
     (stdout or a parquet/csv sink)."""
     docs_kinds = {"dedup", "simhash", "novelty"}
-    df = spark.read.parquet(args.input) if args.input else None
+    # Validate per-action requirements up front: every action consumes
+    # --input, build additionally needs --path (else the external
+    # tables land under a literal ./None/), and ivf build needs the
+    # trained --centroids. Clear SystemExit beats an opaque TypeError
+    # out of spark.read.parquet(None).
+    if not args.input:
+        raise SystemExit(f"index {args.action} {args.kind}: --input is required")
+    if args.action == "build" and not args.path:
+        raise SystemExit(f"index build {args.kind}: --path is required")
+    if args.action == "build" and args.kind == "ivf" and not args.centroids:
+        raise SystemExit("index build ivf: --centroids is required")
+    df = spark.read.parquet(args.input)
 
     def deliver(out):
         if args.output:

@@ -975,10 +975,16 @@ def incremental_simhash_near_dup(
     """SimHash near-dups of ``new_docs`` AGAINST the indexed corpus:
     ``(id_a=new doc, id_b=corpus doc, hamming)``. The corpus is never
     re-fingerprinted — the batch's band rows join the persisted table
-    on its bucket key; recall stays exact for ``ham_max`` ≤
+    on its bucket key; recall is exact for ``ham_max`` ≤
     ``len(SIMHASH_BANDS) - 1`` by the same pigeonhole (band agreement
-    does not care which side of the index split a pair straddles).
-    Work scales with the batch plus matched posting sizes."""
+    does not care which side of the index split a pair straddles) —
+    but only with ``max_band_docs=None``: the default cap of 200 drops
+    every corpus posting in a hot (band, value) bucket, so pairs whose
+    ONLY agreeing band is hot are missed, exactly as in the live
+    ``simhash_near_dup``. The cap is the throughput/recall dial for
+    boilerplate-heavy corpora; pass ``None`` when the exactness
+    guarantee matters more than hot-bucket cost. Work scales with the
+    batch plus matched posting sizes."""
     new_fp = simhash64(new_docs, id_col, text_col).persist()
     new_bands = _simhash_band_rows(new_fp, id_col, "simhash")
     corpus_bands = spark.table(f"{table_prefix}_simbands")

@@ -150,7 +150,15 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
 
     def _emit(self, ranges: list[tuple[str, int, int]]) -> Iterator[tuple]:
         """Yield (sheet, line_no, line) for each file's byte range
-        [lo, hi) — only recorded bytes are read, so replay is exact."""
+        [lo, hi) — only recorded bytes are read, so replay is exact.
+
+        A line that STARTS before ``lo`` but extends past it is the
+        continuation of a quiescent unterminated tail an earlier batch
+        already emitted (the writer paused mid-row long enough to trip
+        the quiescence rule, then resumed): its bytes from ``lo`` on
+        are emitted as their own row — possibly a fragment, matching
+        the documented split-row failure mode — rather than silently
+        discarded."""
         for f, lo, hi in ranges:
             sheet = os.path.splitext(f)[0]
             with open(os.path.join(self.dir, f), "rb") as fh:
@@ -162,7 +170,13 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
                 if line_start >= hi:
                     break
                 if line_start < lo:
-                    continue  # emitted by an earlier batch
+                    if line_start + len(raw) > lo:
+                        # post-quiescence growth of an already-emitted
+                        # tail: emit the continuation bytes.
+                        tail = raw[lo - line_start:]
+                        yield (sheet, line_no,
+                               tail.decode("utf-8").rstrip("\r"))
+                    continue  # head emitted by an earlier batch
                 if self.skip_header and line_no == 0:
                     continue
                 yield (sheet, line_no, raw.decode("utf-8").rstrip("\r"))

@@ -467,18 +467,33 @@ def rollback(table: str, version: int) -> int:
     return v
 
 
-def vacuum(table: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    table: str, keep_last: int = 2, stage_retention_sec: float = 3600.0
+) -> list[int]:
     """Drop data directories only referenced by versions older than
     the last ``keep_last`` — bounded storage growth, the VACUUM
     analogue. Directories shared with retained versions — rollback
     commits, and files INHERITED across pruned merges — are kept.
-    Also sweeps orphaned ``*.stage-*`` directories (left only by a
-    writer that crashed between staging and its rename — a completed
-    commit or a detected conflict always removes its own staging).
-    Returns the vacuumed version numbers."""
+    Also sweeps orphaned ``*.stage-*`` directories, but ONLY those
+    older than ``stage_retention_sec`` (mtime of the directory): a
+    completed commit or a detected conflict removes its own staging,
+    so an old stage dir means a crashed writer — but a YOUNG one may
+    belong to an in-flight concurrent writer mid-parquet-job, and
+    deleting it would fail that commit non-atomically (same reason
+    Delta's VACUUM has a retention horizon). Returns the vacuumed
+    version numbers."""
+    import time as _time
+
+    now = _time.time()
     for entry in os.listdir(table):
         if ".stage-" in entry:
-            shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
+            p = os.path.join(table, entry)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue  # racing writer renamed/removed it — alive
+            if age >= stage_retention_sec:
+                shutil.rmtree(p, ignore_errors=True)
     ms = _manifests(table)
     if len(ms) <= keep_last:
         return []

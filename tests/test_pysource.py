@@ -305,6 +305,33 @@ def test_stream_quiescent_unterminated_tail_emits_once(tmp_path):
     assert [x[2] for x in sorted(rows4)] == ["5,6"]
 
 
+def test_stream_post_quiescence_growth_is_not_lost(tmp_path):
+    """Bytes appended to a line AFTER its unterminated tail was
+    emitted by the quiescence rule must not vanish: the continuation
+    bytes arrive as their own row (a fragment — the documented
+    split-row failure mode) instead of being silently skipped as
+    'emitted by an earlier batch'."""
+    import os
+
+    d = tmp_path / "resume"
+    os.makedirs(d)
+    with open(d / "S.csv", "w") as f:
+        f.write("a,b\n1,2\n3,4")  # final row, no trailing newline
+    r = _mk_stream_reader(d)
+    rows1, o1 = r.read(r.initialOffset())
+    assert [x[2] for x in sorted(rows1)] == ["1,2"]
+    rows2, o2 = r.read(o1)
+    assert [x[2] for x in sorted(rows2)] == ["3,4"]  # quiescent → emitted
+    # the writer was merely paused mid-row: it resumes the SAME line
+    with open(d / "S.csv", "a") as f:
+        f.write("5,6\n7,8\n")  # line is now "3,45,6"
+    rows3, o3 = r.read(o2)
+    got = [x[2] for x in sorted(rows3)]
+    assert got == ["5,6", "7,8"]  # continuation surfaced, nothing lost
+    # replay of the committed range reproduces the same rows
+    assert [x[2] for x in sorted(r.readBetweenOffsets(o2, o3))] == got
+
+
 def test_stream_growing_tail_resets_quiescence(tmp_path):
     """A tail that keeps growing (writer mid-append) is never emitted:
     each size change resets the stability counter."""

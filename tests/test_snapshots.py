@@ -9,6 +9,8 @@ only unreferenced data directories.
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -490,16 +492,25 @@ def test_merge_update_retry_wins_after_conflict(spark, table):
 
 def test_vacuum_sweeps_orphaned_staging_dirs(spark, table):
     """A writer that crashed between staging and rename leaves a
-    *.stage-* directory no manifest references; vacuum removes it
-    without touching live data."""
+    *.stage-* directory no manifest references; vacuum removes it once
+    it is older than the retention horizon — but a YOUNG stage dir
+    (an in-flight concurrent writer mid-parquet-job) is left alone,
+    so a vacuum racing a live writer cannot fail its commit."""
     base = spark.range(3).select(F.col("id"), (F.col("id") + 1).alias("v"))
     snapshot_write(table, base)
     orphan = os.path.join(table, "d00001.stage-deadbeef")
-    os.makedirs(orphan)
-    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
-        f.write(b"junk")
-    assert vacuum(table, keep_last=2) == []
+    live = os.path.join(table, "d00001.stage-cafef00d")
+    for d in (orphan, live):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-x.parquet"), "wb") as f:
+            f.write(b"junk")
+    # backdate the orphan past the horizon; `live` keeps mtime = now
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    assert vacuum(table, keep_last=2, stage_retention_sec=3600) == []
     assert not os.path.exists(orphan)
+    assert os.path.exists(live)  # in-flight writer's staging survives
+    shutil.rmtree(live)
     assert _rows(snapshot_read(spark, table)) == [(0, 1), (1, 2), (2, 3)]
 
 
