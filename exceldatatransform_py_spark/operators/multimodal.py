@@ -3,16 +3,18 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side machinery — schema, Arrow batch
 transfer, ``mapInPandas`` signatures, partitioning — is the real
-thing, and so is the container codec: payloads are packed into and
-demuxed out of SVC ("synthetic video container"), a minimal but real
-binary format with a magic number, a fixed header, and a per-frame
-offset/length index that the demuxer actually parses (no digest
-fakes). What remains environment-stubbed is only pixel/sample
-*decoding* (PIL / pyav are not in this container): a real deployment
-swaps the frame-bytes passthrough for a codec call, changing one
-line, not the plumbing — and the per-batch CPU/memory profile
-(header decode + index walk + frame slicing per payload) is already
-representative.
+thing, and so are the codecs (``operators.codecs``): images are real
+24-bit BMP files, audio is real RIFF/WAV PCM, and video is
+**motion-BMP** — real BMP frames muxed into SVC ("simple video
+container"), a minimal but real binary format with a magic number, a
+fixed header, and a per-frame offset/length index that the demuxer
+actually parses (no digest fakes). Every path runs actual pixel /
+sample math on decoded data; only the choice of FORMAT is driven by
+the environment (PIL / pyav are not in this container, BMP/WAV/SVC
+decode with the stdlib + numpy alone). A real deployment swaps
+``bmp_decode`` for a JPEG/H.264 decoder call — one line, not the
+plumbing — and the per-batch CPU/memory profile (header decode +
+index walk + per-frame pixel work) is already representative.
 
 SVC layout (big-endian)::
 
@@ -30,12 +32,12 @@ one Python worker per core with constant memory per batch; featurize
 output is small (metadata + feature vectors), so the expensive bytes
 never cross more than once and never shuffle.
 
-The image and audio paths additionally use REAL public formats
-(``operators.codecs``): 24-bit BMP encoded/decoded with spec-correct
-headers, bottom-up padded BGR rows, and actual pixel math
-(nearest-neighbor resize, grayscale), and RIFF/WAV PCM via the stdlib
-``wave`` module with actual sample math (peak/energy/RMS). Only the
-video *container* remains the documented synthetic SVC format.
+Codec details: BMP is encoded/decoded with spec-correct headers,
+bottom-up padded BGR rows, and actual pixel math (nearest-neighbor
+resize, grayscale, frame differencing); WAV PCM goes through the
+stdlib ``wave`` module with actual sample math (peak/energy/RMS,
+windowed VAD energy); video frames decode through the same BMP codec
+(``pack_video`` / ``video_frame_stats``).
 """
 
 from __future__ import annotations
@@ -496,6 +498,126 @@ def wav_stats(
         schema=(
             f"{id_col} long, n_frames long, framerate int, duration_ms long, "
             "peak int, sum_sq long, rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real video path: motion-BMP — every SVC frame payload is a real
+# 24-bit BMP file, so demux → decode → per-frame pixel math runs a
+# REAL codec end-to-end (the last synthetic byte in the multimodal
+# mandate; image/audio went real first). A real deployment swaps
+# bmp_decode for an H.264 frame decoder; the container walk, the
+# Arrow plumbing, and the pixel arithmetic are already the real shape.
+# ---------------------------------------------------------------------------
+
+VIDEO_FW = 8
+VIDEO_FH = 6  # 8×6×3 = 144 pixel bytes per frame
+
+
+def pack_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    fw: int = VIDEO_FW,
+    fh: int = VIDEO_FH,
+) -> DataFrame:
+    """Encode a byte payload as a motion-BMP video: consecutive
+    ``fw·fh·3``-byte chunks become the RGB pixel data of real 24-bit
+    BMP files (zero-padded final chunk), muxed into one SVC container
+    per row. Output ``(id_col long, video binary)``; map-only — the
+    bytes never leave the partition that scanned them."""
+    from exceldatatransform_py_spark.operators.codecs import bmp_encode
+
+    frame_bytes = fw * fh * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for payload in pdf[bin_col]:
+                if payload is None:
+                    raise ValueError("pack_video: NULL payload")
+                frames = [
+                    bmp_encode(
+                        bytes(payload[i : i + frame_bytes]).ljust(
+                            frame_bytes, b"\x00"
+                        ),
+                        fw,
+                        fh,
+                    )
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                vids.append(svc_encode(frames, width=fw, height=fh))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "video": vids}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, video binary")
+
+
+def video_frame_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    video_col: str = "video",
+    cut_mean_delta: int = 24,
+) -> DataFrame:
+    """Scene-cut analysis over DECODED video frames: demux the SVC
+    container (real header + offset-table walk), decode every frame
+    through the real BMP codec (undoing stride padding, bottom-up rows,
+    BGR), and compute per frame
+
+    * ``pixel_sum`` — exact integer sum of all RGB bytes,
+    * ``wsum`` — position-weighted sum Σ p·byte_p over the top-down
+      row-major pixel bytes (permutation-sensitive: a decoder that
+      got the row flip, the stride, or the channel order wrong
+      produces a different value even when the byte multiset matches),
+    * ``abs_delta`` — Σ |byte_p(frame) − byte_p(previous frame)|, the
+      frame-difference signal (0 for frame 0),
+    * ``scene_cut`` — ``abs_delta ≥ cut_mean_delta · frame_bytes``
+      for frames past the first (mean per-byte change threshold).
+
+    One input row fans out to n_frames small stat rows AFTER the scan,
+    so the video bytes never shuffle. Output: ``(id_col, frame_idx,
+    pixel_sum, wsum, abs_delta, scene_cut)``.
+    """
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import bmp_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, wsums, deltas, cuts = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[video_col]):
+                prev = None
+                for i, fr in enumerate(svc_extract_frames(payload)):
+                    _w, _h, img = bmp_decode(fr)
+                    flat = img.reshape(-1).astype("int64")
+                    delta = (
+                        0 if prev is None else int(np.abs(flat - prev).sum())
+                    )
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    sums.append(int(flat.sum()))
+                    wsums.append(int((np.arange(len(flat)) * flat).sum()))
+                    deltas.append(delta)
+                    cuts.append(i > 0 and delta >= cut_mean_delta * len(flat))
+                    prev = flat
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                    "abs_delta": pd.Series(deltas, dtype="int64"),
+                    "scene_cut": pd.Series(cuts, dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_idx int, pixel_sum long, wsum long, "
+            "abs_delta long, scene_cut boolean"
         ),
     )
 

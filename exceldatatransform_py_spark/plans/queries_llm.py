@@ -3533,3 +3533,65 @@ def wav_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio, id_col="doc_id", audio_col="audio",
         frame_samples=_VAD_FRAME, energy_floor=_VAD_FLOOR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection through the REAL video path (motion-BMP): pack
+# the document bytes as 24-bit BMP frames inside an SVC container,
+# demux + decode every frame (real header parse, stride strip, row
+# un-flip, BGR→RGB), and score per-frame pixel sums, a
+# position-weighted sum (breaks if the decoder mishandles flip /
+# stride / channel order — a plain sum would be permutation-blind),
+# and the frame-difference scene-cut signal. The oracle recomputes
+# every value from the raw bytes — integer-exact end to end.
+# ---------------------------------------------------------------------------
+
+_VID_FB = 144  # 8×6 px × 3 channels per frame
+_VID_CUT = 40  # mean per-byte |delta| threshold; splits the corpus ~60/40
+
+
+def _video_oracle() -> str:
+    pix = _PIX.format(j=f"(fi * {_VID_FB} + j)")
+    prev = _PIX.format(j=f"((fi - 1) * {_VID_FB} + j)")
+    return f"""
+    WITH fr AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {_VID_FB}.0) AS BIGINT)))
+               AS fi
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+             list_sum(list_transform(range(1, {_VID_FB} + 1),
+               j -> CAST({pix} AS BIGINT))) AS pixel_sum,
+             list_sum(list_transform(range(1, {_VID_FB} + 1),
+               j -> CAST((j - 1) * ({pix}) AS BIGINT))) AS wsum,
+             CASE WHEN fi = 0 THEN 0 ELSE
+               list_sum(list_transform(range(1, {_VID_FB} + 1),
+                 j -> CAST(abs(({pix}) - ({prev})) AS BIGINT)))
+             END AS abs_delta
+      FROM fr
+    )
+    SELECT doc_id, frame_idx,
+           CAST(pixel_sum AS BIGINT) AS pixel_sum,
+           CAST(wsum AS BIGINT) AS wsum,
+           CAST(abs_delta AS BIGINT) AS abs_delta,
+           (frame_idx > 0 AND abs_delta >= {_VID_CUT * _VID_FB}) AS scene_cut
+    FROM st
+    """
+
+
+@register("video_scene_cuts", oracle=_video_oracle())
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.multimodal import (
+        pack_video,
+        video_frame_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    vids = pack_video(docs, id_col="doc_id", bin_col="payload", fw=8, fh=6)
+    return video_frame_stats(
+        vids, id_col="doc_id", video_col="video", cut_mean_delta=_VID_CUT
+    )

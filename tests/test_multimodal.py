@@ -183,3 +183,65 @@ def test_pack_bmp_resize_gray_matches_local_pixel_math(spark):
         small = nearest_resize(img, 8, 8).astype("int64")
         gray = ((small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3)
         assert got[rid] == (w, h, [int(v) for v in gray.reshape(-1)])
+
+
+def test_pack_video_frames_are_real_bmps(spark):
+    """Every demuxed SVC frame from pack_video is a spec-valid 24-bit
+    BMP whose decoded pixels equal the source payload chunk (zero-
+    padded final chunk) — the motion-BMP contract."""
+    from exceldatatransform_py_spark.operators.codecs import bmp_decode
+    from exceldatatransform_py_spark.operators.multimodal import (
+        pack_video,
+        svc_extract_frames,
+    )
+
+    fw, fh = 8, 6
+    fb = fw * fh * 3
+    rows = [(i, bytes((i * 31 + j) % 256 for j in range(100 + i * 130)))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    vids = {r.doc_id: bytes(r.video)
+            for r in pack_video(df, fw=fw, fh=fh).collect()}
+    for rid, payload in rows:
+        frames = svc_extract_frames(vids[rid])
+        assert len(frames) == -(-len(payload) // fb)
+        for i, fr in enumerate(frames):
+            w, h, img = bmp_decode(fr)  # raises on a non-BMP payload
+            assert (w, h) == (fw, fh)
+            chunk = payload[i * fb : (i + 1) * fb].ljust(fb, b"\x00")
+            assert img.reshape(-1).tobytes() == chunk
+
+
+def test_video_frame_stats_matches_local_pixel_math(spark):
+    """Distributed demux→decode→frame-diff equals the same math done
+    locally on the raw bytes; a repeated chunk yields abs_delta 0 and
+    no scene cut, a flipped chunk yields a positive delta."""
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.multimodal import (
+        pack_video,
+        video_frame_stats,
+    )
+
+    fb = 8 * 6 * 3
+    a = bytes((j * 7 + 3) % 256 for j in range(fb))
+    flipped = bytes(255 - x for x in a)
+    payload = a + a + flipped  # frames: a, a (no cut), flipped (cut)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = video_frame_stats(
+        pack_video(df, fw=8, fh=6), cut_mean_delta=40
+    ).collect()
+    got = {r.frame_idx: r for r in out}
+    assert len(got) == 3
+    arr = np.frombuffer(a, dtype=np.uint8).astype("int64")
+    farr = np.frombuffer(flipped, dtype=np.uint8).astype("int64")
+    w = np.arange(fb)
+    for i, ref in ((0, arr), (1, arr), (2, farr)):
+        assert got[i].pixel_sum == int(ref.sum())
+        assert got[i].wsum == int((w * ref).sum())
+    assert got[0].abs_delta == 0 and not got[0].scene_cut
+    assert got[1].abs_delta == 0 and not got[1].scene_cut
+    exp_delta = int(np.abs(farr - arr).sum())
+    assert got[2].abs_delta == exp_delta
+    assert got[2].scene_cut == (exp_delta >= 40 * fb)
+    assert got[2].scene_cut  # the flip is far past the threshold
