@@ -24,6 +24,13 @@ sums to the machine, so per-query numbers stay comparable run-to-run
 while wall-clock amortizes the ~15s JVM+warm-up cost per child
 (serial, 100+ queries × ~20s overhead alone would blow the driver's
 bench budget).
+
+Serial section: after the pool drains, the 12 ``SERIAL_SET`` headline
+queries re-run one-at-a-time on all CPUs, median-of-3 — the
+low-variance protocol for round-over-round attribution (the parallel
+cohort's noise band has exceeded its deltas two rounds running).
+``SPARK_GRAFT_BENCH_SERIAL=0`` skips it; ``_SERIAL_ONLY=1`` runs just
+that section (the quick A/B tool).
 """
 
 from __future__ import annotations
@@ -85,6 +92,24 @@ FROZEN_COHORT = frozenset([
 # membership NEVER changes. Any edit to FROZEN_COHORT breaks this hash
 # loudly instead of silently redefining the metric.
 _COHORT_SHA256 = "2cb7c23b430be5030619dee42cffa42f0434e3a3b1eab52eb58dfbf619fbccd7"
+
+# Low-variance serial protocol: the 4-worker cohort sweep amortizes JVM
+# cost but its run-to-run noise band (44-81s measured across identical-
+# code runs, NOTES.md r5) has exceeded round-over-round deltas two
+# rounds running — the parallel total stopped being a usable signal.
+# These 12 headline queries additionally run ONE AT A TIME on the full
+# CPU count, median-of-3 passes, machine otherwise idle (the serial
+# section runs after the pool has drained), so their numbers are
+# attributable: no sibling JVMs stealing cores, and the median rejects
+# the one-sided scheduling outliers min-of-2 can still admit.
+SERIAL_SET = [
+    "flagship_daily_segment_ledger", "q1_pricing_summary",
+    "minhash_lsh_near_dup", "cosine_topk_bruteforce",
+    "dedup_cluster_assign", "semantic_dedup_kmeans",
+    "pca_top_component", "bigram_surprisal_score",
+    "span_dedup_clean", "ann_recall_at_k",
+    "fuzzy_part_name_pairs", "ann_ivf_topk",
+]
 
 
 def _assert_cohort_integrity() -> None:
@@ -168,10 +193,56 @@ def main() -> None:
         print(f"bench: {name} {rec['sec']}s", file=sys.stderr, flush=True)
         return rec
 
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    def run_serial() -> dict:
+        """Serial mini-bench: each SERIAL_SET query in its own child,
+        one at a time, on ALL cpus, median of 3 passes."""
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(total_cpus),
+            SPARK_GRAFT_BENCH_PASSES=os.environ.get(
+                "SPARK_GRAFT_BENCH_SERIAL_PASSES", "3"
+            ),
+            SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
+        out = {}
+        for name in SERIAL_SET:
+            print(f"bench[serial]: {name} ...", file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, timeout=600, env=env,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr, flush=True)
+                raise RuntimeError(f"bench[serial]: query {name} failed")
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            rec["median"] = round(_median(rec["passes"]), 3)
+            print(f"bench[serial]: {name} median {rec['median']}s "
+                  f"(passes {rec['passes']})", file=sys.stderr, flush=True)
+            out[name] = rec
+        return out
+
     _assert_cohort_integrity()
     names = list(QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_SERIAL_ONLY") == "1":
+        sr = run_serial()
+        print(json.dumps({
+            "metric": "serial_median_seconds",
+            "value": round(sum(r["median"] for r in sr.values()), 3),
+            "unit": "sec", "sf": sf,
+            "serial": {k: r["median"] for k, r in sr.items()},
+        }))
+        return
     with ThreadPoolExecutor(max_workers=workers) as pool:
         recs = dict(zip(names, pool.map(run_child, names)))
+    serial_recs = (
+        {} if os.environ.get("SPARK_GRAFT_BENCH_SERIAL") == "0"
+        else run_serial()
+    )
     times = {k: float(r["sec"]) for k, r in recs.items()}
 
     total = round(sum(times.values()), 3)
@@ -191,12 +262,17 @@ def main() -> None:
     cohort_noise_band = round(
         sum(_gap(r) for k, r in recs.items() if k in FROZEN_COHORT), 3
     )
+    serial = {k: r["median"] for k, r in serial_recs.items()}
+    serial_total = round(sum(serial.values()), 3) if serial else None
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench_details.json")
     with open(details_path, "w") as f:
         json.dump({"total": total, "cohort_total": cohort_total,
                    "cohort_noise_band": cohort_noise_band,
                    "sf": sf, "n_queries": len(times),
+                   "serial_total": serial_total, "serial": serial,
+                   "serial_passes": {k: r.get("passes")
+                                     for k, r in serial_recs.items()},
                    "queries": times,
                    "passes": {k: r.get("passes") for k, r in recs.items()}},
                   f, indent=1, sort_keys=True)
@@ -220,6 +296,8 @@ def main() -> None:
                 "cohort_total": cohort_total,
                 "cohort_n": sum(1 for k in times if k in FROZEN_COHORT),
                 "cohort_noise_band": cohort_noise_band,
+                "serial_total": serial_total,
+                "serial": serial,
                 "queries": {k: times[k] for k in headline if k in times},
             }
         )
