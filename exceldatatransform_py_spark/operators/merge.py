@@ -64,6 +64,82 @@ def merge_update(
     return joined.select(*out)
 
 
+def merge_full(
+    target: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    update_cols: Sequence[str],
+    insert: bool = False,
+    delete_unmatched_target: bool = False,
+) -> DataFrame:
+    """The general MERGE INTO clause surface over plain DataFrames:
+
+    * WHEN MATCHED THEN UPDATE — always: matched target rows get
+      ``update_cols`` overwritten (NULL update values keep the target
+      value, as in ``merge_update``);
+    * WHEN NOT MATCHED THEN INSERT — with ``insert=True``: update rows
+      matching no target row are appended, carrying their ``on`` keys
+      and ``update_cols``; every other target column is NULL (the
+      standard column-subset INSERT clause);
+    * WHEN NOT MATCHED BY SOURCE THEN DELETE — with
+      ``delete_unmatched_target=True``: target rows matching no update
+      row are dropped.
+
+    With both flags False this degrades to exactly ``merge_update``
+    (the reference's update-only S5 contract); the flags are the
+    upgrade path a general engine needs (Delta's ``whenNotMatched...``
+    clauses). ``updates`` must be unique per key (pre-aggregate — J3).
+
+    Plan shape: ONE equi-join on the merge keys, and the WEAKEST join
+    type the requested clauses need — ``left`` for update-only (AQE
+    can broadcast the small update side, the 100 TB common case),
+    ``inner`` for update+delete, ``full_outer`` only when INSERT
+    requires keeping unmatched source rows (outer joins on the
+    preserved side cannot broadcast, so the stronger type is paid only
+    when its rows are actually wanted). Clause decisions are row-local
+    predicates on the join's presence indicators; no second pass, no
+    anti-join, no union of clause outputs.
+    """
+    missing = [c for c in [*on, *update_cols] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"merge_full: updates missing columns {missing}")
+
+    t = target.withColumn("__t", F.lit(True))
+    u = updates.select(
+        *[F.col(c).alias(f"__upd_{c}") for c in [*on, *update_cols]],
+        F.lit(True).alias("__u"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [t[k].eqNullSafe(F.col(f"__upd_{k}")) for k in on],
+    )
+    join_type = {
+        (False, False): "left",
+        (False, True): "inner",
+        (True, False): "full_outer",
+        (True, True): "right_outer",
+    }[(insert, delete_unmatched_target)]
+    joined = t.join(u, cond, join_type)
+    tp = F.col("__t").isNotNull()  # a target row exists on this key
+    up = F.col("__u").isNotNull()  # an update row exists on this key
+
+    def out_col(c: str):
+        if c in update_cols:
+            # matched → overwrite (NULL keeps target); insert-only
+            # rows have no target value, coalesce covers both.
+            return F.coalesce(F.col(f"__upd_{c}"), t[c]).alias(c)
+        if c in on:
+            return F.coalesce(t[c], F.col(f"__upd_{c}")).alias(c)
+        return t[c]  # NULL on insert-only rows
+
+    keep = (tp & up) | (tp & F.lit(not delete_unmatched_target)) | (
+        up & F.lit(insert)
+    )
+    return joined.filter(keep).select(
+        *[out_col(c) for c in target.columns]
+    )
+
+
 def incremental_agg_merge(
     old_agg: DataFrame,
     delta_agg: DataFrame,

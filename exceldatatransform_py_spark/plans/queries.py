@@ -356,6 +356,63 @@ def merge_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full MERGE clause surface (operators.merge.merge_full): one commit
+# that UPDATEs matched orders (price bump), INSERTs unmatched update
+# rows (synthetic negative keys — provably new), and DELETEs target
+# rows no update row references. The oracle reconstructs the same
+# three clauses with an INNER join (update+delete survivors) UNION ALL
+# an anti-joined insert set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_full_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+    ),
+    u AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 1.1 AS p
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey, CAST(o_totalprice AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, u.p AS o_totalprice
+    FROM t JOIN u ON t.o_orderkey = u.k
+    UNION ALL
+    SELECT u.k, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), u.p
+    FROM u LEFT JOIN t ON t.o_orderkey = u.k
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def merge_full_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.merge import merge_full
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+    )
+    return merge_full(
+        orders,
+        upd.unionByName(ins),
+        on=["o_orderkey"],
+        update_cols=["o_totalprice"],
+        insert=True,
+        delete_unmatched_target=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

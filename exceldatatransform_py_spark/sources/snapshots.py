@@ -27,7 +27,10 @@ filesystem with nothing but parquet and one JSON manifest per commit:
 * ``overwrite`` and ``merge_update`` are the two commit kinds the
   reference pipeline needs (full rewrite / S5 update-only merge,
   ``timesheet_transform.py:105-138``); both go through the same
-  commit path.
+  commit path. The merge commit carries the FULL MERGE clause
+  surface (``operators.merge.merge_full``): WHEN MATCHED UPDATE
+  always, optional WHEN NOT MATCHED INSERT and WHEN NOT MATCHED BY
+  SOURCE DELETE; the file-pruned variant supports INSERT too.
 
 At 100 TB: data directories are written by the cluster with normal
 parallelism (this module adds no driver-side data movement); only the
@@ -283,24 +286,43 @@ def snapshot_merge_update(
     on: Sequence[str],
     update_cols: Sequence[str],
     max_retries: int = 0,
+    when_not_matched_insert: bool = False,
+    when_not_matched_by_source_delete: bool = False,
 ) -> int:
-    """S5 as a snapshot commit: update-only merge of ``updates`` into
-    the latest version, committed as a NEW version — the previous
-    version stays readable (audit/rollback), unlike the in-place
-    rewrite sink. Returns the new version number.
+    """MERGE INTO as a snapshot commit: merge ``updates`` into the
+    latest version and commit the result as a NEW version — the
+    previous version stays readable (audit/rollback), unlike the
+    in-place rewrite sink. Returns the new version number.
+
+    Clause surface (``operators.merge.merge_full``): WHEN MATCHED THEN
+    UPDATE always runs — the reference's update-only S5 contract
+    (``timesheet_transform_v3.py:105`` "we don't create new rows") is
+    the default; ``when_not_matched_insert`` adds WHEN NOT MATCHED
+    THEN INSERT (unmatched update rows appended, non-merge columns
+    NULL) and ``when_not_matched_by_source_delete`` adds WHEN NOT
+    MATCHED BY SOURCE THEN DELETE (unmatched target rows dropped) —
+    the full three-clause MERGE a general engine needs.
 
     Optimistic concurrency: the merge reads version P and commits
     P+1 conditionally on P still being latest (create-exclusive
     manifest publish). If another writer got there first the commit
     raises ``SnapshotConflictError`` — no clobber, no lost update —
     and with ``max_retries > 0`` the read-merge-commit is re-run
-    against the new latest version (CAS loop)."""
+    against the new latest version (CAS loop); the re-run re-reads the
+    winner's rows, so insert/delete decisions are re-taken against the
+    state that actually committed."""
+    from exceldatatransform_py_spark.operators.merge import merge_full
+
     for attempt in range(max_retries + 1):
         parent = latest_version(table)
         if parent is None:
             raise FileNotFoundError(f"no versions in {table}")
         current = snapshot_read(spark, table, version=parent)
-        merged = merge_update(current, updates, on=on, update_cols=update_cols)
+        merged = merge_full(
+            current, updates, on=on, update_cols=update_cols,
+            insert=when_not_matched_insert,
+            delete_unmatched_target=when_not_matched_by_source_delete,
+        )
         try:
             return _commit(table, merged, "merge_update", parent)
         except SnapshotConflictError:
@@ -343,6 +365,7 @@ def snapshot_merge_update_pruned(
     on: Sequence[str],
     update_cols: Sequence[str],
     prune_col: str | None = None,
+    when_not_matched_insert: bool = False,
 ) -> int:
     """File-pruned update-only merge: rewrite ONLY the target files
     whose ``prune_col`` min/max range can overlap the update keys;
@@ -366,6 +389,17 @@ def snapshot_merge_update_pruned(
     rows untouched, unmatched updates discarded); only the physical
     rewrite set differs. Row order within the table may differ — the
     table contract is set-of-rows, as for any Spark parquet write.
+
+    ``when_not_matched_insert`` adds the INSERT clause and stays
+    file-pruned: an update row that matches ANY target row must match
+    inside a touched file (its prune value sits in that file's
+    min/max range, so the file overlaps the update bounds), hence
+    updates unmatched against the touched subset are provably
+    unmatched against the whole table and land as insert rows in the
+    new files. WHEN NOT MATCHED BY SOURCE DELETE is deliberately NOT
+    offered here: deciding "matches no update row" requires inspecting
+    every target row, so every file is touched and pruning degenerates
+    — use ``snapshot_merge_update`` (full read) for deletes.
     """
     prune_col = prune_col or on[0]
     if prune_col not in on:
@@ -412,9 +446,29 @@ def snapshot_merge_update_pruned(
     v = latest["version"] + 1
     data_dir = f"d{v:05d}"
     new_files: list[str] = []
-    if touched:
-        target = spark.read.parquet(*[os.path.join(table, r) for r in touched])
-        merged = merge_update(target, updates, on=on, update_cols=update_cols)
+    # A write is needed when files must be rewritten, or when INSERT
+    # has unmatched rows to land (lo is None ⟺ the update set is
+    # empty, so there is nothing to insert either).
+    need_write = bool(touched) or (when_not_matched_insert and lo is not None)
+    if need_write:
+        if touched:
+            target = spark.read.parquet(
+                *[os.path.join(table, r) for r in touched]
+            )
+        else:  # insert-only commit: nothing matched, nothing rewritten
+            target = spark.createDataFrame(
+                [], T.StructType.fromJson(latest["schema"])
+            )
+        if when_not_matched_insert:
+            from exceldatatransform_py_spark.operators.merge import merge_full
+
+            merged = merge_full(
+                target, updates, on=on, update_cols=update_cols, insert=True
+            )
+        else:
+            merged = merge_update(
+                target, updates, on=on, update_cols=update_cols
+            )
         _stage_data_dir(table, merged, data_dir)
         new_files = sorted(
             os.path.join(data_dir, f)
@@ -427,7 +481,7 @@ def snapshot_merge_update_pruned(
         for rel in touched:
             file_stats.pop(rel, None)  # no longer part of the table
     schema = (
-        merged.schema.jsonValue() if touched else latest["schema"]
+        merged.schema.jsonValue() if need_write else latest["schema"]
     )
     manifest = {
         "version": v,
@@ -446,7 +500,7 @@ def snapshot_merge_update_pruned(
     try:
         _publish(table, manifest)
     except SnapshotConflictError:
-        if touched:
+        if need_write:
             shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
         raise
     return v

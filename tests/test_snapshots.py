@@ -550,3 +550,170 @@ def test_publish_create_exclusive_under_real_concurrency(tmp_path):
     leftovers = [x for x in os.listdir(os.path.join(table, "_versions"))
                  if x.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_merge_full_clauses_match_duckdb(spark, table):
+    """insert+update+delete merge commit hash-matches the DuckDB
+    MERGE-equivalent (INNER-join survivors UNION ALL anti-joined
+    inserts) on the same inputs."""
+    import duckdb
+
+    base = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)]
+    ups = [(2, 99.0), (4, 77.0), (9, 7.0)]  # 2,4 update; 9 insert; 1,3 delete
+    snapshot_write(
+        table, spark.createDataFrame(base, "k int, s string, x double")
+    )
+    v = snapshot_merge_update(
+        spark, table,
+        spark.createDataFrame(ups, "k int, x double"),
+        on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    assert v == 1
+    got = _rows(snapshot_read(spark, table))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k int, s varchar, x double)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", base)
+    con.execute("CREATE TABLE u (k int, x double)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", ups)
+    exp = con.execute("""
+        SELECT t.k, t.s, u.x FROM t JOIN u USING (k)
+        UNION ALL
+        SELECT u.k, NULL, u.x FROM u ANTI JOIN t USING (k)
+    """).fetchall()
+    assert got == sorted(tuple(r) for r in exp)
+    # prior version untouched (snapshot isolation)
+    assert _rows(snapshot_read(spark, table, version=0)) == sorted(base)
+
+
+def test_merge_full_insert_only_and_delete_only(spark, table):
+    """Each optional clause composes independently with the always-on
+    update clause."""
+    base = [(1, 10.0), (2, 20.0)]
+    snapshot_write(table, spark.createDataFrame(base, "k int, x double"))
+    ups = spark.createDataFrame([(2, 99.0), (5, 5.0)], "k int, x double")
+    # insert only: unmatched target row 1 survives
+    snapshot_merge_update(
+        spark, table, ups, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )
+    assert _rows(snapshot_read(spark, table)) == [(1, 10.0), (2, 99.0), (5, 5.0)]
+    # delete only (fresh table): unmatched update row 5 is discarded
+    t2 = table + "_d"
+    snapshot_write(t2, spark.createDataFrame(base, "k int, x double"))
+    snapshot_merge_update(
+        spark, t2, ups, on=["k"], update_cols=["x"],
+        when_not_matched_by_source_delete=True,
+    )
+    assert _rows(snapshot_read(spark, t2)) == [(2, 99.0)]
+
+
+def test_merge_full_retry_converges_after_conflict(spark, table):
+    """CAS loop with the full clause surface: a conflicting commit
+    lands between the reader's read and commit; the retry re-reads the
+    winner's state, so insert/delete decisions are re-taken against
+    what actually committed — the loser's delete does not resurrect or
+    double-drop anything."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, x double"
+    )
+    assert snapshot_write(table, base) == 0
+    # writer A inserts key 3 (update-only merge + insert clause)
+    upd_a = spark.createDataFrame([(3, 30.0)], "k int, x double")
+    # writer B updates 1 and 3, deleting unmatched-by-source rows.
+    # Against v0 (no key 3) B would drop key 3's row as unmatched-by-
+    # source is irrelevant (3 matches), but key 2 is deleted; after
+    # A's insert wins, B's retry must KEEP A's key-3 row (it matches
+    # B's update set) and still delete key 2.
+    upd_b = spark.createDataFrame([(1, 11.0), (3, 33.0)], "k int, x double")
+
+    real_commit = snap._commit
+    fired = {"done": False}
+
+    def interloper(tbl, df, kind, parent, stats_cols=()):
+        if not fired["done"]:
+            fired["done"] = True
+            from exceldatatransform_py_spark.operators.merge import merge_full
+
+            real_commit(tbl, merge_full(
+                snapshot_read(spark, tbl, version=parent),
+                upd_a, on=["k"], update_cols=["x"], insert=True,
+            ), "merge_update", parent)
+        return real_commit(tbl, df, kind, parent, stats_cols)
+
+    with mock.patch.object(snap, "_commit", side_effect=interloper):
+        v = snap.snapshot_merge_update(
+            spark, table, upd_b, on=["k"], update_cols=["x"],
+            when_not_matched_by_source_delete=True, max_retries=1,
+        )
+    assert v == 2
+    assert _rows(snapshot_read(spark, table)) == [(1, 11.0), (3, 33.0)]
+    # intermediate state shows A's insert won version 1
+    assert _rows(snapshot_read(spark, table, version=1)) == [
+        (1, 10.0), (2, 20.0), (3, 30.0),
+    ]
+
+
+def test_pruned_merge_insert_lands_in_new_files(spark, table):
+    """File-pruned merge with the INSERT clause: unmatched update rows
+    land in the new files while out-of-range files are still inherited
+    by reference (never read, never copied)."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    # two files with disjoint key ranges: [0..4] and [100..104]
+    lo = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                               "k int, x double").coalesce(1)
+    hi = spark.createDataFrame([(100 + i, float(i)) for i in range(5)],
+                               "k int, x double").coalesce(1)
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    snapshot_write(table, lo.unionByName(hi).repartitionByRange(2, "k"),
+                   stats_cols=["k"])
+    # update key 2 (low file) and insert brand-new key 7 (in-bounds but
+    # matching nothing) — the high file must be inherited untouched
+    ups = spark.createDataFrame([(2, 99.0), (7, 7.5)], "k int, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )
+    m = snap._manifests(table)[-1]
+    assert m["pruning"]["inherited_files"] >= 1
+    got = _rows(snapshot_read(spark, table, version=v))
+    exp = sorted(
+        [(i, float(i)) for i in range(5) if i != 2]
+        + [(2, 99.0), (7, 7.5)]
+        + [(100 + i, float(i)) for i in range(5)]
+    )
+    assert got == exp
+
+
+def test_pruned_merge_insert_only_commit(spark, table):
+    """All-new keys with ranges that overlap nothing rewrite zero
+    files: the commit is the insert file plus pure inheritance."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                                 "k int, x double").coalesce(1)
+    snapshot_write(table, base, stats_cols=["k"])
+    ups = spark.createDataFrame([(50, 1.0), (60, 2.0)], "k int, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )
+    m = snap._manifests(table)[-1]
+    assert m["pruning"]["rewritten_files"] == 0
+    assert m["pruning"]["inherited_files"] == 1
+    got = _rows(snapshot_read(spark, table, version=v))
+    assert got == sorted([(i, float(i)) for i in range(5)]
+                         + [(50, 1.0), (60, 2.0)])
