@@ -597,6 +597,152 @@ def ivf_topk_from_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-SQ8: the composed FAISS IVF-SQ layout — cell lists store uint8
+# scalar-quantized codes instead of float vectors, cutting serve-side
+# index bytes ~4x; search reconstructs vectors from the codes and the
+# one-row broadcast codebook. Quality is MEASURED, not assumed: the
+# sq8_quantization_recall query scores the same quantizer, and the
+# pytest pins the sq8-served recall to the IVF recall floor.
+# ---------------------------------------------------------------------------
+
+
+def sq8_codebook(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Train the SQ8 codebook: per-dimension corpus min/max folded to
+    ONE row ``(los array<double>, his array<double>)``. The posexplode
+    partial-aggregates map-side (the shuffle carries ≤ dim rows per
+    partition), and the codebook broadcasts everywhere it is used."""
+    dims = (
+        corpus.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").cast("double").alias("lo"),
+             F.max("x").cast("double").alias("hi"))
+    )
+    return dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+
+
+def _sq8_encode(vec: Column) -> Column:
+    """float array → tinyint codes (bias −128 so the 0..255 level fits
+    parquet's INT(8)); requires ``los``/``his`` columns in scope."""
+
+    def enc(x, i):
+        lo = F.element_at(F.col("los"), i + 1)
+        hi = F.element_at(F.col("his"), i + 1)
+        q = F.when(hi == lo, F.lit(0)).otherwise(
+            F.floor((x.cast("double") - lo) * F.lit(255.0) / (hi - lo))
+            .cast("int")
+        )
+        return (q - F.lit(128)).cast("tinyint")
+
+    return F.transform(vec, enc)
+
+
+def _sq8_decode(code: Column) -> Column:
+    """tinyint codes → reconstructed double array (level midpoint-free
+    floor reconstruction, matching ``sq8_quantization_recall``);
+    requires ``los``/``his`` columns in scope."""
+
+    def dec(c, i):
+        lo = F.element_at(F.col("los"), i + 1)
+        hi = F.element_at(F.col("his"), i + 1)
+        return lo + (c.cast("double") + F.lit(128.0)) * (hi - lo) / F.lit(255.0)
+
+    return F.transform(code, dec)
+
+
+def build_ivf_sq8_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the quantized IVF index:
+
+    * ``<prefix>_cells`` — ``(neighbor_id, code array<tinyint>)``
+      PARTITIONED BY ``cell`` (same dynamic-partition-pruned probe
+      scan as the float index, ~4x fewer bytes per cell);
+    * ``<prefix>_centroids`` — the float coarse quantizer (tiny);
+    * ``<prefix>_codebook`` — ONE row of per-dimension (lo, hi).
+
+    Cell assignment runs on the ORIGINAL floats (quantization error
+    never moves a vector between cells at build time)."""
+    cb = sq8_codebook(corpus, vec_col)
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    coded = (
+        corpus.join(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8_encode(F.col(vec_col)).alias("code"),
+        )
+        .join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    )
+    (
+        coded.write.mode("overwrite")
+        .partitionBy("cell")
+        .option("path", f"{path}/cells")
+        .saveAsTable(f"{table_prefix}_cells")
+    )
+    (
+        centroids.select("cent_id", "cent_vec")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/centroids")
+        .saveAsTable(f"{table_prefix}_centroids")
+    )
+    (
+        cb.coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/codebook")
+        .saveAsTable(f"{table_prefix}_codebook")
+    )
+
+
+def ivf_sq8_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve top-k from the quantized index: the probed cells' codes
+    are reconstructed map-side against the broadcast codebook (a scan
+    of code-bytes, never float-corpus-bytes), then scored by the same
+    ``_ivf_serve`` the float paths share. Queries stay full-precision
+    (the standard asymmetric-distance setup: only the corpus side is
+    quantized)."""
+    cb = spark.table(f"{table_prefix}_codebook")
+    cells = (
+        spark.table(f"{table_prefix}_cells")
+        .join(F.broadcast(cb))
+        .select(
+            "neighbor_id",
+            _sq8_decode(F.col("code")).alias("vec"),
+            "cell",
+        )
+        .withColumn("vnorm", _norm(F.col("vec")))
+    )
+    return _ivf_serve(
+        queries,
+        cells,
+        spark.table(f"{table_prefix}_centroids"),
+        id_col,
+        vec_col,
+        k,
+        n_probe,
+    )
+
+
 def jl_sign_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[int]]:
     """Deterministic ±1 Johnson-Lindenstrauss sign planes (Achlioptas'
     database-friendly construction — signs, not Gaussians, so the
