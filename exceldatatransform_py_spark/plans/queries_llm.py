@@ -3595,3 +3595,59 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(
         vids, id_col="doc_id", video_col="video", cut_mean_delta=_VID_CUT
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental novelty, scored end-to-end: split the corpus by id,
+# BUILD the persisted dedup index over the corpus side (bucketed
+# band + shingle tables — the same tables the MinHash probe uses),
+# then PROBE the held-out batch against it with incremental_novelty.
+# This makes the continuous-ingest probe itself driver-scorable: the
+# oracle recomputes batch-vs-corpus shingle novelty from first
+# principles, so a probe that re-shingled the corpus wrong, dropped
+# postings, or mis-joined the bucketed table diverges. The index
+# tables land under the system temp dir with an sf-scoped prefix
+# (build is idempotent: mode=overwrite), the one deliberate side
+# effect a build/serve query pair needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_novelty_probe",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    corpus_sh AS (
+      SELECT DISTINCT h, g FROM inv WHERE doc_id % 4 != 0
+    ),
+    b AS (SELECT doc_id, h, g FROM inv WHERE doc_id % 4 = 0),
+    per AS (
+      SELECT b.doc_id, count(*) AS n_sh,
+             sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+      FROM b LEFT JOIN corpus_sh c ON b.h = c.h AND b.g = c.g
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_sh AS DOUBLE) AS novelty_ratio
+    FROM per
+    """,
+)
+def incremental_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_novelty,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"novq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_dedup_index(corpus, prefix, n_buckets=8, path=path)
+    return incremental_novelty(spark, prefix, batch)

@@ -807,3 +807,100 @@ def test_sq8_roundtrip_is_within_one_level(spark):
     )
     assert chk.filter(F.col("bad")).count() == 0
     assert chk.count() == 200
+
+
+def test_streaming_ingest_loop_with_incremental_simhash(spark, tmp_path):
+    """The SimHash twin of the MinHash streaming ingest loop: a
+    document stream drained through ``foreachBatch``, each micro-batch
+    probed against the persisted SimHash index
+    (``incremental_simhash_near_dup``), near-dups dropped, survivors
+    admitted (``append_to_simhash_index``) so later batches see
+    earlier ones. ``max_band_docs=None`` keeps the pigeonhole recall
+    exact, so the stream's decisions are checkable against the live
+    ``simhash_near_dup`` ground truth."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_simhash_index,
+        build_simhash_index,
+        incremental_simhash_near_dup,
+        simhash64,
+        simhash_near_dup,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") >= 400)
+    wave1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    wave2 = docs.filter(F.col("doc_id") < 200)
+
+    prefix = "simhash_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_simhash_index(seed, prefix, n_buckets=4, path=str(tmp_path / "sh"))
+
+    flagged: list[int] = []
+    admitted: list[int] = []
+
+    def ingest(batch_df, _bid):
+        pairs = incremental_simhash_near_dup(
+            spark, prefix, batch_df, ham_max=3, max_band_docs=None
+        )
+        dup_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+        keep = batch_df.join(dup_ids, "doc_id", "left_anti")
+        flagged.extend(r.doc_id for r in dup_ids.collect())
+        admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+        append_to_simhash_index(keep, prefix)
+
+    def drain():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def live_pairs(subset):
+        fp = simhash64(subset, "doc_id", "text")
+        return simhash_near_dup(
+            fp, "doc_id", "simhash", ham_max=3, max_band_docs=10**9
+        )
+
+    try:
+        wave1.write.mode("append").parquet(in_dir)
+        drain()
+        admitted_w1 = sorted(admitted)
+        wave2.write.mode("append").parquet(in_dir)
+        drain()
+
+        # ground truth for wave 1: near-dup of the SEED corpus only
+        full1 = live_pairs(docs.filter(F.col("doc_id") >= 200))
+        w1_expected_flagged = sorted(
+            {
+                r.a_id
+                for r in full1.filter(
+                    (F.col("a_id") >= 200)
+                    & (F.col("a_id") < 400)
+                    & (F.col("b_id") >= 400)
+                ).collect()
+            }
+        )
+        got_w1_flagged = sorted(set(range(200, 400)) - set(admitted_w1))
+        assert got_w1_flagged == w1_expected_flagged
+        # wave 2 was checked against seed + admitted wave-1 docs
+        visible = set(
+            r.doc_id for r in seed.select("doc_id").collect()
+        ) | set(admitted_w1)
+        full_all = live_pairs(docs)
+        cross2 = {
+            r.a_id
+            for r in full_all.filter(F.col("a_id") < 200).collect()
+            if r.b_id in visible
+        }
+        w2_flagged = set(flagged) - set(got_w1_flagged)
+        assert w2_flagged == cross2
+        # the corpus carries hamming<=3 duplicates, so the loop must
+        # actually have flagged some
+        assert flagged, "no simhash near-dups flagged across the stream"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
