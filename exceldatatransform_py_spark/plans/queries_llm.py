@@ -3651,3 +3651,145 @@ def incremental_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
     build_dedup_index(corpus, prefix, n_buckets=8, path=path)
     return incremental_novelty(spark, prefix, batch)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup, scored end-to-end (the probe twin of
+# incremental_novelty_probe): index the corpus split, probe the
+# held-out batch. The oracle reuses the full-LSH banding CTEs and
+# takes the CROSS slice (one side in the batch, one in the corpus),
+# re-oriented so the batch doc is id_a — band agreement and Jaccard
+# are symmetric, so the slice is exactly what the probe must return
+# (pinned operator-level by test_incremental_near_dup_matches_full_batch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_near_dup_probe",
+    oracle=_mh_oracle()
+    + """
+    SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS id_a,
+           CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS id_b,
+           jaccard
+    FROM mh
+    WHERE (id_a % 4 = 0) != (id_b % 4 = 0)
+    """,
+)
+def incremental_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_near_dup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"incdupq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_dedup_index(corpus, prefix, n_buckets=8, path=path)
+    return incremental_near_dup(spark, prefix, batch, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 served from the persisted quantized index, scored: build
+# the index (cells = uint8 codes partitioned by cell, one-row
+# codebook, float centroids), serve top-5 with full-precision queries
+# against reconstructed corpus vectors (asymmetric distance). The
+# oracle recomputes the codebook, the reconstruction, the cell
+# assignment (on ORIGINAL floats, as the build does), the probes,
+# and the fixed-point cosine ranking — every stage engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sq8_oracle() -> str:
+    recon = (
+        "los[i] + (CASE WHEN his[i] = los[i] THEN 0.0 ELSE "
+        "floor((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0 "
+        "/ (his[i] - los[i])) END) * (his[i] - los[i]) / 255.0"
+    )
+    return f"""
+    WITH xstats AS (
+      SELECT i, min(embedding[i]) AS lo, max(embedding[i]) AS hi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY i
+    ),
+    arrs AS (
+      SELECT list(CAST(lo AS DOUBLE) ORDER BY i) AS los,
+             list(CAST(hi AS DOUBLE) ORDER BY i) AS his
+      FROM xstats
+    ),
+    rec AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1), i -> {recon}) AS rv
+      FROM embeddings, arrs
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS ark
+        FROM embeddings e, cents c
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prk
+        FROM embeddings q, cents c WHERE q.vec_id < 10
+      ) WHERE prk <= 2
+    ),
+    s AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             {_cos_sql('p.qv', 'r.rv')} AS cosine
+      FROM probes p
+      JOIN asg a USING (cell)
+      JOIN rec r ON r.vec_id = a.neighbor_id
+      WHERE p.query_id != r.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_sq8_index,
+        ivf_sq8_topk_from_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"ivfsq8q_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_ivf_sq8_index(
+        emb, centroids, prefix, path=path, id_col="vec_id",
+        vec_col="embedding",
+    )
+    return ivf_sq8_topk_from_index(
+        spark, prefix, emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
+    )
