@@ -3793,3 +3793,61 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, prefix, emb.filter(F.col("vec_id") < 10),
         id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash probe, scored end-to-end (completing the scored
+# build+probe family: MinHash ✓ novelty ✓ IVF-SQ8 ✓): index the
+# corpus id-split's band table, probe the held-out batch.
+# max_band_docs=None keeps the pigeonhole recall exact, so the oracle
+# is the plain cross-banded hamming join with no hot-bucket modeling.
+# ---------------------------------------------------------------------------
+
+
+def _incr_simhash_oracle() -> str:
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sifp AS ({_simhash_oracle(p='si')}),
+    sib AS (
+      SELECT doc_id, simhash, band, (simhash >> shift) & mask AS bv
+      FROM sifp, (VALUES {band_rows}) AS bands(band, shift, mask)
+    ),
+    sip AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS afp, b.simhash AS bfp
+      FROM sib a JOIN sib b USING (band, bv)
+      WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+    ),
+    sih AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+      FROM sip
+    )
+    SELECT id_a, id_b, hamming FROM sih WHERE hamming <= 3
+    """
+
+
+@register("incremental_simhash_probe", oracle=_incr_simhash_oracle())
+def incremental_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_simhash_index,
+        incremental_simhash_near_dup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"incsimq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_simhash_index(corpus, prefix, n_buckets=8, path=path)
+    return incremental_simhash_near_dup(
+        spark, prefix, batch, ham_max=3, max_band_docs=None
+    )
