@@ -800,3 +800,69 @@ def test_span_clean_is_single_data_pass_plus_interval_map(spark):
     assert "CartesianProduct" not in plan
     # anti-join shape is gone: no LeftAnti anywhere in the plan.
     assert "LeftAnti" not in plan
+
+
+def test_video_pipeline_is_map_only(spark):
+    """pack → demux → decode → frame stats must never shuffle the
+    video bytes: the only Exchange allowed is the deliberate scan
+    fan-out (single-row-group testdata parquet → repartition BEFORE
+    any payload exists); after the first MapInPandas packs the
+    containers, nothing may move them."""
+    plan = plan_of(spark, "video_scene_cuts")
+    assert n_exchanges(plan) <= 1  # the pre-pack scan fan-out only
+    # pack_video + video_frame_stats, nothing else (detail headers,
+    # like n_exchanges — tree + details double-count substrings)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "Window" not in plan and "HashAggregate" not in plan
+    # the fan-out exchange must sit BELOW both MapInPandas nodes in
+    # the plan tree (i.e., later in the tree text = earlier execution)
+    tree = plan.split("\n\n")[0]
+    first_map = tree.find("MapInPandas")
+    exch = tree.find("Exchange")
+    assert exch == -1 or exch > first_map >= 0
+
+
+def test_merge_full_clause_flags_pick_weakest_join(spark):
+    """The clause combination decides the join type: update-only stays
+    LEFT (broadcastable), update+delete collapses to INNER, and only
+    INSERT pays an outer join that must keep unmatched source rows."""
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.operators.merge import merge_full
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    target = read_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ups = target.limit(10).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+
+    def plan(insert, delete):
+        df = merge_full(
+            target, ups, on=["o_orderkey"], update_cols=["o_totalprice"],
+            insert=insert, delete_unmatched_target=delete,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "LeftOuter" in plan(False, False)
+    assert "Inner" in plan(False, True) and "Outer" not in plan(False, True)
+    assert "FullOuter" in plan(True, False)
+    assert "RightOuter" in plan(True, True)
+
+
+def test_scored_index_probes_scan_no_corpus_text(spark):
+    """The scored build+probe twins must not re-read corpus text on
+    the probe side: after the build, the probe plan's only
+    documents-text scan is the batch filter (doc_id % 4 = 0)."""
+    for name in ("incremental_near_dup_probe", "incremental_simhash_probe",
+                 "incremental_novelty_probe"):
+        plan = plan_of(spark, name)
+        text_scans = [
+            s for s in plan.split("ReadSchema")[1:]
+            if "text:string" in s.splitlines()[0]
+        ]
+        assert len(text_scans) <= 1, f"{name} re-scans corpus text"
