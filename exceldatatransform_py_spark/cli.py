@@ -201,8 +201,9 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
         raise SystemExit(f"index {args.action} {args.kind}: --input is required")
     if args.action == "build" and not args.path:
         raise SystemExit(f"index build {args.kind}: --path is required")
-    if args.action == "build" and args.kind == "ivf" and not args.centroids:
-        raise SystemExit("index build ivf: --centroids is required")
+    if (args.action == "build" and args.kind in ("ivf", "ivf_sq8")
+            and not args.centroids):
+        raise SystemExit(f"index build {args.kind}: --centroids is required")
     df = spark.read.parquet(args.input)
 
     def deliver(out):
@@ -242,25 +243,29 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
             deliver(probe(spark, args.prefix, df, id_col, text_col))
         return
 
-    if args.kind in ("ivf", "lsh"):
+    if args.kind in ("ivf", "ivf_sq8", "lsh"):
         from exceldatatransform_py_spark.operators import similarity as sim
 
         id_col, vec_col = args.id_col, args.vec_col
         if args.action == "build":
-            if args.kind == "ivf":
+            if args.kind in ("ivf", "ivf_sq8"):
                 cent = spark.read.parquet(args.centroids)
-                sim.build_ivf_index(df, cent, args.prefix, path=args.path,
-                                    id_col=id_col, vec_col=vec_col)
+                build = (sim.build_ivf_index if args.kind == "ivf"
+                         else sim.build_ivf_sq8_index)
+                build(df, cent, args.prefix, path=args.path,
+                      id_col=id_col, vec_col=vec_col)
             else:
                 sim.build_lsh_index(df, args.prefix, path=args.path,
                                     id_col=id_col, vec_col=vec_col)
         elif args.action == "append":
-            append = (sim.append_to_ivf_index if args.kind == "ivf"
-                      else sim.append_to_lsh_index)
+            append = {"ivf": sim.append_to_ivf_index,
+                      "ivf_sq8": sim.append_to_ivf_sq8_index,
+                      "lsh": sim.append_to_lsh_index}[args.kind]
             append(spark, df, args.prefix, id_col=id_col, vec_col=vec_col)
         else:
-            serve = (sim.ivf_topk_from_index if args.kind == "ivf"
-                     else sim.lsh_topk_from_index)
+            serve = {"ivf": sim.ivf_topk_from_index,
+                     "ivf_sq8": sim.ivf_sq8_topk_from_index,
+                     "lsh": sim.lsh_topk_from_index}[args.kind]
             deliver(serve(spark, args.prefix, df, id_col=id_col,
                           vec_col=vec_col, k=args.k))
         return
@@ -321,8 +326,8 @@ def main(argv: list[str] | None = None) -> None:
                              "retrieval & dedup indexes")
     ix.add_argument("action", choices=["build", "probe", "append"])
     ix.add_argument("kind",
-                    choices=["dedup", "simhash", "novelty", "ivf", "lsh",
-                             "bm25"])
+                    choices=["dedup", "simhash", "novelty", "ivf", "ivf_sq8",
+                             "lsh", "bm25"])
     ix.add_argument("--prefix", required=True,
                     help="catalog table prefix, e.g. corpus_dedup")
     ix.add_argument("--input", default=None,

@@ -630,14 +630,27 @@ def sq8_codebook(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def _sq8_encode(vec: Column) -> Column:
     """float array → tinyint codes (bias −128 so the 0..255 level fits
-    parquet's INT(8)); requires ``los``/``his`` columns in scope."""
+    parquet's INT(8)); requires ``los``/``his`` columns in scope.
+
+    Levels clamp to [0, 255]: a no-op for build-time data (every value
+    sits inside its dimension's trained (lo, hi) by construction, so
+    the oracle's unclamped floor formula matches exactly), load-bearing
+    for APPENDED batches, whose values may fall outside the frozen
+    codebook's range and must saturate rather than wrap the tinyint."""
 
     def enc(x, i):
         lo = F.element_at(F.col("los"), i + 1)
         hi = F.element_at(F.col("his"), i + 1)
         q = F.when(hi == lo, F.lit(0)).otherwise(
-            F.floor((x.cast("double") - lo) * F.lit(255.0) / (hi - lo))
-            .cast("int")
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x.cast("double") - lo) * F.lit(255.0) / (hi - lo)
+                    ).cast("int"),
+                ),
+            )
         )
         return (q - F.lit(128)).cast("tinyint")
 
@@ -703,6 +716,38 @@ def build_ivf_sq8_index(
         .write.mode("overwrite")
         .option("path", f"{path}/codebook")
         .saveAsTable(f"{table_prefix}_codebook")
+    )
+
+
+def append_to_ivf_sq8_index(
+    spark,
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Continuous-ingest step for the quantized index (completing its
+    build/serve/append triple): the new batch is assigned against the
+    STORED centroids and encoded with the STORED codebook — the
+    standard production contract: a scalar quantizer is trained once
+    and replayed on new data (retraining would silently re-code the
+    whole corpus, so appends deliberately never touch the codebook).
+    Values outside the trained (lo, hi) range clamp to the extreme
+    levels. Work scales with the batch; partition-append keeps the
+    probe-time pruning working."""
+    centroids = spark.table(f"{table_prefix}_centroids")
+    cb = spark.table(f"{table_prefix}_codebook")
+    cells = ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    coded = (
+        new_vectors.join(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8_encode(F.col(vec_col)).alias("code"),
+        )
+        .join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    )
+    coded.write.mode("append").partitionBy("cell").saveAsTable(
+        f"{table_prefix}_cells"
     )
 
 

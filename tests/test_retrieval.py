@@ -904,3 +904,64 @@ def test_streaming_ingest_loop_with_incremental_simhash(spark, tmp_path):
         assert flagged, "no simhash near-dups flagged across the stream"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
+
+
+def test_ivf_sq8_append_uses_frozen_codebook(spark, tmp_path):
+    """Appending to the quantized index must NOT retrain the codebook
+    (retraining would silently re-code the corpus): the batch is
+    encoded with the stored (lo, hi) arrays, out-of-range values
+    saturate to the extreme levels, assignment runs against the stored
+    centroids, and the appended rows are served."""
+    import math
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        append_to_ivf_sq8_index,
+        build_ivf_sq8_index,
+        ivf_sq8_topk_from_index,
+    )
+
+    emb, centroids, queries = _ivf_parts(spark)
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter(F.col("vec_id") < 100)
+    prefix = "ivfsq8_append_idx"
+    build_ivf_sq8_index(
+        old, centroids, prefix, path=str(tmp_path / "qa"),
+        id_col="vec_id", vec_col="embedding",
+    )
+    try:
+        cb_before = spark.table(f"{prefix}_codebook").collect()
+        append_to_ivf_sq8_index(
+            spark, new, prefix, id_col="vec_id", vec_col="embedding"
+        )
+        assert spark.table(f"{prefix}_codebook").collect() == cb_before
+        cells = spark.table(f"{prefix}_cells")
+        assert cells.count() == emb.count()  # old + appended, no dupes
+
+        # code exactness: one appended row recomputed locally with the
+        # FROZEN codebook (the batch was not in training, so clamping
+        # is actually exercised by out-of-range elements)
+        los, his = cb_before[0]["los"], cb_before[0]["his"]
+        vec = new.filter(F.col("vec_id") == 3).first()["embedding"]
+        stored = list(
+            cells.filter(F.col("neighbor_id") == 3).first()["code"]
+        )
+        exp = []
+        for i, x in enumerate(vec):
+            lo, hi = los[i], his[i]
+            q = 0 if hi == lo else min(
+                255, max(0, math.floor((float(x) - lo) * 255.0 / (hi - lo)))
+            )
+            exp.append(q - 128)
+        assert stored == exp
+
+        # appended vectors are served: the <10 queries are themselves
+        # appended rows and must find appended neighbors
+        res = ivf_sq8_topk_from_index(
+            spark, prefix, queries, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=2,
+        ).collect()
+        assert len(res) == 10 * 5
+        assert any(r.neighbor_id < 100 for r in res)
+    finally:
+        for t in ("cells", "centroids", "codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
