@@ -463,6 +463,16 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "k_anonymity_audit",
         "order_total_consistency_audit",
         "revenue_concentration_gini",
+        # round-6 batch: decoded-pixel video stats, the full-clause
+        # merge, and the scored build+probe twins (index build runs
+        # inside the query, so the bucketed/partitioned layout itself
+        # must make the probe partitioning-independent).
+        "video_scene_cuts",
+        "merge_full_orders",
+        "incremental_novelty_probe",
+        "incremental_near_dup_probe",
+        "incremental_simhash_probe",
+        "ann_ivf_sq8_topk",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):

@@ -965,3 +965,78 @@ def test_ivf_sq8_append_uses_frozen_codebook(spark, tmp_path):
     finally:
         for t in ("cells", "centroids", "codebook"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_streaming_ingest_loop_with_lsh_append(spark, tmp_path):
+    """The LSH twin of the IVF streaming ingest loop (completing the
+    foreachBatch matrix: MinHash, SimHash, IVF, LSH): each micro-batch
+    is bucketed against the STORED planes and partition-appended; after
+    both waves the index serves identically to a from-scratch rebuild
+    (the planes are deterministic, so rebuild and append agree)."""
+    from exceldatatransform_py_spark.operators.similarity import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_topk_from_index,
+    )
+
+    emb, _, queries = _ivf_parts(spark)
+    seed = emb.filter(F.col("vec_id") >= 300)
+    wave1 = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300))
+    wave2 = emb.filter(F.col("vec_id") < 150)
+
+    prefix = "lsh_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_lsh_index(
+        seed, prefix, path=str(tmp_path / "lsh"),
+        id_col="vec_id", vec_col="embedding",
+    )
+
+    stream_schema = emb.select("vec_id", "embedding").schema
+
+    def ingest(batch_df, _bid):
+        append_to_lsh_index(
+            spark, batch_df, prefix, id_col="vec_id", vec_col="embedding"
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(stream_schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.select("vec_id", "embedding").write.mode("append").parquet(in_dir)
+        drain()
+        wave2.select("vec_id", "embedding").write.mode("append").parquet(in_dir)
+        drain()
+
+        served = sorted(
+            tuple(r)
+            for r in lsh_topk_from_index(
+                spark, prefix, queries, id_col="vec_id",
+                vec_col="embedding", k=5,
+            ).collect()
+        )
+        build_lsh_index(
+            emb, "lsh_rebuild_ref", path=str(tmp_path / "ref"),
+            id_col="vec_id", vec_col="embedding",
+        )
+        rebuilt = sorted(
+            tuple(r)
+            for r in lsh_topk_from_index(
+                spark, "lsh_rebuild_ref", queries, id_col="vec_id",
+                vec_col="embedding", k=5,
+            ).collect()
+        )
+        assert served == rebuilt
+        assert served  # the probed buckets are not empty
+    finally:
+        for pre in (prefix, "lsh_rebuild_ref"):
+            for t in ("buckets", "planes"):
+                spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
