@@ -283,6 +283,59 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
         deliver(ret.bm25_topk_from_index(spark, args.prefix, df, k=args.k))
 
 
+def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Drive the versioned snapshot table layer from the command line
+    — the table-format workflows (write / merge / read / history /
+    rollback / vacuum / compact) that are otherwise API-only."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    a = args.action
+    if a in ("write", "merge") and not args.input:
+        raise SystemExit(f"snapshot {a}: --input is required")
+    if a == "merge" and (not args.on or not args.update_cols):
+        raise SystemExit("snapshot merge: --on and --update-cols are required")
+
+    if a == "write":
+        df = spark.read.parquet(args.input)
+        stats = args.stats_cols.split(",") if args.stats_cols else ()
+        v = snap.snapshot_write(args.table, df, stats_cols=stats)
+        print(f"committed version {v}", file=sys.stderr)
+    elif a == "merge":
+        df = spark.read.parquet(args.input)
+        v = snap.snapshot_merge_update(
+            spark, args.table, df,
+            on=args.on.split(","),
+            update_cols=args.update_cols.split(","),
+            max_retries=args.max_retries,
+            when_not_matched_insert=args.insert,
+            when_not_matched_by_source_delete=args.delete_by_source,
+        )
+        print(f"committed version {v}", file=sys.stderr)
+    elif a == "read":
+        out = snap.snapshot_read(spark, args.table, version=args.version)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote snapshot read to {args.output}", file=sys.stderr)
+        else:
+            out.show(args.limit, truncate=False)
+    elif a == "history":
+        for entry in snap.snapshot_history(args.table):
+            print(entry)
+    elif a == "rollback":
+        if args.version is None:
+            raise SystemExit("snapshot rollback: --version is required")
+        v = snap.rollback(args.table, args.version)
+        print(f"restored v{args.version} as version {v}", file=sys.stderr)
+    elif a == "vacuum":
+        dropped = snap.vacuum(args.table, keep_last=args.keep_last)
+        print(f"vacuumed versions {dropped}", file=sys.stderr)
+    else:  # compact
+        v = snap.snapshot_compact(
+            spark, args.table, target_rows_per_file=args.target_rows
+        )
+        print(f"committed compacted version {v}", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="exceldatatransform_py_spark",
@@ -345,6 +398,36 @@ def main(argv: list[str] | None = None) -> None:
                     help="parquet dir or .csv path; omit to print")
     ix.add_argument("--limit", type=int, default=20)
 
+    sn = sub.add_parser("snapshot",
+                        help="versioned snapshot tables: write / merge / "
+                             "read / history / rollback / vacuum / compact")
+    sn.add_argument("action",
+                    choices=["write", "merge", "read", "history",
+                             "rollback", "vacuum", "compact"])
+    sn.add_argument("--table", required=True, help="snapshot table root dir")
+    sn.add_argument("--input", default=None,
+                    help="parquet of rows to write / merge")
+    sn.add_argument("--on", default=None, help="merge keys, comma-separated")
+    sn.add_argument("--update-cols", default=None,
+                    help="columns the merge overwrites, comma-separated")
+    sn.add_argument("--insert", action="store_true",
+                    help="merge: WHEN NOT MATCHED THEN INSERT")
+    sn.add_argument("--delete-by-source", action="store_true",
+                    help="merge: WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    sn.add_argument("--max-retries", type=int, default=2,
+                    help="merge: CAS retries on concurrent-commit conflict")
+    sn.add_argument("--stats-cols", default=None,
+                    help="write: cache per-file min/max for these columns")
+    sn.add_argument("--version", type=int, default=None,
+                    help="read/rollback: version number")
+    sn.add_argument("--keep-last", type=int, default=2,
+                    help="vacuum: versions to retain")
+    sn.add_argument("--target-rows", type=int, default=1_000_000,
+                    help="compact: target rows per file")
+    sn.add_argument("--output", default=None,
+                    help="read: parquet dir; omit to print")
+    sn.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"edt-{args.cmd}")
     {
@@ -353,6 +436,7 @@ def main(argv: list[str] | None = None) -> None:
         "explain": cmd_explain,
         "query": cmd_query,
         "index": cmd_index,
+        "snapshot": cmd_snapshot,
     }[args.cmd](spark, args)
 
 

@@ -204,3 +204,54 @@ def test_cli_index_build_probe_append_loop(spark, tmp_path):
     finally:
         for t in ("bands", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_cli_snapshot_workflows(spark, tmp_path, capsys):
+    """snapshot write → merge (insert+delete) → read → history →
+    rollback → vacuum driven entirely through the CLI."""
+    base = os.path.join(str(tmp_path), "base.parquet")
+    ups = os.path.join(str(tmp_path), "ups.parquet")
+    table = os.path.join(str(tmp_path), "tbl")
+    out = os.path.join(str(tmp_path), "read_out")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, x double"
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(2, 99.0), (9, 9.0)], "k int, x double"
+    ).write.parquet(ups)
+
+    main(["snapshot", "write", "--table", table, "--input", base])
+    main(["snapshot", "merge", "--table", table, "--input", ups,
+          "--on", "k", "--update-cols", "x",
+          "--insert", "--delete-by-source"])
+    main(["snapshot", "read", "--table", table, "--output", out])
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(2, 99.0), (9, 9.0)]  # 2 updated, 9 inserted, 1/3 deleted
+
+    main(["snapshot", "history", "--table", table])
+    hist = capsys.readouterr().out.strip().splitlines()
+    assert len(hist) == 2 and "'merge_update'" in hist[1]
+
+    # time travel via rollback, then read latest
+    main(["snapshot", "rollback", "--table", table, "--version", "0"])
+    main(["snapshot", "read", "--table", table, "--output", out])
+    got0 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got0 == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+    main(["snapshot", "vacuum", "--table", table, "--keep-last", "2"])
+    # v1's dir may be dropped (v2 is a rollback alias of v0's dir);
+    # latest still reads
+    main(["snapshot", "read", "--table", table, "--output", out])
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == got0
+
+
+def test_cli_snapshot_validates_options(spark, tmp_path):
+    table = os.path.join(str(tmp_path), "tbl2")
+    with pytest.raises(SystemExit):
+        main(["snapshot", "write", "--table", table])  # no --input
+    with pytest.raises(SystemExit):
+        main(["snapshot", "merge", "--table", table, "--input", "x"])
+    with pytest.raises(SystemExit):
+        main(["snapshot", "rollback", "--table", table])  # no --version
