@@ -265,6 +265,51 @@ def test_merge_update_invariants(spark, target_keys, update_keys):
         assert got[k] == (expect_v, float(k))    # overwrite vs untouched
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(0, 12), min_size=0, max_size=15, unique=True),
+    st.booleans(),
+    st.booleans(),
+)
+def test_merge_full_matches_sequential_reference(
+    spark, target_keys, update_keys, insert, delete
+):
+    """For every clause combination, merge_full equals the sequential
+    MERGE reference computed in plain Python: matched → overwrite,
+    unmatched source → insert iff enabled (non-update cols NULL),
+    unmatched target → delete iff enabled."""
+    from exceldatatransform_py_spark.operators.merge import merge_full
+
+    target = spark.createDataFrame(
+        [(k, f"t{k}", float(k)) for k in target_keys],
+        "k int, v string, x double",
+    )
+    updates = spark.createDataFrame(
+        [(k, f"u{k}") for k in update_keys], "k int, v string"
+    ) if update_keys else spark.createDataFrame([], "k int, v string")
+
+    got = {
+        r["k"]: (r["v"], r["x"])
+        for r in merge_full(
+            target, updates, on=["k"], update_cols=["v"],
+            insert=insert, delete_unmatched_target=delete,
+        ).collect()
+    }
+
+    expect = {}
+    for k in target_keys:
+        if k in update_keys:
+            expect[k] = (f"u{k}", float(k))
+        elif not delete:
+            expect[k] = (f"t{k}", float(k))
+    if insert:
+        for k in update_keys:
+            if k not in target_keys:
+                expect[k] = (f"u{k}", None)
+    assert got == expect
+
+
 # ---------------------------------------------------------------------------
 # Connected components: pointer-doubling must converge in O(log n)
 # rounds on the adversarial chain shape (pure min-propagation needs
