@@ -312,7 +312,9 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
         )
         print(f"committed version {v}", file=sys.stderr)
     elif a == "read":
-        out = snap.snapshot_read(spark, args.table, version=args.version)
+        out = snap.snapshot_read(
+            spark, args.table, version=args.version, as_of_ts=args.as_of_ts
+        )
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"wrote snapshot read to {args.output}", file=sys.stderr)
@@ -420,6 +422,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="write: cache per-file min/max for these columns")
     sn.add_argument("--version", type=int, default=None,
                     help="read/rollback: version number")
+    sn.add_argument("--as-of-ts", type=float, default=None,
+                    help="read: TIMESTAMP AS OF (epoch seconds)")
     sn.add_argument("--keep-last", type=int, default=2,
                     help="vacuum: versions to retain")
     sn.add_argument("--target-rows", type=int, default=1_000_000,

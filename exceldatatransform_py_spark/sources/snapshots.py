@@ -179,6 +179,8 @@ def _commit(
     parent: int | None,
     stats_cols: Sequence[str] = (),
 ) -> int:
+    import time
+
     v = 0 if parent is None else parent + 1
     data_dir = f"d{v:05d}"
     _stage_data_dir(table, df, data_dir)
@@ -187,6 +189,7 @@ def _commit(
         "data_dir": data_dir,
         "kind": kind,
         "parent": parent,
+        "ts": time.time(),
         "schema": df.schema.jsonValue(),
     }
     if stats_cols:
@@ -257,15 +260,32 @@ def _manifest_files(table: str, manifest: dict) -> list[str]:
 
 
 def snapshot_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Read ``table`` at ``version`` (default: latest). Time travel is
-    just manifest resolution — no data is ever rewritten or copied."""
+    """Read ``table`` at ``version`` (default: latest), or AS OF a
+    wall-clock epoch with ``as_of_ts`` — the latest version whose
+    commit timestamp is ≤ the given instant (Delta's ``TIMESTAMP AS
+    OF``). Time travel is just manifest resolution — no data is ever
+    rewritten or copied. Pre-timestamp manifests (older layouts)
+    count as ts 0, i.e. visible at any as-of instant."""
     ms = _manifests(table)
     if not ms:
         raise FileNotFoundError(f"no versions in {table}")
     by_v = {m["version"]: m for m in ms}
-    v = ms[-1]["version"] if version is None else version
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass either version or as_of_ts, not both")
+    if as_of_ts is not None:
+        eligible = [m["version"] for m in ms if m.get("ts", 0) <= as_of_ts]
+        if not eligible:
+            raise ValueError(
+                f"no version of {table} existed at ts {as_of_ts}"
+            )
+        v = max(eligible)
+    else:
+        v = ms[-1]["version"] if version is None else version
     if v not in by_v:
         raise ValueError(f"version {v} not in {sorted(by_v)}")
     m = by_v[v]
@@ -483,12 +503,15 @@ def snapshot_merge_update_pruned(
     schema = (
         merged.schema.jsonValue() if need_write else latest["schema"]
     )
+    import time as _t
+
     manifest = {
         "version": v,
         "data_dir": data_dir,
         "files": new_files + inherited,
         "kind": "merge_update_pruned",
         "parent": latest["version"],
+        "ts": _t.time(),
         "schema": schema,
         "stats": file_stats,
         "pruning": {
@@ -514,9 +537,14 @@ def rollback(table: str, version: int) -> int:
     by_v = {m["version"]: m for m in ms}
     if version not in by_v:
         raise ValueError(f"version {version} not in {sorted(by_v)}")
+    import time
+
     parent = ms[-1]["version"]
     v = parent + 1
-    manifest = dict(by_v[version], version=v, kind="rollback", parent=parent)
+    manifest = dict(
+        by_v[version], version=v, kind="rollback", parent=parent,
+        ts=time.time(),
+    )
     _publish(table, manifest)
     return v
 
@@ -579,6 +607,7 @@ def snapshot_history(table: str) -> list[dict]:
                 "version": m["version"],
                 "kind": m["kind"],
                 "parent": m["parent"],
+                "ts": m.get("ts"),
                 "n_files": len(_manifest_files(table, m)),
                 "has_stats": bool(m.get("stats")),
             }

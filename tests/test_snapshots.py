@@ -717,3 +717,27 @@ def test_pruned_merge_insert_only_commit(spark, table):
     got = _rows(snapshot_read(spark, table, version=v))
     assert got == sorted([(i, float(i)) for i in range(5)]
                          + [(50, 1.0), (60, 2.0)])
+
+
+def test_read_as_of_timestamp(spark, table):
+    """TIMESTAMP AS OF: the latest version whose commit ts ≤ the given
+    instant; before the first commit is an error; version and as_of_ts
+    are mutually exclusive."""
+    df0 = spark.createDataFrame([(1, 10.0)], "k int, x double")
+    df1 = spark.createDataFrame([(1, 99.0)], "k int, x double")
+    snapshot_write(table, df0)
+    t_between = time.time()
+    time.sleep(0.05)
+    snapshot_write(table, df1)
+    assert _rows(snapshot_read(spark, table, as_of_ts=t_between)) == [(1, 10.0)]
+    assert _rows(snapshot_read(spark, table, as_of_ts=time.time())) == [(1, 99.0)]
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, as_of_ts=0.0)  # before any commit
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=0, as_of_ts=t_between)
+    # history carries the commit timestamps
+    from exceldatatransform_py_spark.sources.snapshots import snapshot_history
+
+    hist = snapshot_history(table)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["ts"] < hist[1]["ts"]
