@@ -140,6 +140,76 @@ def merge_full(
     )
 
 
+def latest_changes(
+    changes: DataFrame, on: Sequence[str], seq_col: str
+) -> DataFrame:
+    """SEQUENCE BY: collapse a CDC feed to the LATEST change per key
+    (highest ``seq_col``; ties broken arbitrarily are a feed bug — a
+    real CDC source's sequence is unique per key). One ranked window
+    partitioned by the key: a single shuffle on the same key the apply
+    join uses, so at 100 TB the two stages share their partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    on: Sequence[str],
+    update_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """APPLY CHANGES INTO: play a deduplicated CDC feed onto a target.
+
+    Each change row carries an operation in ``op_col``: ``delete_op``
+    removes the matched target row (a delete for a key the target
+    lacks is a no-op); every other op is an UPSERT — matched rows get
+    ``update_cols`` overwritten, unmatched change rows are inserted
+    (non-key, non-update columns NULL). ``changes`` must hold ONE row
+    per key — run ``latest_changes`` first (the sequence_by step).
+
+    Plan shape: ONE full-outer equi-join (inserts force the outer);
+    all three outcomes are row-local predicates on the presence
+    indicators and the op value — no anti-join, no union of clause
+    outputs, no second pass over the target.
+    """
+    missing = [c for c in [*on, *update_cols, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"apply_changes: changes missing columns {missing}")
+
+    t = target.withColumn("__t", F.lit(True))
+    u = changes.select(
+        *[F.col(c).alias(f"__upd_{c}") for c in [*on, *update_cols]],
+        F.col(op_col).alias("__op"),
+        F.lit(True).alias("__u"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [t[k].eqNullSafe(F.col(f"__upd_{k}")) for k in on],
+    )
+    joined = t.join(u, cond, "full_outer")
+    tp = F.col("__t").isNotNull()
+    up = F.col("__u").isNotNull()
+    keep = (tp & ~up) | (up & (F.col("__op") != F.lit(delete_op)))
+
+    def out_col(c: str):
+        if c in update_cols:
+            return F.coalesce(F.col(f"__upd_{c}"), t[c]).alias(c)
+        if c in on:
+            return F.coalesce(t[c], F.col(f"__upd_{c}")).alias(c)
+        return t[c]
+
+    return joined.filter(keep).select(*[out_col(c) for c in target.columns])
+
+
 def incremental_agg_merge(
     old_agg: DataFrame,
     delta_agg: DataFrame,

@@ -413,6 +413,91 @@ def merge_full_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# APPLY CHANGES INTO (CDC apply): a change feed with out-of-order
+# versions per key is collapsed to the latest change (sequence_by),
+# then played onto the target — deletes remove, everything else
+# upserts. The feed is derived deterministically from orders so the
+# oracle can reconstruct the whole flow: keys %5==0 are deleted,
+# %5==1 updated (two versions — seq 2 must win for keys also %3==0),
+# %5==2 inserted under provably-new negative keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS price,
+             1 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', CAST(o_totalprice AS DOUBLE) * 2, 1
+      FROM orders WHERE o_orderkey % 5 = 1
+      UNION ALL
+      SELECT o_orderkey, 'U', CAST(o_totalprice AS DOUBLE) * 3, 2
+      FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey, 'I', CAST(o_totalprice AS DOUBLE), 1
+      FROM orders WHERE o_orderkey % 5 = 2
+    ),
+    last AS (
+      SELECT k, op, price FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT t.k AS o_orderkey, COALESCE(l.price, t.price) AS o_totalprice
+    FROM t LEFT JOIN last l USING (k)
+    WHERE l.op IS NULL OR l.op != 'D'
+    UNION ALL
+    SELECT l.k, l.price FROM last l ANTI JOIN t USING (k)
+    WHERE l.op != 'D'
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.merge import (
+        apply_changes,
+        latest_changes,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    feed = (
+        orders.filter(key % 5 == 0).select(
+            key.alias("o_orderkey"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+        )
+        .unionByName(orders.filter(key % 5 == 1).select(
+            key.alias("o_orderkey"), F.lit("U").alias("op"),
+            (price * 2).alias("o_totalprice"), F.lit(1).alias("seq"),
+        ))
+        .unionByName(orders.filter((key % 5 == 1) & (key % 3 == 0)).select(
+            key.alias("o_orderkey"), F.lit("U").alias("op"),
+            (price * 3).alias("o_totalprice"), F.lit(2).alias("seq"),
+        ))
+        .unionByName(orders.filter(key % 5 == 2).select(
+            (-key).alias("o_orderkey"), F.lit("I").alias("op"),
+            price.alias("o_totalprice"), F.lit(1).alias("seq"),
+        ))
+    )
+    latest = latest_changes(feed, on=["o_orderkey"], seq_col="seq")
+    return apply_changes(
+        orders, latest, on=["o_orderkey"], update_cols=["o_totalprice"],
+        op_col="op",
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 
