@@ -71,6 +71,7 @@ def merge_full(
     update_cols: Sequence[str],
     insert: bool = False,
     delete_unmatched_target: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The general MERGE INTO clause surface over plain DataFrames:
 
@@ -90,6 +91,13 @@ def merge_full(
     upgrade path a general engine needs (Delta's ``whenNotMatched...``
     clauses). ``updates`` must be unique per key (pre-aggregate — J3).
 
+    ``evolve_schema=True`` is Delta's ``withSchemaEvolution()``: any
+    ``update_cols`` entry the target LACKS is added to the output
+    schema — matched (and inserted) rows take the update value,
+    unmatched target rows get NULL. Without the flag, unknown update
+    columns raise (a typo'd column name should fail loudly, not
+    silently widen the table).
+
     Plan shape: ONE equi-join on the merge keys, and the WEAKEST join
     type the requested clauses need — ``left`` for update-only (AQE
     can broadcast the small update side, the 100 TB common case),
@@ -103,6 +111,12 @@ def merge_full(
     missing = [c for c in [*on, *update_cols] if c not in updates.columns]
     if missing:
         raise ValueError(f"merge_full: updates missing columns {missing}")
+    new_cols = [c for c in update_cols if c not in target.columns]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"merge_full: update_cols not in target: {new_cols} "
+            "(pass evolve_schema=True to add them)"
+        )
 
     t = target.withColumn("__t", F.lit(True))
     u = updates.select(
@@ -135,9 +149,11 @@ def merge_full(
     keep = (tp & up) | (tp & F.lit(not delete_unmatched_target)) | (
         up & F.lit(insert)
     )
-    return joined.filter(keep).select(
-        *[out_col(c) for c in target.columns]
-    )
+    out = [out_col(c) for c in target.columns]
+    # schema evolution: brand-new columns ride in from the update side
+    # (NULL wherever no update row matched)
+    out += [F.col(f"__upd_{c}").alias(c) for c in new_cols]
+    return joined.filter(keep).select(*out)
 
 
 def latest_changes(

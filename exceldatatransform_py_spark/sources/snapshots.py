@@ -308,6 +308,7 @@ def snapshot_merge_update(
     max_retries: int = 0,
     when_not_matched_insert: bool = False,
     when_not_matched_by_source_delete: bool = False,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO as a snapshot commit: merge ``updates`` into the
     latest version and commit the result as a NEW version — the
@@ -342,6 +343,7 @@ def snapshot_merge_update(
             current, updates, on=on, update_cols=update_cols,
             insert=when_not_matched_insert,
             delete_unmatched_target=when_not_matched_by_source_delete,
+            evolve_schema=evolve_schema,
         )
         try:
             return _commit(table, merged, "merge_update", parent)

@@ -814,3 +814,26 @@ def test_streaming_cdc_apply_onto_snapshot_table(spark, table, tmp_path):
     assert _rows(snapshot_read(spark, table, version=1)) == [
         (1, 10.0), (2, 22.0), (3, 30.0), (4, 40.0),
     ]
+
+
+def test_merge_schema_evolution_adds_new_column(spark, table):
+    """Delta-style withSchemaEvolution: an update column the target
+    lacks widens the table (NULL on unmatched rows); without the flag,
+    the unknown column fails loudly instead of silently widening."""
+    from exceldatatransform_py_spark.operators.merge import merge_full
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double")
+    snapshot_write(table, base)
+    ups = spark.createDataFrame(
+        [(2, 99.0, "eu"), (5, 5.0, "us")], "k int, x double, region string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_full(base, ups, on=["k"], update_cols=["x", "region"])
+    v = snapshot_merge_update(
+        spark, table, ups, on=["k"], update_cols=["x", "region"],
+        when_not_matched_insert=True, evolve_schema=True,
+    )
+    got = _rows(snapshot_read(spark, table, version=v))
+    assert got == [(1, 10.0, None), (2, 99.0, "eu"), (5, 5.0, "us")]
+    # prior version keeps the narrow schema
+    assert snapshot_read(spark, table, version=0).columns == ["k", "x"]
