@@ -245,6 +245,31 @@ def snapshot_compact(
     return _commit(table, df, "compact", parent, stats_cols=stats_cols)
 
 
+def snapshot_optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    stats_cols: Sequence[str] = (),
+) -> int:
+    """OPTIMIZE ZORDER BY as a snapshot commit: rewrite the latest
+    version clustered on the Morton interleave of two columns and
+    commit it as a NEW version — rows identical, history intact, and
+    the manifest caches per-file min/max for BOTH z-columns (plus any
+    extra ``stats_cols``), so subsequent pruned merges on EITHER
+    column skip files without reopening footers. This is the layout-
+    maintenance commit a 100 TB fact table runs periodically so that
+    two independent predicate dimensions both data-skip."""
+    from exceldatatransform_py_spark.sources.writers import zorder_frame
+
+    parent = latest_version(table)
+    df = snapshot_read(spark, table, version=parent)
+    zed = zorder_frame(df, col_a, col_b, num_files)
+    cols = list(dict.fromkeys([col_a, col_b, *stats_cols]))
+    return _commit(table, zed, "zorder", parent, stats_cols=cols)
+
+
 def _manifest_files(table: str, manifest: dict) -> list[str]:
     """Data files of one version, as paths relative to the table root.
     File-level manifests (pruned merges) list them explicitly;

@@ -390,6 +390,21 @@ def write_zordered(
     same single write-time shuffle the 1-D writer pays; a range on one
     dimension then touches ~sqrt(files) files instead of all of them.
     """
+    (
+        zorder_frame(df, col_a, col_b, num_files)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def zorder_frame(
+    df: DataFrame, col_a: str, col_b: str, num_files: int
+) -> DataFrame:
+    """The Z-order rewrite as a DataFrame transform (shared by the
+    path sink above and the snapshot OPTIMIZE ZORDER commit): rows
+    range-partitioned and sorted on the Morton interleave of both
+    columns' bucket ids, z-key dropped from the output."""
     stats = df.agg(
         F.min(col_a).alias("__amin"),
         F.max(col_a).alias("__amax"),
@@ -412,13 +427,10 @@ def write_zordered(
             bucket(col_a, "__amin", "__amax"), bucket(col_b, "__bmin", "__bmax")
         ),
     )
-    (
+    return (
         zed.repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
-        .write.format(fmt)
-        .mode(mode)
-        .save(path)
     )
 
 

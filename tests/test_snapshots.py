@@ -837,3 +837,49 @@ def test_merge_schema_evolution_adds_new_column(spark, table):
     assert got == [(1, 10.0, None), (2, 99.0, "eu"), (5, 5.0, "us")]
     # prior version keeps the narrow schema
     assert snapshot_read(spark, table, version=0).columns == ["k", "x"]
+
+
+def test_snapshot_optimize_zorder_enables_two_column_pruning(spark, table):
+    """OPTIMIZE ZORDER commit: rows identical, and the cached per-file
+    stats let a pruned merge on the SECOND column inherit files —
+    impossible under a 1-D layout on the first column, where every
+    file spans the second column's full range."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+        snapshot_optimize_zorder,
+    )
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    n = 1024
+    base = spark.range(n).select(
+        (F.col("id") % 32).alias("a"),
+        (F.col("id") / 32).cast("long").alias("b"),
+        (F.col("id") * 1.0).alias("x"),
+    )
+    # 1-D layout clustered on `a`: every file spans b's full range
+    snapshot_write(
+        table, base.repartitionByRange(4, "a").sortWithinPartitions("a"),
+        stats_cols=["b"],
+    )
+    ups = spark.createDataFrame([(2, -1.0)], "b long, x double")
+    v1 = snapshot_merge_update_pruned(
+        spark, table, ups, on=["b"], update_cols=["x"]
+    )
+    m1 = snap._manifests(table)[-1]
+    assert m1["pruning"]["inherited_files"] == 0  # no skipping on b
+
+    v2 = snapshot_optimize_zorder(spark, table, "a", "b", num_files=4)
+    m2 = snap._manifests(table)[-1]
+    assert m2["kind"] == "zorder" and m2["version"] == v2
+    # rows byte-identical through the rewrite
+    got = sorted(tuple(r) for r in snapshot_read(spark, table).collect())
+    exp = sorted(tuple(r) for r in snapshot_read(spark, table, version=v1).collect())
+    assert got == exp
+
+    v3 = snapshot_merge_update_pruned(
+        spark, table, ups, on=["b"], update_cols=["x"]
+    )
+    m3 = snap._manifests(table)[-1]
+    assert m3["pruning"]["inherited_files"] >= 1  # b now data-skips
+    assert len(sorted(tuple(r) for r in
+                      snapshot_read(spark, table, version=v3).collect())) == n
