@@ -498,6 +498,76 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The snapshot table layer, scored end-to-end: commit orders as v0,
+# MERGE (update %3 keys, insert negative %7 keys) as v1, then read
+# BOTH versions back via time travel and return them labeled. A
+# broken commit point, manifest resolution, or merge clause changes
+# the row set of one of the versions and the oracle catches it. The
+# table lives under $TMPDIR with an sf-scoped name and is wiped at
+# query start (deterministic v0/v1 on every run) — the same
+# deliberate side effect the scored index builds make.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_timetravel_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    ),
+    u AS (
+      SELECT o_orderkey AS k, p * 1.1 AS np FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey, p FROM t WHERE o_orderkey % 7 = 0
+    )
+    SELECT 0 AS version, o_orderkey, p AS o_totalprice FROM t
+    UNION ALL
+    SELECT 1, t.o_orderkey, COALESCE(u.np, t.p)
+    FROM t LEFT JOIN u ON t.o_orderkey = u.k
+    UNION ALL
+    SELECT 1, u.k, u.np FROM u ANTI JOIN t ON t.o_orderkey = u.k
+    """,
+)
+def snapshot_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_snapq_{token}")
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(table, base)
+    key = F.col("o_orderkey")
+    ups = base.filter(key % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice")
+    ).unionByName(base.filter(key % 7 == 0).select(
+        (-key).alias("o_orderkey"), "o_totalprice"
+    ))
+    snapshot_merge_update(
+        spark, table, ups, on=["o_orderkey"], update_cols=["o_totalprice"],
+        when_not_matched_insert=True,
+    )
+    v0 = snapshot_read(spark, table, version=0)
+    v1 = snapshot_read(spark, table, version=1)
+    return v0.select(
+        F.lit(0).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ).unionByName(v1.select(
+        F.lit(1).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ))
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

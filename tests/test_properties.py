@@ -519,6 +519,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "incremental_simhash_probe",
         "ann_ivf_sq8_topk",
         "cdc_apply_orders",
+        "snapshot_timetravel_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
