@@ -502,6 +502,58 @@ def wav_stats(
     )
 
 
+def wav_zero_crossings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    frame_samples: int = 160,
+) -> DataFrame:
+    """The other classic VAD feature next to windowed energy: per
+    20 ms window, the exact count of strict sign crossings between
+    consecutive decoded samples (``s_i · s_{i+1} < 0``) — voiced
+    speech has low ZCR, fricatives/noise high. Windows never straddle
+    (pairs are within-window only), so the count is recomputable from
+    the raw bytes window by window. Same fan-out shape as
+    ``wav_frame_energy``: audio bytes never shuffle.
+
+    Output: ``(id_col, frame_idx, n_samples, zero_crossings)``.
+    """
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, zcs = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[audio_col]):
+                s = wav_decode(payload)["samples"].astype("int64")
+                for w in range(0, max(len(s), 1), frame_samples):
+                    win = s[w : w + frame_samples]
+                    if len(win) == 0:
+                        continue
+                    zc = int(((win[:-1] * win[1:]) < 0).sum())
+                    ids.append(int(rid))
+                    idxs.append(w // frame_samples)
+                    ns.append(len(win))
+                    zcs.append(zc)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_idx int, n_samples int, "
+            "zero_crossings int"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real video path: motion-BMP — every SVC frame payload is a real
 # 24-bit BMP file, so demux → decode → per-frame pixel math runs a

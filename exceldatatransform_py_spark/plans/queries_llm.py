@@ -3851,3 +3851,48 @@ def incremental_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_simhash_near_dup(
         spark, prefix, batch, ham_max=3, max_band_docs=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-crossing rate through the real WAV path — the second classic
+# VAD feature (energy says HOW LOUD, ZCR says roughly WHAT KIND:
+# voiced speech low, fricatives/noise high). Strict sign crossings
+# between consecutive decoded samples, windows never straddling; the
+# oracle recomputes each window from the raw bytes (the ×256 widening
+# never changes a sign, so it checks (b-128) products directly).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wav_zero_crossing_rate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n FROM documents
+    ),
+    win AS (
+      SELECT doc_id, n, CAST(w AS INTEGER) AS frame_idx,
+             CAST(w * {_VAD_FRAME} + 1 AS BIGINT) AS a,
+             CAST(least((w + 1) * {_VAD_FRAME}, n) AS BIGINT) AS b
+      FROM s, UNNEST(range(0, CAST(ceil(n / {_VAD_FRAME}.0) AS BIGINT))) AS u(w)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(b - a + 1 AS INTEGER) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(range(a, b),
+             j -> CASE WHEN ({_PIX.format(j="j")} - 128)
+                        * ({_PIX.format(j="(j + 1)")} - 128) < 0
+                       THEN 1 ELSE 0 END)), 0) AS INTEGER) AS zero_crossings
+    FROM win JOIN documents USING (doc_id)
+    """,
+)
+def wav_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.multimodal import (
+        wav_zero_crossings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    audio = pack_wav(docs, id_col="doc_id", bin_col="payload")
+    return wav_zero_crossings(
+        audio, id_col="doc_id", audio_col="audio", frame_samples=_VAD_FRAME
+    )
