@@ -181,6 +181,7 @@ def apply_changes(
     update_cols: Sequence[str],
     op_col: str = "op",
     delete_op: str = "D",
+    may_insert: bool = True,
 ) -> DataFrame:
     """APPLY CHANGES INTO: play a deduplicated CDC feed onto a target.
 
@@ -191,10 +192,16 @@ def apply_changes(
     (non-key, non-update columns NULL). ``changes`` must hold ONE row
     per key — run ``latest_changes`` first (the sequence_by step).
 
-    Plan shape: ONE full-outer equi-join (inserts force the outer);
-    all three outcomes are row-local predicates on the presence
-    indicators and the op value — no anti-join, no union of clause
-    outputs, no second pass over the target.
+    Plan shape: ONE equi-join; all three outcomes are row-local
+    predicates on the presence indicators and the op value — no
+    anti-join, no union of clause outputs, no second pass over the
+    target. Inserts force a FULL OUTER join (unmatched change rows
+    must survive), which cannot broadcast; when the caller knows the
+    feed carries no new keys (a delete/update-only CDC topic), pass
+    ``may_insert=False`` to drop to a LEFT join — at 100 TB the small
+    feed then broadcasts and the target never shuffles. With
+    ``may_insert=False`` an unmatched non-delete change row is
+    silently discarded (the update-only merge contract).
     """
     missing = [c for c in [*on, *update_cols, op_col]
                if c not in changes.columns]
@@ -211,7 +218,7 @@ def apply_changes(
         lambda a, b: a & b,
         [t[k].eqNullSafe(F.col(f"__upd_{k}")) for k in on],
     )
-    joined = t.join(u, cond, "full_outer")
+    joined = t.join(u, cond, "full_outer" if may_insert else "left")
     tp = F.col("__t").isNotNull()
     up = F.col("__u").isNotNull()
     keep = (tp & ~up) | (up & (F.col("__op") != F.lit(delete_op)))

@@ -883,3 +883,31 @@ def test_snapshot_optimize_zorder_enables_two_column_pruning(spark, table):
     assert m3["pruning"]["inherited_files"] >= 1  # b now data-skips
     assert len(sorted(tuple(r) for r in
                       snapshot_read(spark, table, version=v3).collect())) == n
+
+
+def test_apply_changes_update_delete_only_uses_left_join(spark):
+    """may_insert=False: the delete/update-only CDC feed drops to a
+    LEFT join (broadcastable at scale); unmatched non-delete changes
+    are discarded, results otherwise identical."""
+    import contextlib
+    import io
+
+    from exceldatatransform_py_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, x double"
+    )
+    ch = spark.createDataFrame(
+        [(2, "U", 22.0), (3, "D", None), (9, "U", 90.0)],
+        "k int, op string, x double",
+    )
+    out = apply_changes(
+        target, ch, on=["k"], update_cols=["x"], op_col="op",
+        may_insert=False,
+    )
+    assert _rows(out) == [(1, 10.0), (2, 22.0)]  # 9 discarded, 3 deleted
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftOuter" in plan and "FullOuter" not in plan
