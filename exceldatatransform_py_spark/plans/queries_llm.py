@@ -3896,3 +3896,54 @@ def wav_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_zero_crossings(
         audio, id_col="doc_id", audio_col="audio", frame_samples=_VAD_FRAME
     )
+
+
+# ---------------------------------------------------------------------------
+# Stopword stripping — the EDIT counterpart to text_quality's
+# stopword RATIO (profile vs transform, the same split as
+# duplicate_ngram_spans vs span_dedup_clean): drop a fixed stopword
+# set from each document and emit the rewritten text. Map-only HOF
+# filter over the token array — no explode, no shuffle; the oracle
+# recomputes the exact rewritten string, so a tokenizer or filter
+# divergence breaks the hash. The set is the corpus's highest-DF
+# function words (this synthetic corpus speaks database-ese).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "by", "data", "for", "in", "is", "join", "of",
+    "on", "row", "the", "to", "with",
+)
+
+
+@register(
+    "stopword_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_FP_TOKS} AS ts FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, ts,
+             list_filter(ts, t -> t NOT IN
+               ({", ".join("'" + w + "'" for w in _STOPWORDS)})) AS ks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(ts) - len(ks) AS BIGINT) AS n_stopwords,
+           array_to_string(ks, ' ') AS clean_text
+    FROM kept
+    """,
+)
+def stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    toks = ws_tokens("text")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_stopwords"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
