@@ -3947,3 +3947,72 @@ def stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_stopwords"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — the EDIT counterpart to contamination_overlap
+# (profile says WHICH train docs leak benchmark content; this returns
+# the corpus you actually train on): drop every train-split document
+# sharing ≥ 20% of its shingles with any benchmark document, keep the
+# rest. The removal itself is one anti-join against the (small) set
+# of contaminated ids — at 100 TB everything expensive is the shared
+# shingle index the profile already pays for.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_train_split",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    flags AS (SELECT doc_id, {_BENCH_FLAG} AS is_bench FROM documents),
+    fi AS (
+      SELECT i.doc_id, i.n_sh, i.h, i.g, f.is_bench
+      FROM inv i JOIN flags f ON i.doc_id = f.doc_id
+    ),
+    hits AS (
+      SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+             a.n_sh AS n_train, count(*) AS common
+      FROM fi a JOIN fi b ON a.h = b.h AND a.g = b.g
+      WHERE NOT a.is_bench AND b.is_bench
+      GROUP BY 1, 2, 3
+    ),
+    contaminated AS (
+      SELECT DISTINCT train_doc FROM hits
+      WHERE CAST(common AS DOUBLE) / CAST(n_train AS DOUBLE) >= 0.2
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d JOIN flags f USING (doc_id)
+    WHERE NOT f.is_bench
+      AND d.doc_id NOT IN (SELECT train_doc FROM contaminated)
+    """,
+)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    is_bench = md5_hash32(F.col("doc_id"), seed=9) % 20 == 0
+    flags = docs.select("doc_id", is_bench.alias("is_bench"))
+    fi = inv.join(flags, inv.doc == flags.doc_id).select(
+        "doc", "n_sh", "h", "g", "is_bench"
+    )
+    a = fi.filter(~F.col("is_bench")).select(
+        F.col("doc").alias("train_doc"), F.col("n_sh").alias("n_train"),
+        "h", "g",
+    )
+    b = fi.filter(F.col("is_bench")).select(
+        F.col("doc").alias("bench_doc"), "h", "g"
+    )
+    contaminated = (
+        a.join(b, ["h", "g"])
+        .groupBy("train_doc", "bench_doc", "n_train")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common").cast("double") / F.col("n_train").cast("double")
+            >= 0.2
+        )
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    train = docs.join(flags.filter(~F.col("is_bench")).select("doc_id"), "doc_id")
+    return train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
