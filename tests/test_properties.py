@@ -520,6 +520,9 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "ann_ivf_sq8_topk",
         "cdc_apply_orders",
         "snapshot_timetravel_orders",
+        "stopword_strip",
+        "decontaminate_train_split",
+        "wav_zero_crossing_rate",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
