@@ -4016,3 +4016,102 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", F.length("text").cast("bigint").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit — "measure, don't guess" for the
+# sketch itself (the dedup twin of ann_recall_at_k): for every banded
+# candidate pair, the signature-agreement estimate of Jaccard
+# (matching components / k) next to the EXACT shingle Jaccard and the
+# absolute error. Signatures are deterministic double-hash folds, so
+# the estimate, the truth, and the error are all engine-exact;
+# per-pair rows (no float reduction) keep the hash comparison exact.
+# At 100 TB this is the audit that justifies trusting banding
+# thresholds: error quantified on real pairs, not assumed from theory.
+# ---------------------------------------------------------------------------
+
+
+def _mh_estimate_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(h % 4294967296 + {i} * (g % 4294967296)) AS s{i}"
+        for i in range(_MH_K)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM esigs".format(
+            b=bi,
+            cols=", ".join(
+                f"CAST(s{bi * _MH_R + j} AS VARCHAR)" for j in range(_MH_R)
+            ),
+        )
+        for bi in range(_MH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_K)
+    )
+    return f"""
+    WITH {_HASHED_INV},
+    esigs AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
+    ebands AS ({band_selects}),
+    ecand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM ebands x JOIN ebands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    epairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM inv a JOIN inv b
+        ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id
+      JOIN ecand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.common AS DOUBLE)
+             / CAST(p.n_a + p.n_b - p.common AS DOUBLE) AS jaccard,
+           ({match_sum}) / {_MH_K}.0 AS est_jaccard,
+           abs(({match_sum}) / {_MH_K}.0
+               - CAST(p.common AS DOUBLE)
+                 / CAST(p.n_a + p.n_b - p.common AS DOUBLE)) AS abs_err
+    FROM epairs p
+    JOIN esigs sa ON sa.doc_id = p.id_a
+    JOIN esigs sb ON sb.doc_id = p.id_b
+    """
+
+
+@register("minhash_estimate_error", oracle=_mh_estimate_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    exact = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, k=_MH_K,
+        bands=_MH_BANDS, threshold=0.0,
+    )
+    sigs = minhash_signature(docs, id_col="doc_id", text_col="text",
+                             n=3, k=_MH_K)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"__a{i}") for i in range(_MH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"__b{i}") for i in range(_MH_K)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(_MH_K)
+    )
+    est = matches.cast("double") / F.lit(float(_MH_K))
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
