@@ -4115,3 +4115,117 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2 — the round-6 transforms composed in ONE lazy
+# plan, the shape a real ingest job runs: decontaminate (drop train
+# docs leaking benchmark shingles) → stopword-strip (map-side token
+# filter) → exact dedup on the CLEANED text (32-byte digest keys) →
+# per-source corpus accounting. Everything shuffles on digests or the
+# tiny source key; the only full-text pass is the initial scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH {_HASHED_INV},
+    flags AS (SELECT doc_id, {_BENCH_FLAG} AS is_bench FROM documents),
+    fi AS (
+      SELECT i.doc_id, i.n_sh, i.h, i.g, f.is_bench
+      FROM inv i JOIN flags f ON i.doc_id = f.doc_id
+    ),
+    hits AS (
+      SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+             a.n_sh AS n_train, count(*) AS common
+      FROM fi a JOIN fi b ON a.h = b.h AND a.g = b.g
+      WHERE NOT a.is_bench AND b.is_bench
+      GROUP BY 1, 2, 3
+    ),
+    contaminated AS (
+      SELECT DISTINCT train_doc FROM hits
+      WHERE CAST(common AS DOUBLE) / CAST(n_train AS DOUBLE) >= 0.2
+    ),
+    train AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN flags f USING (doc_id)
+      WHERE NOT f.is_bench
+        AND d.doc_id NOT IN (SELECT train_doc FROM contaminated)
+    ),
+    cleaned AS (
+      SELECT doc_id, source,
+             list_filter({_FP_TOKS}, t -> t NOT IN
+               ({", ".join("'" + w + "'" for w in _STOPWORDS)})) AS ks
+      FROM train
+    ),
+    dd AS (
+      SELECT md5(array_to_string(ks, ' ')) AS dkey,
+             min(doc_id) AS rep,
+             count(*) AS n_copies,
+             min(len(ks)) AS n_kept
+      FROM cleaned GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_unique_docs,
+           CAST(sum(dd.n_copies) AS BIGINT) AS n_docs_in,
+           CAST(sum(dd.n_kept) AS BIGINT) AS n_tokens
+    FROM dd JOIN cleaned c ON c.doc_id = dd.rep
+    GROUP BY c.source
+    """,
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    inv = shingle_index(docs, id_col="doc_id", text_col="text", n=3)
+    is_bench = md5_hash32(F.col("doc_id"), seed=9) % 20 == 0
+    flags = docs.select("doc_id", is_bench.alias("is_bench"))
+    fi = inv.join(flags, inv.doc == flags.doc_id).select(
+        "doc", "n_sh", "h", "g", "is_bench"
+    )
+    a = fi.filter(~F.col("is_bench")).select(
+        F.col("doc").alias("train_doc"), F.col("n_sh").alias("n_train"),
+        "h", "g",
+    )
+    b = fi.filter(F.col("is_bench")).select(
+        F.col("doc").alias("bench_doc"), "h", "g"
+    )
+    contaminated = (
+        a.join(b, ["h", "g"])
+        .groupBy("train_doc", "bench_doc", "n_train")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common").cast("double") / F.col("n_train").cast("double")
+            >= 0.2
+        )
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    train = (
+        docs.join(flags.filter(~F.col("is_bench")).select("doc_id"), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "text")
+    )
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    cleaned = train.select(
+        "doc_id", "source",
+        F.filter(ws_tokens("text"),
+                 lambda t: ~F.array_contains(stop, t)).alias("ks"),
+    ).withColumn("n_kept", F.size("ks"))
+    dd = (
+        cleaned.groupBy(F.md5(F.concat_ws(" ", "ks")).alias("dkey"))
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_kept").alias("n_kept"),
+        )
+    )
+    rep_src = dd.join(
+        cleaned.select(F.col("doc_id").alias("rep"), "source"), "rep"
+    )
+    return rep_src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+        F.sum("n_copies").cast("bigint").alias("n_docs_in"),
+        F.sum("n_kept").cast("bigint").alias("n_tokens"),
+    )
