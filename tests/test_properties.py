@@ -523,6 +523,8 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "stopword_strip",
         "decontaminate_train_split",
         "wav_zero_crossing_rate",
+        "minhash_estimate_error",
+        "curation_pipeline_v2",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
