@@ -2189,10 +2189,11 @@ _BM25_NQ = 10  # query docs: doc_id < 10
 _BM25_K = 5
 
 
-def _bm25_topk_sql(p: str = "b") -> str:
-    """Standalone BM25-top-5 SELECT; ``p`` prefixes inner CTE names so
-    the fragment composes into a larger oracle's WITH scope (the
-    ``_brute_topk_sql`` convention)."""
+def _bm25_topk_sql(p: str = "b", k: int | None = None) -> str:
+    """Standalone BM25-top-k SELECT (default ``_BM25_K``); ``p``
+    prefixes inner CTE names so the fragment composes into a larger
+    oracle's WITH scope (the ``_brute_topk_sql`` convention)."""
+    k = _BM25_K if k is None else k
     return rf"""
     WITH {p}toks AS (
       SELECT doc_id, unnest({_TOKS.format(col="lower(text)")}) AS tok
@@ -2243,7 +2244,7 @@ def _bm25_topk_sql(p: str = "b") -> str:
                PARTITION BY query_id
                ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rk
       FROM {p}score
-    ) WHERE rk <= {_BM25_K}
+    ) WHERE rk <= {k}
     """
 
 
@@ -4228,4 +4229,89 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
         F.sum("n_copies").cast("bigint").alias("n_docs_in"),
         F.sum("n_kept").cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval — the production serving pattern hybrid RRF
+# does NOT cover: a cheap lexical recall stage (BM25 top-20) followed
+# by an expensive dense RERANK of just those candidates (exact cosine,
+# final top-5). At 100 TB the reranker touches |Q| × 20 vectors
+# instead of |Q| × N — the candidate set, not the corpus, pays the
+# dense cost. Only candidates with an embedding are rerankable (inner
+# join on the id), identically in both engines.
+# ---------------------------------------------------------------------------
+
+_RERANK_CAND = 20
+
+
+@register(
+    "rerank_bm25_dense",
+    oracle=f"""
+    WITH rcand AS ({_bm25_topk_sql("rb", _RERANK_CAND)}),
+    rsc AS (
+      SELECT c.query_id, c.doc_id, c.rk AS bm25_rk,
+             {_cos_sql('q.embedding', 'e.embedding')} AS cosine
+      FROM rcand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.doc_id
+    )
+    SELECT query_id, doc_id, bm25_rk, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, doc_id) AS INTEGER)
+             AS rk
+    FROM rsc
+    QUALIFY rk <= {_BM25_K}
+    """,
+)
+def rerank_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from exceldatatransform_py_spark.operators.retrieval import (
+        bm25_stage,
+        bm25_topk,
+        tokenize,
+    )
+    from exceldatatransform_py_spark.operators.similarity import (
+        _cosine_pre,
+        _norm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    staged = bm25_stage(docs)
+    q_terms = (
+        tokenize(docs.filter(F.col("doc_id") < _BM25_NQ), "doc_id", "text")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    cand = bm25_topk(
+        q_terms, staged["postings"], staged["doclen"], staged["stats"],
+        k=_RERANK_CAND,
+    ).select("query_id", "doc_id", F.col("rk").alias("bm25_rk"))
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        _norm(F.col("embedding")).alias("__qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("__cv"),
+        _norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "doc_id")
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("query_id", "doc_id", "bm25_rk", "cosine", "rk")
     )
