@@ -525,6 +525,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "wav_zero_crossing_rate",
         "minhash_estimate_error",
         "curation_pipeline_v2",
+        "rerank_bm25_dense",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
