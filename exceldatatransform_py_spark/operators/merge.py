@@ -221,7 +221,11 @@ def apply_changes(
     joined = t.join(u, cond, "full_outer" if may_insert else "left")
     tp = F.col("__t").isNotNull()
     up = F.col("__u").isNotNull()
-    keep = (tp & ~up) | (up & (F.col("__op") != F.lit(delete_op)))
+    # NULL-safe op test: a malformed change row with op IS NULL must
+    # act as an UPSERT (the non-delete default), not silently delete —
+    # a plain `!= delete_op` is NULL for NULL ops and filter() drops
+    # NULL, which would turn the malformed row into a delete.
+    keep = (tp & ~up) | (up & ~F.col("__op").eqNullSafe(F.lit(delete_op)))
 
     def out_col(c: str):
         if c in update_cols:

@@ -172,9 +172,18 @@ class SheetDirStreamReader(SimpleDataSourceStreamReader):
                 if line_start < lo:
                     if line_start + len(raw) > lo:
                         # post-quiescence growth of an already-emitted
-                        # tail: emit the continuation bytes.
+                        # tail: emit the continuation bytes. A grown
+                        # HEADER line stays skipped under skip_header,
+                        # and the fragment is flagged with a NEGATIVE
+                        # line_no (-start byte offset — unique, since
+                        # lo strictly increases batch-over-batch) so
+                        # downstream keys on (sheet, line_no) never
+                        # collide with the already-emitted head or
+                        # with real rows.
+                        if self.skip_header and line_no == 0:
+                            continue
                         tail = raw[lo - line_start:]
-                        yield (sheet, line_no,
+                        yield (sheet, -lo,
                                tail.decode("utf-8").rstrip("\r"))
                     continue  # head emitted by an earlier batch
                 if self.skip_header and line_no == 0:

@@ -436,6 +436,12 @@ def snapshot_merge_update_pruned(
     rows untouched, unmatched updates discarded); only the physical
     rewrite set differs. Row order within the table may differ — the
     table contract is set-of-rows, as for any Spark parquet write.
+    NULL merge keys are handled NULL-safely like the full-read merge
+    (eqNullSafe: NULL matches NULL) — but min/max stats are blind to
+    NULLs, so if the update side carries ANY NULL ``prune_col`` value
+    every file is conservatively rewritten (pruning degenerates to the
+    full-read merge rather than dropping or duplicating NULL-keyed
+    rows).
 
     ``when_not_matched_insert`` adds the INSERT clause and stays
     file-pruned: an update row that matches ANY target row must match
@@ -459,9 +465,20 @@ def snapshot_merge_update_pruned(
     latest = ms[-1]
     files = _manifest_files(table, latest)
     bounds = updates.agg(
-        F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        F.min(prune_col).alias("lo"),
+        F.max(prune_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(prune_col).alias("n_nonnull"),
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
+    update_empty = bounds["n"] == 0
+    # min/max ignore NULLs, but merge_full/merge_update join with
+    # eqNullSafe (NULL keys MATCH NULL keys). A NULL-keyed update row
+    # is invisible to min/max pruning, so when any exist every file
+    # must be treated as potentially matched — pruning soundly
+    # degenerates to the full-read merge instead of silently dropping
+    # the NULL-keyed updates (or re-inserting them as duplicates).
+    nulls_in_updates = bounds["n"] > bounds["n_nonnull"]
 
     cached_stats = latest.get("stats", {})
 
@@ -482,9 +499,12 @@ def snapshot_merge_update_pruned(
                 file_stats[rel] = dict(
                     cached_stats.get(rel, {}), **{prune_col: [lo_e, hi_e]}
                 )
-        if lo is None:  # empty update set: nothing can match
+        if update_empty:  # empty update set: nothing can match
             inherited.append(rel)
-        elif mm is None:
+        elif nulls_in_updates or mm is None or lo is None:
+            # NULL-keyed updates present (pruning blind to them), no
+            # usable stats for this file, or a non-empty all-NULL-key
+            # update set: the file may hold matches — rewrite it.
             touched.append(rel)
         else:
             fmin, fmax = mm
@@ -494,9 +514,10 @@ def snapshot_merge_update_pruned(
     data_dir = f"d{v:05d}"
     new_files: list[str] = []
     # A write is needed when files must be rewritten, or when INSERT
-    # has unmatched rows to land (lo is None ⟺ the update set is
-    # empty, so there is nothing to insert either).
-    need_write = bool(touched) or (when_not_matched_insert and lo is not None)
+    # has unmatched rows to land (explicit emptiness check — `lo is
+    # None` also holds for a NON-empty all-NULL-key update set, which
+    # absolutely must be merged).
+    need_write = bool(touched) or (when_not_matched_insert and not update_empty)
     if need_write:
         if touched:
             target = spark.read.parquet(

@@ -332,6 +332,46 @@ def test_stream_post_quiescence_growth_is_not_lost(tmp_path):
     assert [x[2] for x in sorted(r.readBetweenOffsets(o2, o3))] == got
 
 
+def test_stream_continuation_fragment_keys_and_header(tmp_path):
+    """Continuation fragments must not collide with already-emitted
+    rows on (sheet, line_no) — they carry a NEGATIVE line_no unique
+    per fragment — and a HEADER line that grows after being consumed
+    stays skipped under header=true instead of leaking a fragment."""
+    import os
+
+    d = tmp_path / "fragkeys"
+    os.makedirs(d)
+    with open(d / "S.csv", "w") as f:
+        f.write("a,b\n1,2\n3,4")  # unterminated data tail
+    r = _mk_stream_reader(d)
+    rows1, o1 = r.read(r.initialOffset())
+    rows2, o2 = r.read(o1)  # quiescence emits ("S", 2, "3,4")
+    head_keys = {(x[0], x[1]) for x in [*rows1, *rows2]}
+    with open(d / "S.csv", "a") as f:
+        f.write("5,6\n")  # resumes line 2: now "3,45,6"
+    rows3, o3 = r.read(o2)
+    frags = [x for x in rows3 if x[2] == "5,6"]
+    assert len(frags) == 1
+    assert frags[0][1] < 0  # flagged as a fragment
+    assert (frags[0][0], frags[0][1]) not in head_keys  # no key collision
+
+    # header growth: a file whose ONLY line is the header, emitted via
+    # quiescence, then grown — the header fragment must NOT appear.
+    d2 = tmp_path / "fraghdr"
+    os.makedirs(d2)
+    with open(d2 / "H.csv", "w") as f:
+        f.write("a,b")  # header only, unterminated
+    r2 = _mk_stream_reader(d2)
+    _, p1 = r2.read(r2.initialOffset())
+    rows_h, p2 = r2.read(p1)  # quiescent: header consumed (skipped)
+    assert list(rows_h) == []
+    with open(d2 / "H.csv", "a") as f:
+        f.write(",c\n9,8\n")  # header grew to "a,b,c"; one data row
+    rows_h2, _ = r2.read(p2)
+    got = [(x[1], x[2]) for x in sorted(rows_h2)]
+    assert got == [(1, "9,8")]  # header fragment ",c" suppressed
+
+
 def test_stream_growing_tail_resets_quiescence(tmp_path):
     """A tail that keeps growing (writer mid-append) is never emitted:
     each size change resets the stability counter."""

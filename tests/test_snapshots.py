@@ -911,3 +911,64 @@ def test_apply_changes_update_delete_only_uses_left_join(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "LeftOuter" in plan and "FullOuter" not in plan
+
+
+def test_apply_changes_null_op_upserts_not_deletes(spark):
+    """A malformed CDC row with op IS NULL must act as an UPSERT (the
+    non-delete default), never as a silent delete: `op != 'D'` is NULL
+    for NULL ops and filter() drops NULL rows."""
+    from exceldatatransform_py_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, x double"
+    )
+    ch = spark.createDataFrame(
+        [(1, None, 11.0), (3, None, 33.0)],  # NULL op: matched + new key
+        "k int, op string, x double",
+    )
+    out = apply_changes(target, ch, on=["k"], update_cols=["x"], op_col="op")
+    # matched NULL-op row UPDATED (not deleted); unmatched INSERTED
+    assert _rows(out) == [(1, 11.0), (2, 20.0), (3, 33.0)]
+
+
+def test_pruned_merge_null_keys_match_full_merge(spark, table):
+    """NULL merge keys: merge joins NULL-safely (NULL matches NULL)
+    but min/max pruning is blind to NULLs. An all-NULL-key update set
+    must still merge (it is NOT empty), and a NULL-keyed update must
+    UPDATE the NULL-keyed target row — never be dropped or re-inserted
+    as a duplicate — matching snapshot_merge_update exactly."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (None, 99.0)], "k int, x double"
+    )
+    snapshot_write(table, base.repartitionByRange(2, "k"))
+
+    # all-NULL-key update set: previously treated as "empty" → dropped
+    ups = spark.createDataFrame([(None, -9.0)], "k int, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    got = sorted(
+        [(r.k, r.x) for r in snapshot_read(spark, table, version=v).collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [(1, 1.0), (2, 2.0), (None, -9.0)]
+
+    # mixed NULL + non-NULL keys WITH insert: the NULL-keyed update
+    # must update in place, not duplicate; 7 is genuinely new → insert
+    ups2 = spark.createDataFrame(
+        [(None, -1.0), (1, -2.0), (7, 7.0)], "k int, x double"
+    )
+    v2 = snapshot_merge_update_pruned(
+        spark, table, ups2, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )
+    got2 = sorted(
+        [(r.k, r.x)
+         for r in snapshot_read(spark, table, version=v2).collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got2 == [(1, -2.0), (2, 2.0), (7, 7.0), (None, -1.0)]
