@@ -12,12 +12,18 @@ filesystem with nothing but parquet and one JSON manifest per commit:
 
 * Writers NEVER mutate existing data: each commit writes a fresh data
   directory, then publishes it by writing the next manifest. The
-  manifest write is the commit point, and it is CREATE-EXCLUSIVE
-  (``_publish``: unique temp + ``os.link``): concurrent writers
-  racing for the same version see exactly one winner, and the loser
-  gets ``SnapshotConflictError`` instead of silently clobbering —
-  the same optimistic-concurrency protocol Delta runs on its log
-  store (put-if-absent on the next log entry). Read-modify-write
+  manifest write is the commit point, and it is put-if-absent:
+  concurrent writers racing for the same version see exactly one
+  winner, and the loser gets ``SnapshotConflictError`` instead of
+  silently clobbering — the same optimistic-concurrency protocol
+  Delta runs on its log store (put-if-absent on the next log entry).
+  HOW put-if-absent is achieved is pluggable (``CommitProtocol``):
+  ``PosixCommitProtocol`` (default) uses create-exclusive hardlinks +
+  atomic directory rename — right for local disk/HDFS;
+  ``ConditionalPutCommitProtocol`` never renames or links anything
+  (unique data-dir names + conditional PUT of the manifest object) —
+  the shape object stores need, where rename is copy+delete and not
+  atomic. Read-modify-write
   commits (``snapshot_merge_update``) capture the version they read
   and commit conditionally on it, so lost updates are impossible;
   ``max_retries`` re-runs the read-merge-commit loop on conflict.
@@ -45,6 +51,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,41 +142,175 @@ class SnapshotConflictError(RuntimeError):
         self.version = version
 
 
-def _publish(table: str, manifest: dict) -> None:
-    """Atomically publish a manifest with CREATE-EXCLUSIVE semantics —
-    the optimistic-concurrency commit point. The JSON is staged to a
-    uniquely-named temp file, then ``os.link``ed to the final name:
-    the link makes the full content appear atomically AND fails with
-    ``FileExistsError`` if any other writer published this version
-    first (unlike ``os.replace``, which would silently clobber the
-    winner). Raises ``SnapshotConflictError`` for the loser."""
-    v = manifest["version"]
-    os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
-    final = _version_path(table, v)
-    tmp = final + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
+class CommitProtocol:
+    """The two primitives the snapshot log's atomicity rests on,
+    abstracted so the commit point is pluggable per storage system —
+    the split Delta formalizes as its LogStore interface. Everything
+    ABOVE this class (merge logic, manifests, pruning, time travel,
+    vacuum) is storage-agnostic; only these two operations decide
+    which writer wins a race:
+
+    * ``stage_data_dir(table, df, version) -> rel_dir`` — make the
+      version's parquet files durable under ``table`` and return the
+      directory name the manifest should reference. Losers of a
+      version race must either be unable to collide here (unique
+      names) or fail cleanly with ``SnapshotConflictError``.
+    * ``publish(table, manifest)`` — the COMMIT POINT: make the
+      manifest for ``manifest['version']`` visible iff no other
+      writer published that version first (put-if-absent), else
+      raise ``SnapshotConflictError`` leaving no trace.
+    """
+
+    name = "abstract"
+
+    def stage_data_dir(
+        self, table: str, df: DataFrame, version: int
+    ) -> str:
+        raise NotImplementedError
+
+    def publish(self, table: str, manifest: dict) -> None:
+        raise NotImplementedError
+
+
+class PosixCommitProtocol(CommitProtocol):
+    """Default protocol for POSIX-rename filesystems (local disk,
+    HDFS, NFS): data dirs keep their pretty ``d00007`` names via an
+    atomic directory rename, and the manifest publish is
+    CREATE-EXCLUSIVE (unique temp + ``os.link``): the link makes the
+    full content appear atomically AND fails with ``FileExistsError``
+    if any other writer published this version first (unlike
+    ``os.replace``, which would silently clobber the winner)."""
+
+    name = "posix"
+
+    def stage_data_dir(
+        self, table: str, df: DataFrame, version: int
+    ) -> str:
+        data_dir = f"d{version:05d}"
+        stage = os.path.join(
+            table, f"{data_dir}.stage-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("errorifexists").parquet(stage)
+        try:
+            os.rename(stage, os.path.join(table, data_dir))
+        except OSError as e:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise SnapshotConflictError(table, version) from e
+        return data_dir
+
+    def publish(self, table: str, manifest: dict) -> None:
+        v = manifest["version"]
+        os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
+        final = _version_path(table, v)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise SnapshotConflictError(table, v) from None
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutCommitProtocol(CommitProtocol):
+    """Object-store-safe protocol: uses ONLY operations object stores
+    actually provide — PUT of a whole immutable object conditional on
+    its absence (S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``
+    / Azure ``If-None-Match``), GET, LIST. NO ``os.rename`` and NO
+    ``os.link`` anywhere on the commit path, because on object stores
+    "rename" is a non-atomic copy+delete and hardlinks don't exist:
+
+    * data directories get a GLOBALLY UNIQUE name
+      (``d00007-3fa9c1d2``) and are written directly in place — two
+      writers racing for the same version can never collide on a
+      name, so the promote-by-rename step (whose atomicity the POSIX
+      protocol leans on) doesn't exist at all; a loser just deletes
+      its own never-referenced directory.
+    * the manifest object is the sole commit point, published through
+      ``_put_if_absent`` — the one method to override for a real
+      store (conditional PUT, or a DynamoDB-style commit table when
+      the store lacks conditional writes). The local implementation
+      simulates the store's internally-atomic conditional PUT by
+      serializing writers through a per-table advisory ``flock``
+      while checking absence and writing the full payload; the lock
+      stands in for the store's own serialization and is NOT part of
+      the protocol.
+
+    Note on the parquet job itself: ``df.write`` runs under Spark's
+    Hadoop output committer, whose task-commit renames are a separate,
+    public concern (object-store deployments use the S3A
+    magic/directory committers); this class makes the SNAPSHOT LAYER's
+    own commit protocol rename-free."""
+
+    name = "conditional_put"
+
+    def stage_data_dir(
+        self, table: str, df: DataFrame, version: int
+    ) -> str:
+        data_dir = f"d{version:05d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(
+            os.path.join(table, data_dir)
+        )
+        return data_dir
+
+    def publish(self, table: str, manifest: dict) -> None:
+        v = manifest["version"]
+        os.makedirs(os.path.join(table, _VDIR), exist_ok=True)
+        payload = json.dumps(manifest).encode()
+        if not self._put_if_absent(table, _version_path(table, v), payload):
+            raise SnapshotConflictError(table, v)
+
+    def _put_if_absent(self, table: str, key: str, payload: bytes) -> bool:
+        """Atomically create ``key`` with ``payload`` iff it does not
+        exist; True on success. Override point for a real store."""
+        import fcntl
+
+        lock_path = os.path.join(table, _VDIR, ".putlock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if os.path.exists(key):
+                return False
+            with open(key, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        finally:
+            os.close(fd)  # releases the flock
+
+
+_active_protocol: CommitProtocol = PosixCommitProtocol()
+
+
+def get_commit_protocol() -> CommitProtocol:
+    return _active_protocol
+
+
+def set_commit_protocol(protocol: CommitProtocol) -> CommitProtocol:
+    """Install ``protocol`` as the active commit protocol for all
+    snapshot commits; returns the previous one (restore it when
+    done, or use ``use_commit_protocol``)."""
+    global _active_protocol
+    prev = _active_protocol
+    _active_protocol = protocol
+    return prev
+
+
+@contextmanager
+def use_commit_protocol(protocol: CommitProtocol):
+    prev = set_commit_protocol(protocol)
     try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise SnapshotConflictError(table, v) from None
+        yield protocol
     finally:
-        os.unlink(tmp)
+        set_commit_protocol(prev)
 
 
-def _stage_data_dir(table: str, df: DataFrame, data_dir: str) -> None:
-    """Write ``df`` into ``data_dir`` via a uniquely-named staging
-    directory + directory rename: concurrent writers racing for the
-    same version each stage safely, and exactly one wins the rename —
-    the loser cleans its staging and gets a conflict instead of a
-    mid-write collision inside the parquet job."""
-    stage = os.path.join(table, f"{data_dir}.stage-{uuid.uuid4().hex[:8]}")
-    df.write.mode("errorifexists").parquet(stage)
-    try:
-        os.rename(stage, os.path.join(table, data_dir))
-    except OSError as e:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise SnapshotConflictError(table, int(data_dir[1:6])) from e
+def _publish(table: str, manifest: dict) -> None:
+    """Publish via the ACTIVE commit protocol (put-if-absent of the
+    version manifest — the optimistic-concurrency commit point)."""
+    _active_protocol.publish(table, manifest)
 
 
 def _commit(
@@ -182,8 +323,7 @@ def _commit(
     import time
 
     v = 0 if parent is None else parent + 1
-    data_dir = f"d{v:05d}"
-    _stage_data_dir(table, df, data_dir)
+    data_dir = _active_protocol.stage_data_dir(table, df, v)
     manifest = {
         "version": v,
         "data_dir": data_dir,
@@ -511,7 +651,7 @@ def snapshot_merge_update_pruned(
             (inherited if fmax < lo or fmin > hi else touched).append(rel)
 
     v = latest["version"] + 1
-    data_dir = f"d{v:05d}"
+    data_dir: str | None = None
     new_files: list[str] = []
     # A write is needed when files must be rewritten, or when INSERT
     # has unmatched rows to land (explicit emptiness check — `lo is
@@ -537,7 +677,7 @@ def snapshot_merge_update_pruned(
             merged = merge_update(
                 target, updates, on=on, update_cols=update_cols
             )
-        _stage_data_dir(table, merged, data_dir)
+        data_dir = _active_protocol.stage_data_dir(table, merged, v)
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -555,7 +695,9 @@ def snapshot_merge_update_pruned(
 
     manifest = {
         "version": v,
-        "data_dir": data_dir,
+        # metadata-only commits (nothing rewritten) reference the
+        # parent's dir — the "files" list is authoritative anyway
+        "data_dir": data_dir if data_dir is not None else latest["data_dir"],
         "files": new_files + inherited,
         "kind": "merge_update_pruned",
         "parent": latest["version"],
@@ -612,11 +754,28 @@ def vacuum(
     deleting it would fail that commit non-atomically (same reason
     Delta's VACUUM has a retention horizon). Returns the vacuumed
     version numbers."""
+    import re
     import time as _time
 
+    ms = _manifests(table)
+    # every dir ANY manifest references, including pruned-merge
+    # inherited files — a conditional-put data dir becomes sweepable
+    # only if its version was never published (crashed writer)
+    referenced = {m["data_dir"] for m in ms}
+    for m in ms:
+        for f in m.get("files", []):
+            referenced.add(os.path.dirname(f))
     now = _time.time()
     for entry in os.listdir(table):
-        if ".stage-" in entry:
+        # orphans: POSIX staging dirs, and conditional-put unique dirs
+        # (d00007-3fa9c1d2) no manifest ever published — both only
+        # past the retention age, since a young one may belong to an
+        # in-flight writer mid-parquet-job
+        orphan = ".stage-" in entry or (
+            re.fullmatch(r"d\d{5}-[0-9a-f]{8}", entry)
+            and entry not in referenced
+        )
+        if orphan:
             p = os.path.join(table, entry)
             try:
                 age = now - os.path.getmtime(p)
@@ -624,7 +783,6 @@ def vacuum(
                 continue  # racing writer renamed/removed it — alive
             if age >= stage_retention_sec:
                 shutil.rmtree(p, ignore_errors=True)
-    ms = _manifests(table)
     if len(ms) <= keep_last:
         return []
     keep = {m["data_dir"] for m in ms[-keep_last:]}

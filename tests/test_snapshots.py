@@ -552,6 +552,162 @@ def test_publish_create_exclusive_under_real_concurrency(tmp_path):
     assert leftovers == []
 
 
+def _protocols():
+    from exceldatatransform_py_spark.sources.snapshots import (
+        ConditionalPutCommitProtocol,
+        PosixCommitProtocol,
+    )
+
+    return [PosixCommitProtocol(), ConditionalPutCommitProtocol()]
+
+
+@pytest.mark.parametrize("proto", _protocols(), ids=lambda p: p.name)
+def test_commit_protocol_end_to_end(spark, table, proto):
+    """Both commit protocols carry the full snapshot lifecycle: write,
+    CAS merge loop under a real two-writer race, pruned merge with
+    inheritance, time travel, history — identical relational results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge_update,
+        snapshot_merge_update_pruned,
+        use_commit_protocol,
+    )
+
+    with use_commit_protocol(proto):
+        base = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+        )
+        assert snapshot_write(
+            table, base.repartitionByRange(4, "k"), stats_cols=["k"]
+        ) == 0
+
+        # two writers race read-merge-commit; the CAS loop must land
+        # BOTH updates with no lost update on either protocol
+        def writer(i):
+            ups = spark.createDataFrame(
+                [(10 * (i + 1), -1.0 * (i + 1))], "k long, x double"
+            )
+            return snapshot_merge_update(
+                spark, table, ups, on=["k"], update_cols=["x"],
+                max_retries=5,
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            versions = sorted(pool.map(writer, range(2)))
+        assert versions == [1, 2]
+        got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+        assert got[10] == -1.0 and got[20] == -2.0  # both survived
+
+        # pruned merge still inherits untouched files by reference
+        ups = spark.createDataFrame([(3, 33.0)], "k long, x double")
+        v = snapshot_merge_update_pruned(
+            spark, table, ups, on=["k"], update_cols=["x"]
+        )
+        got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+        assert len(got) == 100 and got[3] == 33.0
+        # time travel: the pre-race version still reads clean
+        old = {r.k: r.x
+               for r in snapshot_read(spark, table, version=0).collect()}
+        assert old[10] == 10.0 and old[3] == 3.0
+        kinds = [h["kind"] for h in snapshot_history(table)]
+        assert kinds == ["overwrite", "merge_update", "merge_update",
+                         "merge_update_pruned"]
+
+
+def test_conditional_put_commit_path_never_renames_or_links(
+    spark, table, monkeypatch
+):
+    """The object-store protocol's promise: after the parquet job
+    lands (Spark's own committer is a separate, public concern), the
+    snapshot layer's commit path calls NO os.rename/os.link/os.replace
+    — the primitives object stores lack."""
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
+    with snap.use_commit_protocol(snap.ConditionalPutCommitProtocol()):
+        # forbid the POSIX-only primitives inside the snapshots module
+        def forbid(*a, **k):
+            raise AssertionError("rename/link on object-store commit path")
+
+        monkeypatch.setattr(snap.os, "rename", forbid)
+        monkeypatch.setattr(snap.os, "link", forbid)
+        monkeypatch.setattr(snap.os, "replace", forbid, raising=False)
+        assert snap.snapshot_write(table, base) == 0
+        ups = spark.createDataFrame([(2, 22.0)], "k int, x double")
+        assert snap.snapshot_merge_update(
+            spark, table, ups, on=["k"], update_cols=["x"]
+        ) == 1
+    assert _rows(snapshot_read(spark, table)) == [(1, 1.0), (2, 22.0)]
+    # data dirs carry unique names: no rename-promote step exists
+    dirs = sorted(d for d in os.listdir(table)
+                  if d.startswith("d") and os.path.isdir(
+                      os.path.join(table, d)))
+    assert all("-" in d for d in dirs) and len(dirs) == 2
+
+
+def test_conditional_put_publish_race_one_winner(tmp_path):
+    """Eight threads race the conditional PUT for the same version:
+    exactly one wins, seven conflict, and the manifest is one intact
+    JSON — same guarantee the posix create-exclusive test pins."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        ConditionalPutCommitProtocol,
+        SnapshotConflictError,
+        _version_path,
+    )
+
+    table = str(tmp_path / "race")
+    proto = ConditionalPutCommitProtocol()
+
+    def attempt(i: int) -> str:
+        try:
+            proto.publish(table, {"version": 3, "writer": i,
+                                  "kind": "overwrite", "parent": 2,
+                                  "data_dir": f"d-w{i}"})
+            return "won"
+        except SnapshotConflictError:
+            return "conflict"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outcomes = list(pool.map(attempt, range(8)))
+    assert outcomes.count("won") == 1
+    assert outcomes.count("conflict") == 7
+    with open(_version_path(table, 3)) as f:
+        m = json.load(f)  # parses → not torn
+    assert m["version"] == 3 and m["data_dir"] == f"d-w{m['writer']}"
+
+
+def test_vacuum_sweeps_crashed_conditional_put_dirs(spark, table):
+    """A conditional-put writer that crashed after its parquet write
+    but before publish leaves a uniquely-named dir no manifest
+    references; vacuum sweeps it past the retention age but never
+    touches a referenced unique dir or a young orphan."""
+    import time
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.createDataFrame([(1, 1)], "k int, v int")
+    with snap.use_commit_protocol(snap.ConditionalPutCommitProtocol()):
+        snap.snapshot_write(table, base)
+    live = next(d for d in os.listdir(table) if d.startswith("d00000"))
+    orphan = os.path.join(table, "d00001-deadbeef")
+    young = os.path.join(table, "d00001-cafef00d")
+    for d in (orphan, young):
+        os.makedirs(d)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(os.path.join(table, live), (old, old))  # referenced: kept
+    assert vacuum(table, keep_last=2, stage_retention_sec=3600) == []
+    assert not os.path.exists(orphan)
+    assert os.path.exists(young)  # in-flight writer survives
+    assert os.path.exists(os.path.join(table, live))
+    assert _rows(snapshot_read(spark, table)) == [(1, 1)]
+
+
 def test_merge_full_clauses_match_duckdb(spark, table):
     """insert+update+delete merge commit hash-matches the DuckDB
     MERGE-equivalent (INNER-join survivors UNION ALL anti-joined
