@@ -4315,3 +4315,185 @@ def rerank_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BM25_K)
         .select("query_id", "doc_id", "bm25_rk", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier — hashed-unigram features → hard-sigmoid
+# logistic regression trained by N exact fixed-point gradient rounds
+# (operators.classifier). The CCNet/fastText move: distill the
+# heuristic multi-signal quality gate into ONE learned linear scorer
+# over cheap portable features. The oracle unrolls all training rounds
+# as CTEs — the same pattern that proves k-means and the PCA power
+# iteration — so a 4-deep iterative TRAINER hash-matches across
+# engines, margins and all.
+# ---------------------------------------------------------------------------
+
+# B=64 leaves the ~31-word synthetic vocab nearly collision-free
+# (the stopword buckets carry clean signal); C=32 keeps per-round
+# margin moves inside the hard-sigmoid's ±2S active band — larger
+# steps were measured to oscillate all-pos ↔ all-neg and never learn.
+# Measured: train accuracy 0.758 vs 0.516 majority at sf0.01, 0.704
+# vs 0.528 at sf0.001; accuracy plateaus by round 6 at both SFs, so
+# 6 rounds buys the same model two Spark jobs cheaper.
+_QC_B, _QC_SEED, _QC_ITERS = 64, 21, 6
+_QC_SCALE, _QC_C = 1 << 20, 32
+
+
+def _qc_prob_sql(m: str) -> str:
+    """Hard-sigmoid fixed-point prediction: clamp(S/2 + m//4, 0, S)."""
+    return (
+        f"least(greatest({_QC_SCALE // 2} + {m} // 4, 0), {_QC_SCALE})"
+    )
+
+
+def _qc_train_ctes() -> str:
+    """CTE chain: features + weak labels + {_QC_ITERS} unrolled
+    gradient rounds, ending at weights ``qcw{_QC_ITERS}(j, w)``.
+    The weak label is the stopword-DENSITY gate (16·n_stop ≥
+    n_tokens, i.e. ratio ≥ 1/16 — an exact integer comparison): the
+    one component of the heuristic quality score that actually splits
+    this corpus into two classes (~50/50 at every SF), so training has
+    a real decision boundary to find."""
+    h32 = _H32.format(seed=_QC_SEED, x="tok")
+    parts = [f"""qcqt AS (
+      SELECT doc_id,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens,
+             CAST({_stop_hits(_QTOKS, "en")} AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    qcl AS MATERIALIZED (
+      SELECT doc_id AS id,
+             CAST(16 * n_stop >= n_tokens AS BIGINT) AS y
+      FROM qcqt
+    ),
+    qcf AS MATERIALIZED (
+      SELECT doc_id AS id, {h32} % {_QC_B} AS j,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, unnest({_QTOKS}) AS tok FROM documents) qcu
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id AS id, CAST({_QC_B} AS BIGINT) AS j,
+             CAST(1 AS BIGINT) AS x
+      FROM documents
+    ),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qcl),
+    qcw0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM qcf)"""]
+    for t in range(1, _QC_ITERS + 1):
+        parts.append(f""",
+    qcm{t} AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{t - 1} w USING (j) GROUP BY f.id
+    ),
+    qce{t} AS (
+      SELECT m.id, l.y * {_QC_SCALE} - {_qc_prob_sql("m.m")} AS e
+      FROM qcm{t} m JOIN qcl l USING (id)
+    ),
+    qcg{t} AS (
+      SELECT f.j, CAST(SUM(e.e * f.x) AS BIGINT) AS g
+      FROM qcf f JOIN qce{t} e USING (id) GROUP BY f.j
+    ),
+    qcw{t} AS MATERIALIZED (
+      SELECT w.j, w.w + COALESCE(g.g, 0) // (n.n * {_QC_C}) AS w
+      FROM qcw{t - 1} w LEFT JOIN qcg{t} g USING (j) CROSS JOIN qcn n
+    )""")
+    return "".join(parts)
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.classifier import (
+        dense_hashed_features,
+        logreg_train_score,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    # weak label: the stopword-density gate (exact integer test
+    # 16·n_stop ≥ n_tokens) — the quality-score component with a real
+    # ~50/50 decision boundary on this corpus — computed row-locally
+    # in the SAME projection that tokenizes, so staging needs no join.
+    toks = ws_tokens(F.lower(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(16) * stopword_hits(toks, "en") >= F.size(toks))
+        .cast("long").alias("y"),
+        toks.alias("__toks"),
+    )
+    vecs = dense_hashed_features(
+        base, F.col("__toks"), id_col="id", carry=("y",),
+        n_buckets=_QC_B, seed=_QC_SEED,
+    )
+    return logreg_train_score(
+        vecs, dim=_QC_B + 1, iters=_QC_ITERS, scale=_QC_SCALE, lr_c=_QC_C,
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH {_qc_train_ctes()},
+    qcms AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{_QC_ITERS} w USING (j) GROUP BY f.id
+    )
+    SELECT l.id AS doc_id,
+           CAST(l.y AS INTEGER) AS label,
+           m.m AS margin_fixed,
+           CAST({_qc_prob_sql("m.m")} AS BIGINT) AS prob_fixed,
+           {_qc_prob_sql("m.m")} * 2 >= {_QC_SCALE} AS predicted
+    FROM qcms m JOIN qcl l USING (id)
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qc_scored(spark, sf_dir).select(
+        F.col("id").alias("doc_id"),
+        "label", "margin_fixed", "prob_fixed", "predicted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# The classifier wired in as the corpus gate — the pipeline variant:
+# train, score, keep docs the model predicts high-quality, account per
+# source (kept/total docs, kept exact token sum). The 100 TB shape is
+# train-once-score-everywhere: training shuffles only the hashed
+# feature frame; the gate itself is one broadcast of (B+1) weights.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classifier_gated_corpus",
+    oracle=f"""
+    WITH {_qc_train_ctes()},
+    qcms AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{_QC_ITERS} w USING (j) GROUP BY f.id
+    ),
+    qcpred AS (
+      SELECT m.id, {_qc_prob_sql("m.m")} * 2 >= {_QC_SCALE} AS predicted
+      FROM qcms m
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN p.predicted
+                         THEN len({_QTOKS}) ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM documents d JOIN qcpred p ON d.doc_id = p.id
+    GROUP BY d.source
+    """,
+)
+def classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    scored = _qc_scored(spark, sf_dir).select("id", "predicted")
+    toks = F.size(ws_tokens(F.lower(F.col("text")))).cast("long")
+    d = docs.select(
+        F.col("doc_id").alias("id"), "source", toks.alias("n_toks")
+    )
+    return d.join(scored, "id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.col("predicted").cast("bigint")).cast("bigint").alias(
+            "n_kept"
+        ),
+        F.sum(
+            F.when(F.col("predicted"), F.col("n_toks")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_tokens"),
+    )
