@@ -4497,3 +4497,80 @@ def classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("predicted"), F.col("n_toks")).otherwise(F.lit(0))
         ).cast("bigint").alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training loop — the merge TABLE after N rounds
+# (operators.bpe). bpe_merge_candidates is round 1 of this loop; here
+# the loop runs: per round, count adjacent symbol pairs weighted by
+# word frequency, take the winner (count DESC, pair ASC), greedily
+# merge it everywhere, repeat. The oracle unrolls every round as CTEs
+# — pair counts, one-row winner, and the SAME left-to-right
+# string-fold rebuild (list_reduce there, aggregate here) — so the
+# whole trained tokenizer model hash-matches, merge order and all.
+# Corpus cost: ONE tokenize + word-count aggregate; rounds then run on
+# the distinct-word table (model-sized at any corpus scale).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_train_ctes() -> str:
+    parts = [f"""bpw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_QTOKS}) AS w FROM documents) bpu
+      GROUP BY w
+    ),
+    bps0 AS (
+      SELECT w, c,
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1)) AS s
+      FROM bpw
+    )"""]
+    for t in range(1, _BPE_MERGES + 1):
+        parts.append(f""",
+    bpp{t} AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM bps{t - 1} WHERE len(s) >= 2) bpz{t}
+      GROUP BY 1
+    ),
+    bpm{t} AS MATERIALIZED (
+      SELECT pair, n,
+             string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM bpp{t} ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    bps{t} AS MATERIALIZED (
+      SELECT p.w, p.c,
+             string_split(list_reduce(p.s, (acc, x) ->
+               CASE WHEN x = m.b
+                         AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                    THEN substr(acc, 1, length(acc) - length(m.a))
+                         || m.a || m.b
+                    ELSE acc || ' ' || x END), ' ') AS s
+      FROM bps{t - 1} p CROSS JOIN bpm{t} m
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_bpe_train_ctes()}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({t} AS INTEGER) AS round, pair, n AS n_occurrences FROM bpm{t}"
+          for t in range(1, _BPE_MERGES + 1)
+      )}
+    ) bpout
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.bpe import (
+        bpe_train,
+        bpe_word_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(bpe_word_table(docs), n_merges=_BPE_MERGES)
