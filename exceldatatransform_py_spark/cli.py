@@ -192,6 +192,22 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
     lsh, bm25. ``probe`` delivers its result like ``query`` does
     (stdout or a parquet/csv sink)."""
     docs_kinds = {"dedup", "simhash", "novelty"}
+    if args.action == "compact":
+        # OPTIMIZE: fold streaming-append small files back to one per
+        # partition/bucket; serve output is unchanged.
+        from exceldatatransform_py_spark.sources.maintenance import (
+            compact_index,
+        )
+
+        kind = "dedup" if args.kind == "novelty" else args.kind
+        stats = compact_index(spark, args.prefix, kind)
+        for t, s in stats.items():
+            print(
+                f"{args.prefix}_{t}: {s['files_before']} -> "
+                f"{s['files_after']} files",
+                file=sys.stderr,
+            )
+        return
     # Validate per-action requirements up front: every action consumes
     # --input, build additionally needs --path (else the external
     # tables land under a literal ./None/), and ivf build needs the
@@ -379,7 +395,8 @@ def main(argv: list[str] | None = None) -> None:
     ix = sub.add_parser("index",
                         help="build / probe / append the persisted "
                              "retrieval & dedup indexes")
-    ix.add_argument("action", choices=["build", "probe", "append"])
+    ix.add_argument("action",
+                    choices=["build", "probe", "append", "compact"])
     ix.add_argument("kind",
                     choices=["dedup", "simhash", "novelty", "ivf", "ivf_sq8",
                              "lsh", "bm25"])

@@ -160,6 +160,15 @@ def test_every_registered_query_is_documented():
     ).read()
     missing = [q for q in QUERIES if f"`{q}`" not in readme]
     assert not missing, f"queries missing from README coverage: {missing}"
+    # the README's stated registry size must BE the registry size —
+    # two rounds running it lagged; docs that can't drift are free
+    import re
+
+    stated = {int(m) for m in re.findall(
+        r"(\d+) (?:driver-scored|registered) quer", readme)}
+    assert stated == {len(QUERIES)}, (
+        f"README says {stated} queries, registry has {len(QUERIES)}"
+    )
 
 
 def test_cli_index_build_probe_append_loop(spark, tmp_path):
@@ -201,6 +210,13 @@ def test_cli_index_build_probe_append_loop(spark, tmp_path):
         # batch-1 ids are visible as match partners of batch 2
         assert p2.filter(F.col("id_b") < 50).count() > 0
         assert os.path.isdir(out1)
+        # OPTIMIZE through the CLI: probe result unchanged afterwards
+        main(["index", "compact", "dedup", "--prefix", prefix])
+        out3 = str(tmp_path / "probe3")
+        main(["index", "probe", "dedup", "--prefix", prefix,
+              "--input", b2_p, "--output", out3])
+        assert sorted(map(tuple, spark.read.parquet(out3).collect())) == \
+            sorted(map(tuple, p2.collect()))
     finally:
         for t in ("bands", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
