@@ -4574,3 +4574,190 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_train(bpe_word_table(docs), n_merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe/recall operating curve — the first question an ANN user
+# asks: what recall does each probe width buy, and at what scan cost?
+# One query emits, for nprobe ∈ {1, 2, 4} against the same fixed-
+# centroid IVF structure ann_ivf_topk serves: cells probed, candidate
+# vectors actually scored (the real cost driver — the fraction of the
+# corpus the probe touches), and recall@5 vs the exact brute-force
+# top-5. Everything is computed ONCE at the widest probe and sliced
+# by prk, so the curve costs one candidate join, not three; recall is
+# an integer-count ratio with a single final division (engine-exact).
+# ---------------------------------------------------------------------------
+
+_IVF_CURVE_PROBES = (1, 2, 4)
+
+
+def _ivf_curve_oracle() -> str:
+    rows = []
+    for np_ in _IVF_CURVE_PROBES:
+        rows.append(f"""
+    SELECT CAST({np_} AS INTEGER) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ocprobes
+            WHERE prk <= {np_}) AS n_cells_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM occand
+            WHERE prk <= {np_}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS DOUBLE)
+            FROM oct{np_} t JOIN ocex x
+            ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)
+             / (SELECT n_exact FROM ocexn) AS recall_at_5""")
+    tops = "".join(
+        f""",
+    oct{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM occand WHERE prk <= {np_}
+      ) WHERE rk <= 5
+    )"""
+        for np_ in _IVF_CURVE_PROBES
+    )
+    max_p = max(_IVF_CURVE_PROBES)
+    return f"""
+    WITH occ0 AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8
+    ),
+    ocasg AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS ark
+        FROM embeddings e, occ0 c
+      ) WHERE ark = 1
+    ),
+    ocprobes AS MATERIALIZED (
+      SELECT query_id, qv, cell, prk FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prk
+        FROM embeddings q, occ0 c WHERE q.vec_id < 10
+      ) WHERE prk <= {max_p}
+    ),
+    occand AS MATERIALIZED (
+      SELECT p.query_id, e.vec_id AS neighbor_id, p.prk,
+             {_cos_sql('p.qv', 'e.embedding')} AS cosine
+      FROM ocprobes p
+      JOIN ocasg a USING (cell)
+      JOIN embeddings e ON e.vec_id = a.neighbor_id
+      WHERE p.query_id != e.vec_id
+    ),
+    ocex AS MATERIALIZED ({_brute_topk_sql('ocx')}),
+    ocexn AS (SELECT COUNT(*) AS n_exact FROM ocex){tops}
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@register("ivf_operating_curve", oracle=_ivf_curve_oracle())
+def ivf_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        _cosine_pre,
+        _ivf_cells,
+        _norm,
+    )
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("__n"))
+        .persist()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        cosine_topk(
+            queries, emb, id_col="vec_id", vec_col="embedding",
+            k=5, norm_col="__n",
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cells = _ivf_cells(emb, centroids, "vec_id", "embedding", "__n")
+
+    # probe ranking ONCE at the widest width, sliced by prk per point
+    c = centroids.select(
+        F.col("cent_id").alias("__cid"),
+        F.col("cent_vec").alias("__cv0"),
+        _norm(F.col("cent_vec")).alias("__cn0"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            F.col("__n").alias("__qn"),
+        )
+        .join(F.broadcast(c))
+        .withColumn(
+            "__qcos",
+            _cosine_pre(F.col("__qv"), F.col("__cv0"),
+                        F.col("__qn"), F.col("__cn0")),
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= max(_IVF_CURVE_PROBES))
+        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cell"),
+                "prk")
+        .persist()
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("vec"),
+                        F.col("__qn"), F.col("vnorm")),
+        )
+        .select("query_id", "neighbor_id", "prk", "cosine")
+        .persist()
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for np_ in _IVF_CURVE_PROBES:
+        sub = cand.filter(F.col("prk") <= np_)
+        top = (
+            sub.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        n_cand = sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_cells = probes.filter(F.col("prk") <= np_).agg(
+            F.count(F.lit(1)).alias("n_cells_probed")
+        )
+        points.append(
+            hits.crossJoin(n_cand)
+            .crossJoin(n_cells)
+            .crossJoin(n_exact)
+            .select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.col("n_cells_probed").cast("bigint").alias(
+                    "n_cells_probed"
+                ),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                (
+                    F.col("n_hits").cast("double") / F.col("n_exact")
+                ).alias("recall_at_5"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out

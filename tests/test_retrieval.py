@@ -1040,3 +1040,24 @@ def test_streaming_ingest_loop_with_lsh_append(spark, tmp_path):
         for pre in (prefix, "lsh_rebuild_ref"):
             for t in ("buckets", "planes"):
                 spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
+
+
+def test_ivf_operating_curve_is_monotone(spark):
+    """The operating curve's defining property: widening the probe
+    scans more candidates and never loses recall; at the widest probe
+    the curve must clear the suite's IVF recall floor."""
+    from exceldatatransform_py_spark.plans.queries_llm import (
+        _ANN_RECALL_FLOORS,
+        ivf_operating_curve,
+    )
+
+    rows = sorted(
+        ivf_operating_curve(spark, SF).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates > a.n_candidates
+        assert b.n_cells_probed == a.n_cells_probed * (b.n_probe // a.n_probe)
+        assert b.recall_at_5 >= a.recall_at_5
+    assert rows[-1].recall_at_5 >= _ANN_RECALL_FLOORS["ivf"]
