@@ -4761,3 +4761,68 @@ def ivf_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in points[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle — the shard manifest. Training
+# pipelines need the corpus in a reproducible pseudorandom order
+# WITHOUT a global sort: h = md5(seed, id) keys both the shard
+# (h % K) and the in-shard position ((h, id) order), so the full
+# permutation is a pure function of (seed, ids) at any parallelism.
+# The manifest pins it exactly: per shard, the doc count, exact token
+# sum, and an ORDER-SENSITIVE chained md5 over the permutation — the
+# same sorted-fold trick the suite uses wherever order must be
+# engine-identical (NOTES.md). write_training_shards
+# (sources/writers.py) emits the physical shards in this order.
+# ---------------------------------------------------------------------------
+
+_SHARD_K, _SHARD_SEED = 8, 17
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH tsd AS (
+      SELECT doc_id,
+             {_H32.format(seed=_SHARD_SEED, x="CAST(doc_id AS VARCHAR)")}
+               AS h,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT CAST(h % {_SHARD_K} AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           list_reduce(
+             list_prepend('', list(CAST(doc_id AS VARCHAR)
+                                   ORDER BY h, doc_id)),
+             (acc, x) -> md5(acc || ':' || x)
+           ) AS order_hash
+    FROM tsd GROUP BY 1
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    h = md5_hash32(F.col("doc_id"), seed=_SHARD_SEED)
+    staged = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(ws_tokens(F.lower(F.col("text")))).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+        lambda t: t["doc_id"].cast("string"),
+    )
+    chain = F.aggregate(
+        ordered,
+        F.lit(""),
+        lambda acc, x: F.md5(F.concat(acc, F.lit(":"), x)),
+    )
+    return staged.groupBy(
+        (F.col("h") % _SHARD_K).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        chain.alias("order_hash"),
+    )

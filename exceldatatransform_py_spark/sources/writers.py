@@ -470,3 +470,47 @@ def compact_files(
     compacted = compacted.localCheckpoint(eager=True)
     compacted.write.format(fmt).mode("overwrite").save(path)
     return n_files
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    k_shards: int,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> None:
+    """Deterministic corpus shuffle + shard writer — the last serving
+    step of a training-data pipeline: emit the corpus as ``k_shards``
+    shard directories whose concatenation in (shard, position) order
+    is a SEED-KEYED pseudorandom permutation of the documents.
+
+    Order comes from a portable hash, not an RNG: every document gets
+    ``h = md5_hash32(seed, id)``; its shard is ``h % k_shards`` and
+    its position within the shard is the (h, id) sort order — so the
+    permutation is a pure function of (seed, ids), reproducible on any
+    engine/cluster/partitioning, and changing the seed reshuffles.
+    ``training_shard_manifest`` (plans/queries_llm.py) pins the exact
+    permutation under the oracle via order-sensitive per-shard chained
+    hashes.
+
+    Physical shape: ONE hash shuffle into ``k_shards`` tasks (each
+    shard lives in exactly one task), ``sortWithinPartitions`` for the
+    in-shard order (local sort, no global sort anywhere — the point:
+    training order needs a pseudorandom permutation, which a hash
+    gives without total ordering the corpus), and a ``partitionBy``
+    directory layout → one parquet file per shard, rows already in
+    serving order.
+    """
+    from exceldatatransform_py_spark.functions.text import md5_hash32
+
+    h = md5_hash32(F.col(id_col), seed=seed)
+    (
+        docs.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % k_shards).cast("int"))
+        .repartition(k_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -635,3 +635,58 @@ def test_excel_writer_rejects_truncation_collisions(spark, tmpdir_):
     )
     write_excel_workbook(ok, out, "surname", sheet_name_len=10)
     assert os.path.exists(out)
+
+
+def test_training_shards_physical_order_is_the_permutation(spark, tmp_path):
+    """write_training_shards must emit one file per shard whose
+    PHYSICAL row order is the seed-keyed (h, id) permutation — read
+    back with pyarrow (no Spark reordering) and checked against the
+    hash recomputed in pure Python; union of shards == corpus."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.sources.readers import read_table
+    from exceldatatransform_py_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shards")
+    k, seed = 8, 17
+    write_training_shards(docs, out, k_shards=k, seed=seed)
+
+    def h32(i: int) -> int:
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    seen: list[int] = []
+    for shard in range(k):
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert len(files) == 1, f"shard {shard}: one file expected"
+        ids = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        expected = sorted(
+            (i for i in all_ids if h32(i) % k == shard),
+            key=lambda i: (h32(i), i),
+        )
+        assert ids == expected  # physical order IS the permutation
+        seen.extend(ids)
+    assert sorted(seen) == sorted(all_ids)  # nothing lost or duplicated
+
+    # a different seed produces a different permutation (it's a knob,
+    # not an accident of partitioning)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, k_shards=k, seed=18)
+    order1 = [
+        tuple(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        for f in sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+    ]
+    order2 = [
+        tuple(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        for f in sorted(glob.glob(f"{out2}/shard=*/*.parquet"))
+    ]
+    assert order1 != order2
