@@ -294,7 +294,8 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
                              path=args.path, id_col=args.id_col,
                              text_col=args.text_col)
     elif args.action == "append":
-        raise SystemExit("bm25 index append is not supported; rebuild")
+        ret.append_to_bm25_index(spark, df, args.prefix,
+                                 id_col=args.id_col, text_col=args.text_col)
     else:
         deliver(ret.bm25_topk_from_index(spark, args.prefix, df, k=args.k))
 

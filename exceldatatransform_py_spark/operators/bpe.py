@@ -85,7 +85,32 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
     returns the merge table ``(round int, pair string, n_occurrences
     bigint)`` — the trained tokenizer model, one row per round in
     training order. Stops early if no adjacent pair remains."""
-    spark = words.sparkSession
+    merges = train_merge_sequence(words, n_merges)
+    return words.sparkSession.createDataFrame(
+        merges, "round int, pair string, n_occurrences long"
+    )
+
+
+def train_merge_sequence(
+    words: DataFrame, n_merges: int
+) -> list[tuple[int, str, int]]:
+    """The training loop itself, returning the merge sequence as
+    ``[(round, pair, count), ...]`` — the model object ``bpe_apply``
+    consumes."""
+    return bpe_train_state(words, n_merges)[0]
+
+
+def bpe_train_state(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Train AND hand back the final symbolization: ``(merges, final
+    word table (w, c, s))``. Corpus encoding should read the returned
+    table (each round's rebuild is already materialized there) rather
+    than re-folding the merge sequence as one expression —
+    ``bpe_apply``'s chained folds reference their input twice each, so
+    an N-merge expression tree grows 2^N (measured: 8 chained folds
+    cost ~20s of analyzer/codegen at sf0.1; the materialized state is
+    free)."""
     cur = words.localCheckpoint()
     merges: list[tuple[int, str, int]] = []
     for t in range(1, n_merges + 1):
@@ -117,9 +142,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
         cur = cur.select(
             "w", "c", _merge_fold(F.col("s"), a, b).alias("s")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round int, pair string, n_occurrences long"
-    )
+    return merges, cur
 
 
 def bpe_apply(tokens: Column, merges: list[tuple[str, str]]) -> Column:

@@ -121,6 +121,7 @@ def logreg_train_score(
     iters: int = 8,
     scale: int = LOGREG_SCALE,
     lr_c: int = LOGREG_C,
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """Train the hard-sigmoid logistic scorer on ``vecs`` (``id, y,
     xs``: dense integer features with y ∈ {0,1}) for ``iters`` exact
@@ -142,6 +143,9 @@ def logreg_train_score(
     staged = vecs.select(
         "id", F.col("y").cast("long").alias("y"), "xs"
     ).persist()
+    # holdout evaluation: gradients see only the training split;
+    # scoring still covers every document
+    train = staged if train_filter is None else staged.filter(train_filter)
     if dim is None:
         dim = len(staged.select("xs").first()["xs"])
     n = None
@@ -169,7 +173,7 @@ def logreg_train_score(
         # gradient terms exploded and partially aggregated map-side —
         # the exchange carries (dim × partitions) rows; the collect is
         # MODEL-sized (dim longs), the treeAggregate pattern.
-        rowe = staged.select("xs", "y", margin(w).alias("__m")).select(
+        rowe = train.select("xs", "y", margin(w).alias("__m")).select(
             "xs",
             (F.col("y") * F.lit(scale) - prob(F.col("__m"))).alias("__e"),
         )

@@ -128,28 +128,122 @@ def build_bm25_index(
     text_col: str = "text",
 ) -> None:
     """Persist the inverted index as bucketed catalog tables:
-    ``<prefix>_postings`` bucketed+sorted by term (posting lists are
-    contiguous and tok-keyed ops — df refresh, index merges — need no
-    exchange), ``<prefix>_doclen`` bucketed by doc id, and the one-row
-    ``<prefix>_stats``. Build is the only pass over document text;
-    at 100 TB it runs once per ingest and every retrieval thereafter
-    reads only index bytes.
+    ``<prefix>_postings`` (tok, doc_id, tf) bucketed+sorted by term,
+    ``<prefix>_df`` (tok, df) bucketed+sorted by term — NORMALIZED out
+    of the postings so a batch append only merges the vocab-sized df
+    table instead of invalidating every stored posting row —
+    ``<prefix>_doclen`` bucketed by doc id, and the one-row
+    ``<prefix>_stats`` carrying ``sum_dl`` so corpus stats maintain
+    incrementally. Serve re-joins postings⋈df on ``tok``: both sides
+    bucketed identically, so the join is co-located (no exchange).
+    Build is the only pass over document text; at 100 TB it runs once
+    per ingest and every retrieval thereafter reads only index bytes.
     """
     from exceldatatransform_py_spark.sources.bucketing import write_bucketed
 
-    staged = bm25_stage(docs, id_col=id_col, text_col=text_col)
+    tf = (
+        tokenize(docs, id_col, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     write_bucketed(
-        staged["postings"], f"{table_prefix}_postings", ["tok"], n_buckets,
+        tf, f"{table_prefix}_postings", ["tok"], n_buckets,
         sort_cols=["tok"], path=f"{path}/postings",
     )
     write_bucketed(
-        staged["doclen"], f"{table_prefix}_doclen", ["doc_id"], n_buckets,
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+        f"{table_prefix}_df", ["tok"], n_buckets,
+        sort_cols=["tok"], path=f"{path}/df",
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    write_bucketed(
+        doclen, f"{table_prefix}_doclen", ["doc_id"], n_buckets,
         path=f"{path}/doclen",
     )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
     (
-        staged["stats"].coalesce(1).write.mode("overwrite")
+        stats.coalesce(1).write.mode("overwrite")
         .option("path", f"{path}/stats").saveAsTable(f"{table_prefix}_stats")
     )
+    tf.unpersist()
+
+
+def append_to_bm25_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Continuous ingest for the lexical index — work scales with the
+    BATCH: the batch's postings and doc lengths bucket-append
+    (``insertInto`` preserves the bucket spec), the vocab-sized df
+    table merges by addition on its bucket key (one co-located
+    aggregate-to-aggregate merge, the ``incremental_agg_merge``
+    pattern), and the one-row stats maintain incrementally from the
+    stored ``sum_dl``/``n_docs`` — no stored posting row is read or
+    rewritten, and no document text outside the batch is touched.
+    Serve output afterwards is identical to a full rebuild over the
+    union (pinned by test): tf/df/dl are exact integers and avgdl is
+    one exact-integer division."""
+    from exceldatatransform_py_spark.sources.bucketing import write_bucketed
+    from exceldatatransform_py_spark.sources.maintenance import table_layout
+
+    tf_b = (
+        tokenize(new_docs, id_col, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf_b.write.mode("append").insertInto(f"{table_prefix}_postings")
+    doclen_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen_b.write.mode("append").insertInto(f"{table_prefix}_doclen")
+
+    df_b = tf_b.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl = f"{table_prefix}_df"
+    lay = table_layout(spark, df_tbl)
+    merged = (
+        spark.table(df_tbl)
+        .join(df_b.withColumnRenamed("df", "__bdf"), "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("__bdf"), F.lit(0))
+            ).alias("df"),
+        )
+        .localCheckpoint(eager=True)  # must not read what it replaces
+    )
+    write_bucketed(
+        merged, df_tbl, lay["bucket_cols"], lay["n_buckets"],
+        sort_cols=lay["sort_cols"] or None, path=lay["location"],
+        mode="overwrite",
+    )
+
+    # one-row stats: exact integer increments, control-plane sized
+    old = spark.table(f"{table_prefix}_stats").first()
+    batch = doclen_b.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n_docs = int(old["n_docs"]) + int(batch["n"] or 0)
+    sum_dl = int(old["sum_dl"]) + int(batch["s"] or 0)
+    stats_lay = table_layout(spark, f"{table_prefix}_stats")
+    (
+        spark.createDataFrame(
+            [(n_docs, sum_dl, sum_dl / n_docs)],
+            "n_docs bigint, sum_dl bigint, avgdl double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", stats_lay["location"])
+        .saveAsTable(f"{table_prefix}_stats")
+    )
+    tf_b.unpersist()
 
 
 def bm25_topk_from_index(
@@ -161,10 +255,14 @@ def bm25_topk_from_index(
     """Serve top-k from a persisted index — no document text is read.
     Scores are identical to the live ``bm25_topk`` over the same
     corpus (pinned by test): the index stores exact integer tf/df/dl
-    and the scoring expression is shared."""
+    and the scoring expression is shared. The postings⋈df re-join is
+    co-located (both bucketed+sorted by ``tok``)."""
+    postings = spark.table(f"{table_prefix}_postings").join(
+        spark.table(f"{table_prefix}_df"), "tok"
+    )
     return bm25_topk(
         query_terms,
-        spark.table(f"{table_prefix}_postings"),
+        postings,
         spark.table(f"{table_prefix}_doclen"),
         spark.table(f"{table_prefix}_stats"),
         k=k,

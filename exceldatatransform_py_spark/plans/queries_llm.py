@@ -4346,14 +4346,16 @@ def _qc_prob_sql(m: str) -> str:
     )
 
 
-def _qc_train_ctes() -> str:
+def _qc_train_ctes(train_gate: str = "TRUE") -> str:
     """CTE chain: features + weak labels + {_QC_ITERS} unrolled
     gradient rounds, ending at weights ``qcw{_QC_ITERS}(j, w)``.
     The weak label is the stopword-DENSITY gate (16·n_stop ≥
     n_tokens, i.e. ratio ≥ 1/16 — an exact integer comparison): the
     one component of the heuristic quality score that actually splits
     this corpus into two classes (~50/50 at every SF), so training has
-    a real decision boundary to find."""
+    a real decision boundary to find. ``train_gate`` (SQL over the
+    label row's ``id``) restricts the GRADIENT rounds to the training
+    split; features/labels stay corpus-wide for scoring."""
     h32 = _H32.format(seed=_QC_SEED, x="tok")
     parts = [f"""qcqt AS (
       SELECT doc_id,
@@ -4376,17 +4378,19 @@ def _qc_train_ctes() -> str:
              CAST(1 AS BIGINT) AS x
       FROM documents
     ),
-    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qcl),
+    qctr AS (SELECT id, y FROM qcl WHERE {train_gate}),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qctr),
     qcw0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM qcf)"""]
     for t in range(1, _QC_ITERS + 1):
         parts.append(f""",
     qcm{t} AS (
       SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
-      FROM qcf f JOIN qcw{t - 1} w USING (j) GROUP BY f.id
+      FROM qcf f JOIN qctr r USING (id)
+      JOIN qcw{t - 1} w USING (j) GROUP BY f.id
     ),
     qce{t} AS (
       SELECT m.id, l.y * {_QC_SCALE} - {_qc_prob_sql("m.m")} AS e
-      FROM qcm{t} m JOIN qcl l USING (id)
+      FROM qcm{t} m JOIN qctr l USING (id)
     ),
     qcg{t} AS (
       SELECT f.j, CAST(SUM(e.e * f.x) AS BIGINT) AS g
@@ -4399,7 +4403,9 @@ def _qc_train_ctes() -> str:
     return "".join(parts)
 
 
-def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qc_scored(
+    spark: SparkSession, sf_dir: str, train_filter=None
+) -> DataFrame:
     from exceldatatransform_py_spark.operators.classifier import (
         dense_hashed_features,
         logreg_train_score,
@@ -4423,6 +4429,7 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return logreg_train_score(
         vecs, dim=_QC_B + 1, iters=_QC_ITERS, scale=_QC_SCALE, lr_c=_QC_C,
+        train_filter=train_filter,
     )
 
 
@@ -4825,4 +4832,130 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
         chain.alias("order_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — the serving half of tokenizer training: apply the
+# trained merge sequence to the corpus and account the compression per
+# source. The scale shape mirrors real tokenizers: encoding is
+# resolved per DISTINCT word (the model-sized table training already
+# built — each word folds through the merge sequence once), and the
+# corpus pass is a broadcast join of tokens against that encoded
+# vocabulary — document text is scanned once, the quadratic-ish fold
+# work is per vocab entry, never per occurrence. symbols_per_char is
+# one double division of exact integer sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH {_bpe_train_ctes()},
+    bpenc AS (
+      SELECT w, CAST(len(s) AS BIGINT) AS n_sym,
+             CAST(length(w) AS BIGINT) AS n_chr
+      FROM bps{_BPE_MERGES}
+    ),
+    bptk AS (SELECT source, unnest({_QTOKS}) AS w FROM documents)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.n_chr) AS BIGINT) AS total_chars,
+           CAST(SUM(e.n_sym) AS BIGINT) AS total_symbols,
+           CAST(SUM(e.n_sym) AS DOUBLE) / SUM(e.n_chr) AS symbols_per_char
+    FROM bptk t JOIN bpenc e USING (w)
+    GROUP BY t.source
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.bpe import (
+        bpe_train_state,
+        bpe_word_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = bpe_word_table(docs)
+    # the trainer's final materialized symbolization IS the encoded
+    # vocabulary — never re-fold the merge sequence as one expression
+    # (2^N tree growth; see bpe_train_state)
+    _, final_words = bpe_train_state(words, _BPE_MERGES)
+    enc = final_words.select(
+        "w",
+        F.size("s").cast("long").alias("n_sym"),
+        F.length("w").cast("long").alias("n_chr"),
+    )
+    toks = docs.select(
+        "source",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    return toks.join(F.broadcast(enc), "w").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("n_chr").cast("bigint").alias("total_chars"),
+        F.sum("n_sym").cast("bigint").alias("total_symbols"),
+        (
+            F.sum("n_sym").cast("double") / F.sum("n_chr")
+        ).alias("symbols_per_char"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier HOLDOUT evaluation — the number a curation gate is judged
+# by: accuracy on documents the trainer never saw. The corpus splits
+# by a seed-keyed hash gate (~80% train / 20% test — the same
+# deterministic-split machinery the train/val/test splitter uses);
+# gradients see only the train split, scoring covers everything, and
+# the result reports per-split counts and accuracy. All counts exact
+# integers; one final division per row.
+# ---------------------------------------------------------------------------
+
+_QC_HOLD_SEED, _QC_HOLD_MOD = 23, 5
+
+
+@register(
+    "classifier_holdout_eval",
+    oracle=f"""
+    WITH {_qc_train_ctes(
+        _H32.format(seed=_QC_HOLD_SEED, x="CAST(id AS VARCHAR)")
+        + f" % {_QC_HOLD_MOD} != 0"
+    )},
+    qcms AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{_QC_ITERS} w USING (j) GROUP BY f.id
+    ),
+    qcsp AS (
+      SELECT l.id, l.y,
+             CASE WHEN {_H32.format(
+                 seed=_QC_HOLD_SEED, x="CAST(l.id AS VARCHAR)"
+             )} % {_QC_HOLD_MOD} != 0
+                  THEN 'train' ELSE 'test' END AS split,
+             {_qc_prob_sql("m.m")} * 2 >= {_QC_SCALE} AS predicted
+      FROM qcms m JOIN qcl l USING (id)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN predicted = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = (y = 1) THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM qcsp GROUP BY split
+    """,
+)
+def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gate = md5_hash32(F.col("id"), seed=_QC_HOLD_SEED) % _QC_HOLD_MOD != 0
+    scored = _qc_scored(spark, sf_dir, train_filter=gate)
+    split = F.when(gate, F.lit("train")).otherwise(F.lit("test"))
+    correct = (
+        F.col("predicted") == (F.col("label") == 1)
+    ).cast("bigint")
+    return (
+        scored.select("id", "label", "predicted")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias(
+                "accuracy"
+            ),
+        )
     )

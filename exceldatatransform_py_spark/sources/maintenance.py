@@ -122,7 +122,7 @@ INDEX_FAMILY_TABLES = {
     "ivf_sq8": ["cells"],
     "dedup": ["bands", "shingles"],
     "simhash": ["simbands"],
-    "bm25": ["postings", "doclen"],
+    "bm25": ["postings", "df", "doclen"],
 }
 
 

@@ -137,7 +137,7 @@ def test_compact_preserves_sorted_bucket_layout(spark, tmp_path):
         assert after_lay["sort_cols"] == before_lay["sort_cols"] == ["tok"]
         assert serve() == before_rows
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "df", "doclen", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 

@@ -28,7 +28,7 @@ def index(spark, tmp_path):
     docs = read_table(spark, SF, "documents")
     build_bm25_index(docs, prefix, n_buckets=4, path=str(tmp_path / "idx"))
     yield prefix
-    for t in ("postings", "doclen", "stats"):
+    for t in ("postings", "df", "doclen", "stats"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
@@ -1061,3 +1061,130 @@ def test_ivf_operating_curve_is_monotone(spark):
         assert b.n_cells_probed == a.n_cells_probed * (b.n_probe // a.n_probe)
         assert b.recall_at_5 >= a.recall_at_5
     assert rows[-1].recall_at_5 >= _ANN_RECALL_FLOORS["ivf"]
+
+
+def test_bm25_index_append_matches_full_rebuild(spark, tmp_path):
+    """Continuous lexical ingest: build on half the corpus, append the
+    other half in two batches — serve output must be IDENTICAL to a
+    full rebuild over the union (df merges by addition, stats maintain
+    incrementally; scores are exact integers so equality is exact).
+    The df merge must be batch+vocab-sized: no document text outside
+    the batch is read."""
+    from exceldatatransform_py_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        bm25_topk_from_index,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    pa, pb = "bm25_append_idx", "bm25_rebuild_idx"
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 4 <= 1), pa,
+        n_buckets=4, path=str(tmp_path / "a"),
+    )
+    build_bm25_index(docs, pb, n_buckets=4, path=str(tmp_path / "b"))
+    try:
+        for r in (2, 3):
+            append_to_bm25_index(
+                spark, docs.filter(F.col("doc_id") % 4 == r), pa
+            )
+        q_terms = _query_terms(spark)
+
+        def serve(prefix):
+            return sorted(
+                tuple(r)
+                for r in bm25_topk_from_index(
+                    spark, prefix, q_terms, k=5
+                ).collect()
+            )
+
+        assert serve(pa) == serve(pb)
+        # stats maintained incrementally are the rebuild's stats
+        sa = spark.table(f"{pa}_stats").first()
+        sb = spark.table(f"{pb}_stats").first()
+        assert (sa.n_docs, sa.sum_dl, sa.avgdl) == \
+            (sb.n_docs, sb.sum_dl, sb.avgdl)
+        # the serve join stays co-located: no exchange between the
+        # postings scan and the df join
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bm25_topk_from_index(spark, pa, q_terms, k=5).explain("formatted")
+        plan = buf.getvalue()
+        post_join = [b for b in plan.split("\n\n")
+                     if "SortMergeJoin" in b or "ShuffledHashJoin" in b]
+        # postings⋈df resolves bucketed — a shuffle would appear as an
+        # Exchange feeding the join on tok
+        assert "Exchange hashpartitioning(tok" not in plan
+    finally:
+        for pre in (pa, pb):
+            for t in ("postings", "df", "doclen", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
+
+
+def test_streaming_ingest_loop_with_bm25_append(spark, tmp_path):
+    """Continuous lexical ingest end-to-end (the fifth index family's
+    streaming loop): a document stream drained through foreachBatch,
+    each micro-batch appended to the BM25 index — postings/doclen
+    bucket-append, df merges, stats maintain. After both waves the
+    index serves identically to a from-scratch rebuild."""
+    from exceldatatransform_py_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        bm25_topk_from_index,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 4 <= 1)
+    wave1 = docs.filter(F.col("doc_id") % 4 == 2)
+    wave2 = docs.filter(F.col("doc_id") % 4 == 3)
+
+    prefix = "bm25_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_bm25_index(seed, prefix, n_buckets=4, path=str(tmp_path / "bm"))
+
+    def ingest(batch_df, _bid):
+        append_to_bm25_index(spark, batch_df, prefix)
+
+    def drain():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        wave1.write.mode("append").parquet(in_dir)
+        drain()
+        wave2.write.mode("append").parquet(in_dir)
+        drain()
+
+        q_terms = _query_terms(spark)
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(
+                spark, prefix, q_terms, k=5
+            ).collect()
+        )
+        build_bm25_index(
+            docs, "bm25_rebuild_ref", n_buckets=4,
+            path=str(tmp_path / "ref"),
+        )
+        rebuilt = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(
+                spark, "bm25_rebuild_ref", q_terms, k=5
+            ).collect()
+        )
+        assert served == rebuilt
+    finally:
+        for pre in (prefix, "bm25_rebuild_ref"):
+            for t in ("postings", "df", "doclen", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
