@@ -4959,3 +4959,86 @@ def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v3 — the LEARNED gate composed into the full
+# ingest pipeline: train the quality classifier, gate on its
+# prediction, exact-dedup the survivors, apply the per-source quota
+# ranked BY CLASSIFIER MARGIN (the learned score replaces the
+# heuristic ordering v1 used), and account per language. One lazy
+# plan after training; margins are exact BIGINTs so min/max summarize
+# hash-exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=rf"""
+    WITH {_qc_train_ctes()},
+    qcms AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{_QC_ITERS} w USING (j) GROUP BY f.id
+    ),
+    v3g AS (
+      SELECT d.doc_id, d.source, d.lang, d.text, qm.m AS margin,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN qcms qm ON d.doc_id = qm.id
+      WHERE {_qc_prob_sql("qm.m")} * 2 >= {_QC_SCALE}
+    ),
+    v3d AS (
+      SELECT MIN(doc_id) AS keep_id
+      FROM v3g
+      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ),
+    v3k AS (SELECT g.* FROM v3g g JOIN v3d ON g.doc_id = v3d.keep_id),
+    v3q AS (
+      SELECT * FROM (
+        SELECT v3k.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY margin DESC, doc_id) AS rk
+        FROM v3k
+      ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(margin) AS min_margin,
+           MAX(margin) AS max_margin
+    FROM v3q GROUP BY lang
+    """,
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = _qc_scored(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "margin_fixed", "predicted"
+    )
+    gated = (
+        docs.join(scored, "doc_id")
+        .filter(F.col("predicted"))
+        .select(
+            "doc_id", "source", "lang", "text",
+            F.col("margin_fixed").alias("margin"),
+            F.size(ws_tokens(F.lower(F.col("text")))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    ded = gated.groupBy(F.md5(normalize_text("text")).alias("__d")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = gated.join(ded, gated.doc_id == ded.keep_id, "left_semi")
+    w = Window.partitionBy("source").orderBy(
+        F.col("margin").desc(), F.col("doc_id")
+    )
+    quota = kept.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _QUOTA_PER_SOURCE
+    )
+    return quota.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("margin").alias("min_margin"),
+        F.max("margin").alias("max_margin"),
+    )
