@@ -526,6 +526,19 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "minhash_estimate_error",
         "curation_pipeline_v2",
         "rerank_bm25_dense",
+        # round-7 batch: the iterative trainers (logistic classifier,
+        # BPE loop), the shard-permutation manifest's order-sensitive
+        # chained hash, the IVF operating curve's sliced candidate
+        # counts, and the learned-gate pipeline must all be pure
+        # functions of the data, not the partitioning.
+        "quality_classifier_score",
+        "classifier_gated_corpus",
+        "classifier_holdout_eval",
+        "bpe_train_merges",
+        "bpe_encode_corpus",
+        "training_shard_manifest",
+        "ivf_operating_curve",
+        "curation_pipeline_v3",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
