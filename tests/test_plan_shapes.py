@@ -866,3 +866,38 @@ def test_scored_index_probes_scan_no_corpus_text(spark):
             if "text:string" in s.splitlines()[0]
         ]
         assert len(text_scans) <= 1, f"{name} re-scans corpus text"
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """The deterministic-shuffle manifest is one hash aggregate over a
+    map-side hashed scan: exactly one exchange (the shard groupBy) —
+    no global sort anywhere (the permutation comes from the hash, not
+    an ordering of the corpus)."""
+    plan = plan_of(spark, "training_shard_manifest")
+    assert n_exchanges(plan) == 1
+    # no total-order operator: Sort may appear only inside the
+    # per-group array_sort expression, never as a physical global Sort
+    assert "(1) Sort" not in plan  # defensive; checked via regex below
+    import re as _re
+
+    assert not _re.search(r"\(\d+\) Sort\b", plan)
+
+
+def test_bpe_encode_join_is_broadcast(spark):
+    """Corpus encoding joins exploded tokens against the encoded
+    VOCABULARY — model-sized, so it must broadcast; the corpus is
+    never shuffled for the join."""
+    plan = plan_of(spark, "bpe_encode_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_classifier_gate_scoring_broadcast_only(spark):
+    """The learned gate's corpus pass: scored predictions join docs on
+    the id — both doc-sized, but the scoring side arrives from the
+    persisted feature cache, and no Python eval appears anywhere (the
+    trainer's Python runs at PLAN BUILD time, collecting a model-sized
+    gradient; the scored plan itself is pure JVM)."""
+    plan = plan_of(spark, "classifier_gated_corpus")
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # staged features served from cache
