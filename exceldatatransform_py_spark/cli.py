@@ -315,7 +315,19 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
     if a == "write":
         df = spark.read.parquet(args.input)
         stats = args.stats_cols.split(",") if args.stats_cols else ()
-        v = snap.snapshot_write(args.table, df, stats_cols=stats)
+        cons = None
+        if args.check:
+            cons = {}
+            for item in args.check:
+                name, _, cond = item.partition("=")
+                if not cond:
+                    raise SystemExit(
+                        f"snapshot write: --check expects name=expr, got {item!r}"
+                    )
+                cons[name] = cond
+        v = snap.snapshot_write(
+            args.table, df, stats_cols=stats, constraints=cons
+        )
         print(f"committed version {v}", file=sys.stderr)
     elif a == "merge":
         df = spark.read.parquet(args.input)
@@ -438,6 +450,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="merge: CAS retries on concurrent-commit conflict")
     sn.add_argument("--stats-cols", default=None,
                     help="write: cache per-file min/max for these columns")
+    sn.add_argument("--check", action="append", default=None,
+                    metavar="NAME=EXPR",
+                    help="write: CHECK constraint (repeatable); persists "
+                         "and is enforced on every later commit")
     sn.add_argument("--version", type=int, default=None,
                     help="read/rollback: version number")
     sn.add_argument("--as-of-ts", type=float, default=None,

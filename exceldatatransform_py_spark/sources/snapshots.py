@@ -313,16 +313,70 @@ def _publish(table: str, manifest: dict) -> None:
     _active_protocol.publish(table, manifest)
 
 
+class SnapshotConstraintError(ValueError):
+    """A commit's rows violate a table CHECK constraint: the commit
+    was rejected BEFORE any data was staged — the table is untouched."""
+
+    def __init__(self, name: str, cond: str, n_violations: int):
+        super().__init__(
+            f"CHECK constraint {name!r} ({cond}) violated by "
+            f"{n_violations} row(s); commit rejected"
+        )
+        self.name = name
+        self.cond = cond
+        self.n_violations = n_violations
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """Enforce CHECK constraints with SQL semantics (NULL passes —
+    only rows where the condition is FALSE violate), all constraints
+    in ONE aggregation pass over the commit's rows."""
+    if not constraints:
+        return
+    items = list(constraints.items())
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(cond), F.lit(True))).cast("long")
+        ).alias(f"__c{i}")
+        for i, (_, cond) in enumerate(items)
+    ]
+    row = df.agg(*aggs).first()
+    for i, (name, cond) in enumerate(items):
+        bad = row[f"__c{i}"] or 0
+        if bad:
+            raise SnapshotConstraintError(name, cond, int(bad))
+
+
+def _parent_constraints(table: str, parent: int | None) -> dict:
+    if parent is None:
+        return {}
+    for m in _manifests(table):
+        if m["version"] == parent:
+            return m.get("constraints", {})
+    return {}
+
+
 def _commit(
     table: str,
     df: DataFrame,
     kind: str,
     parent: int | None,
     stats_cols: Sequence[str] = (),
+    constraints: dict | None = None,
 ) -> int:
     import time
 
     v = 0 if parent is None else parent + 1
+    # CHECK constraints persist across commits (Delta's ADD CONSTRAINT
+    # contract): None inherits the parent's; a dict replaces them
+    # ({} drops all). Validation runs BEFORE staging, so a rejected
+    # commit leaves no trace.
+    effective = (
+        _parent_constraints(table, parent)
+        if constraints is None
+        else dict(constraints)
+    )
+    _validate_constraints(df, effective)
     data_dir = _active_protocol.stage_data_dir(table, df, v)
     manifest = {
         "version": v,
@@ -332,6 +386,8 @@ def _commit(
         "ts": time.time(),
         "schema": df.schema.jsonValue(),
     }
+    if effective:
+        manifest["constraints"] = effective
     if stats_cols:
         rel_files = sorted(
             os.path.join(data_dir, f)
@@ -350,14 +406,22 @@ def _commit(
 
 
 def snapshot_write(
-    table: str, df: DataFrame, stats_cols: Sequence[str] = ()
+    table: str,
+    df: DataFrame,
+    stats_cols: Sequence[str] = (),
+    constraints: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next full version of ``table`` (the
     overwrite commit). ``stats_cols`` caches per-file min/max in the
     manifest at commit time, so pruned merges on those columns never
-    reopen data-file footers. Returns the new version number."""
+    reopen data-file footers. ``constraints`` maps name → SQL boolean
+    (CHECK semantics: NULL passes); they persist in the manifest and
+    every later commit — merges included — validates against them
+    before staging (pass ``{}`` to drop them). Returns the new
+    version number."""
     return _commit(
-        table, df, "overwrite", latest_version(table), stats_cols=stats_cols
+        table, df, "overwrite", latest_version(table),
+        stats_cols=stats_cols, constraints=constraints,
     )
 
 
@@ -677,6 +741,9 @@ def snapshot_merge_update_pruned(
             merged = merge_update(
                 target, updates, on=on, update_cols=update_cols
             )
+        # inherited CHECK constraints guard the rewritten rows (the
+        # inherited files were validated at their own commits)
+        _validate_constraints(merged, latest.get("constraints", {}))
         data_dir = _active_protocol.stage_data_dir(table, merged, v)
         new_files = sorted(
             os.path.join(data_dir, f)
@@ -704,6 +771,11 @@ def snapshot_merge_update_pruned(
         "ts": _t.time(),
         "schema": schema,
         "stats": file_stats,
+        **(
+            {"constraints": latest["constraints"]}
+            if latest.get("constraints")
+            else {}
+        ),
         "pruning": {
             "col": prune_col,
             "rewritten_files": len(touched),

@@ -1128,3 +1128,56 @@ def test_pruned_merge_null_keys_match_full_merge(spark, table):
         key=lambda t: (t[0] is None, t[0]),
     )
     assert got2 == [(1, -2.0), (2, 2.0), (7, 7.0), (None, -1.0)]
+
+
+def test_check_constraints_enforced_and_inherited(spark, table):
+    """Delta-style CHECK constraints: declared at write, persisted in
+    the manifest, enforced on EVERY later commit (merges included)
+    BEFORE any data is staged — a rejected commit leaves no staged
+    dirs and no new version. NULL passes (SQL CHECK semantics)."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_merge_update,
+        snapshot_merge_update_pruned,
+        snapshot_write,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k int, x double"
+    )
+    # NULL x passes the CHECK (condition is not FALSE)
+    v = snapshot_write(table, base, constraints={"x_nonneg": "x >= 0"})
+    assert v == 0
+
+    # a violating overwrite is rejected pre-stage: no version, no dirs
+    bad = spark.createDataFrame([(9, -1.0)], "k int, x double")
+    with pytest.raises(SnapshotConstraintError, match="x_nonneg"):
+        snapshot_write(table, bad)
+    assert latest_version(table) == 0
+    dirs = [d for d in os.listdir(table)
+            if d.startswith("d") and os.path.isdir(os.path.join(table, d))]
+    assert dirs == ["d00000"]
+
+    # merges inherit the constraint and reject violating updates
+    ups_bad = spark.createDataFrame([(1, -5.0)], "k int, x double")
+    with pytest.raises(SnapshotConstraintError, match="x_nonneg"):
+        snapshot_merge_update(
+            spark, table, ups_bad, on=["k"], update_cols=["x"]
+        )
+    with pytest.raises(SnapshotConstraintError, match="x_nonneg"):
+        snapshot_merge_update_pruned(
+            spark, table, ups_bad, on=["k"], update_cols=["x"]
+        )
+    assert latest_version(table) == 0
+
+    # a clean merge passes and carries the constraint forward
+    ups = spark.createDataFrame([(1, 11.0)], "k int, x double")
+    v1 = snapshot_merge_update(spark, table, ups, on=["k"], update_cols=["x"])
+    assert v1 == 1
+    with pytest.raises(SnapshotConstraintError):
+        snapshot_write(table, bad)  # still enforced after the merge
+
+    # explicit {} drops all constraints
+    v2 = snapshot_write(table, base, constraints={})
+    assert v2 == 2
+    assert snapshot_write(table, bad) == 3  # now admitted
