@@ -568,6 +568,70 @@ def snapshot_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# File-pruned DELETE, scored end-to-end: commit a range-clustered
+# orders snapshot (per-file stats cached in the manifest), DELETE a
+# key range narrowed by a price predicate — only overlapping files
+# rewrite, the rest inherit by reference — then read BOTH versions
+# back. The oracle is the plain filter; time travel still shows the
+# deleted rows at v0. Same $TMPDIR + sf-scoped + wipe-first side-
+# effect discipline as the other scored build/serve pairs.
+# ---------------------------------------------------------------------------
+
+_DEL_LO, _DEL_HI = 1000, 3000
+
+
+@register(
+    "snapshot_delete_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    )
+    SELECT 0 AS version, o_orderkey, p AS o_totalprice FROM t
+    UNION ALL
+    SELECT 1, o_orderkey, p FROM t
+    WHERE NOT (o_orderkey BETWEEN {_DEL_LO} AND {_DEL_HI}
+               AND p < 150000.0)
+    """,
+)
+def snapshot_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_delete_range,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_delq_{token}")
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    snapshot_delete_range(
+        spark, table, "o_orderkey", _DEL_LO, _DEL_HI,
+        extra_predicate="o_totalprice < 150000.0",
+    )
+    v0 = snapshot_read(spark, table, version=0)
+    v1 = snapshot_read(spark, table, version=1)
+    return v0.select(
+        F.lit(0).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ).unionByName(v1.select(
+        F.lit(1).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ))
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

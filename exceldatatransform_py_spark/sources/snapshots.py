@@ -791,6 +791,112 @@ def snapshot_merge_update_pruned(
     return v
 
 
+def snapshot_delete_range(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    extra_predicate: str | None = None,
+) -> int:
+    """File-pruned DELETE FROM: remove rows with ``col BETWEEN lo AND
+    hi`` (optionally further narrowed by ``extra_predicate``, a SQL
+    boolean) by rewriting ONLY the files whose ``col`` min/max range
+    overlaps [lo, hi]; every other file is inherited by reference —
+    the GDPR-purge / partition-retire commit. NULL ``col`` values
+    never match a BETWEEN, so NULL-carrying rows are only ever
+    RETAINED and min/max pruning (NULL-blind) stays sound — unlike
+    the pruned merge, no NULL fallback is needed.
+
+    At 100 TB: deleting one day from a range-clustered fact table
+    rewrites that day's files (minus the deleted rows — a file left
+    empty simply drops out) and commits a manifest. Rows that survive
+    in rewritten files are preserved byte-exactly as data, and the
+    commit inherits/enforces CHECK constraints like every other."""
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    files = _manifest_files(table, latest)
+    cached_stats = latest.get("stats", {})
+
+    def file_minmax(rel: str):
+        cached = cached_stats.get(rel, {}).get(col)
+        if cached is not None:
+            return _stat_decode(cached[0]), _stat_decode(cached[1])
+        return _footer_minmax(os.path.join(table, rel), col)
+
+    touched: list[str] = []
+    inherited: list[str] = []
+    file_stats: dict = {}
+    for rel in files:
+        mm = file_minmax(rel)
+        if mm is not None:
+            lo_e, hi_e = _stat_encode(mm[0]), _stat_encode(mm[1])
+            if lo_e is not None and hi_e is not None:
+                file_stats[rel] = dict(
+                    cached_stats.get(rel, {}), **{col: [lo_e, hi_e]}
+                )
+        if mm is None:  # no stats: may hold matches — rewrite
+            touched.append(rel)
+        else:
+            fmin, fmax = mm
+            (inherited if fmax < lo or fmin > hi else touched).append(rel)
+
+    v = latest["version"] + 1
+    data_dir: str | None = None
+    new_files: list[str] = []
+    if touched:
+        target = spark.read.parquet(
+            *[os.path.join(table, r) for r in touched]
+        )
+        doomed = F.col(col).between(F.lit(lo), F.lit(hi))
+        if extra_predicate is not None:
+            doomed = doomed & F.coalesce(
+                F.expr(extra_predicate), F.lit(False)
+            )
+        kept = target.filter(~F.coalesce(doomed, F.lit(False)))
+        _validate_constraints(kept, latest.get("constraints", {}))
+        data_dir = _active_protocol.stage_data_dir(table, kept, v)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(os.path.join(table, data_dir))
+            if f.endswith(".parquet")
+        )
+        file_stats.update(_collect_stats(table, new_files, [col]))
+        for rel in touched:
+            file_stats.pop(rel, None)
+    import time as _t
+
+    manifest = {
+        "version": v,
+        "data_dir": data_dir if data_dir is not None else latest["data_dir"],
+        "files": new_files + inherited,
+        "kind": "delete_range",
+        "parent": latest["version"],
+        "ts": _t.time(),
+        "schema": latest["schema"],
+        "stats": file_stats,
+        "pruning": {
+            "col": col,
+            "rewritten_files": len(touched),
+            "inherited_files": len(inherited),
+        },
+        **(
+            {"constraints": latest["constraints"]}
+            if latest.get("constraints")
+            else {}
+        ),
+    }
+    try:
+        _publish(table, manifest)
+    except SnapshotConflictError:
+        if data_dir is not None:
+            shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+        raise
+    return v
+
+
 def rollback(table: str, version: int) -> int:
     """Make ``version`` current again by committing it as a new
     version pointing at the SAME data directory (metadata-only, like
