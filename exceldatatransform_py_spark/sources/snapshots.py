@@ -129,6 +129,41 @@ def _collect_stats(
     return out
 
 
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _collect_rows(table: str, rel_files: list[str]) -> dict:
+    """{relative file: row count} from parquet footers, cached in the
+    manifest at COMMIT time so ``snapshot_count`` answers COUNT(*)
+    from metadata alone — the aggregate pushdown every table format's
+    log provides."""
+    return {rel: _footer_rows(os.path.join(table, rel)) for rel in rel_files}
+
+
+def snapshot_count(table: str, version: int | None = None) -> int:
+    """COUNT(*) of a version WITHOUT any Spark job or data read:
+    summed from per-file row counts cached in the manifest at commit
+    time; files a pre-upgrade manifest didn't count fall back to one
+    footer read each (still metadata-only)."""
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    by_v = {m["version"]: m for m in ms}
+    v = ms[-1]["version"] if version is None else version
+    if v not in by_v:
+        raise ValueError(f"version {v} not in {sorted(by_v)}")
+    m = by_v[v]
+    rows = m.get("rows", {})
+    return sum(
+        rows[rel] if rel in rows
+        else _footer_rows(os.path.join(table, rel))
+        for rel in _manifest_files(table, m)
+    )
+
+
 class SnapshotConflictError(RuntimeError):
     """Optimistic-concurrency loser: another writer published this
     version first. The commit was NOT applied and left no trace —
@@ -388,12 +423,13 @@ def _commit(
     }
     if effective:
         manifest["constraints"] = effective
+    rel_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(os.path.join(table, data_dir))
+        if f.endswith(".parquet")
+    )
+    manifest["rows"] = _collect_rows(table, rel_files)
     if stats_cols:
-        rel_files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(os.path.join(table, data_dir))
-            if f.endswith(".parquet")
-        )
         manifest["stats"] = _collect_stats(table, rel_files, stats_cols)
     try:
         _publish(table, manifest)
@@ -760,12 +796,18 @@ def snapshot_merge_update_pruned(
     )
     import time as _t
 
+    parent_rows = latest.get("rows", {})
+    row_counts = {
+        **{r: parent_rows[r] for r in inherited if r in parent_rows},
+        **_collect_rows(table, new_files),
+    }
     manifest = {
         "version": v,
         # metadata-only commits (nothing rewritten) reference the
         # parent's dir — the "files" list is authoritative anyway
         "data_dir": data_dir if data_dir is not None else latest["data_dir"],
         "files": new_files + inherited,
+        "rows": row_counts,
         "kind": "merge_update_pruned",
         "parent": latest["version"],
         "ts": _t.time(),
@@ -868,10 +910,15 @@ def snapshot_delete_range(
             file_stats.pop(rel, None)
     import time as _t
 
+    parent_rows = latest.get("rows", {})
     manifest = {
         "version": v,
         "data_dir": data_dir if data_dir is not None else latest["data_dir"],
         "files": new_files + inherited,
+        "rows": {
+            **{r: parent_rows[r] for r in inherited if r in parent_rows},
+            **_collect_rows(table, new_files),
+        },
         "kind": "delete_range",
         "parent": latest["version"],
         "ts": _t.time(),

@@ -1271,3 +1271,41 @@ def test_scored_delete_query_actually_prunes(spark):
     assert m["kind"] == "delete_range"
     assert m["pruning"]["rewritten_files"] >= 1
     assert m["pruning"]["inherited_files"] >= 1
+
+
+def test_snapshot_count_is_metadata_only(spark, table):
+    """COUNT(*) answered from manifest row counts — no SparkSession,
+    no data read — across write, merge-with-insert, pruned merge,
+    delete, and rollback versions; always equal to the real count."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_range,
+        snapshot_merge_update,
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(table, base.repartitionByRange(4, "k"))
+    ups = spark.createDataFrame(
+        [(5, -1.0), (999, 9.0)], "k long, x double"
+    )
+    snapshot_merge_update(
+        spark, table, ups, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )  # v1: 101 rows
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(7, -7.0)], "k long, x double"),
+        on=["k"], update_cols=["x"],
+    )  # v2: still 101 (mix of inherited + rewritten counts)
+    snapshot_delete_range(spark, table, "k", 10, 19)  # v3: 91
+    rollback(table, 1)  # v4: 101 again, metadata-only
+
+    for v, expected in ((0, 100), (1, 101), (2, 101), (3, 91), (4, 101)):
+        assert snapshot_count(table, version=v) == expected, v
+        assert (
+            snapshot_read(spark, table, version=v).count() == expected
+        )
+    assert snapshot_count(table) == 101  # latest
