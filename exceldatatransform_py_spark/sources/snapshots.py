@@ -119,11 +119,16 @@ def _collect_stats(
     for rel in rel_files:
         per_col = {}
         for c in cols:
-            mm = _footer_minmax(os.path.join(table, rel), c)
+            path = os.path.join(table, rel)
+            mm = _footer_minmax(path, c)
             if mm is not None:
                 lo, hi = _stat_encode(mm[0]), _stat_encode(mm[1])
                 if lo is not None and hi is not None:
-                    per_col[c] = [lo, hi]
+                    # third element: NULL count (may be JSON null when
+                    # the footer doesn't report one) — lets NULL-keyed
+                    # merges prune to NULL-carrying files only.
+                    # Pre-upgrade manifests hold 2-element [lo, hi].
+                    per_col[c] = [lo, hi, _footer_nullcount(path, c)]
         if per_col:
             out[rel] = per_col
     return out
@@ -133,6 +138,29 @@ def _footer_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _footer_nullcount(path: str, col: str) -> int | None:
+    """Total NULL count of ``col`` across a file's row groups, or
+    ``None`` when any group doesn't report one (callers must then
+    treat the file as possibly NULL-carrying)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == col:
+            idx = i
+            break
+    if idx is None:
+        return None
+    total = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.null_count is None:
+            return None
+        total += st.null_count
+    return total
 
 
 def _collect_rows(table: str, rel_files: list[str]) -> dict:
@@ -677,11 +705,13 @@ def snapshot_merge_update_pruned(
     rewrite set differs. Row order within the table may differ — the
     table contract is set-of-rows, as for any Spark parquet write.
     NULL merge keys are handled NULL-safely like the full-read merge
-    (eqNullSafe: NULL matches NULL) — but min/max stats are blind to
-    NULLs, so if the update side carries ANY NULL ``prune_col`` value
-    every file is conservatively rewritten (pruning degenerates to the
-    full-read merge rather than dropping or duplicating NULL-keyed
-    rows).
+    (eqNullSafe: NULL matches NULL) — min/max stats are blind to
+    NULLs, so when the update side carries NULL ``prune_col`` values
+    the NULL-carrying files are found through the per-file NULL COUNT
+    the manifest caches next to min/max ([lo, hi, null_count]): a file
+    is rewritten iff it overlaps the non-NULL bounds OR may hold NULL
+    keys (null_count > 0, or unknown — pre-upgrade 2-element stats and
+    stat-less footers stay conservatively safe).
 
     ``when_not_matched_insert`` adds the INSERT clause and stays
     file-pruned: an update row that matches ANY target row must match
@@ -728,27 +758,42 @@ def snapshot_merge_update_pruned(
             return _stat_decode(cached[0]), _stat_decode(cached[1])
         return _footer_minmax(os.path.join(table, rel), prune_col)
 
+    def file_nullcount(rel: str) -> int | None:
+        cached = cached_stats.get(rel, {}).get(prune_col)
+        if cached is not None and len(cached) >= 3:
+            return cached[2]  # may be None (unknown at commit time)
+        return _footer_nullcount(os.path.join(table, rel), prune_col)
+
     touched: list[str] = []
     inherited: list[str] = []
     file_stats: dict = {}
     for rel in files:
         mm = file_minmax(rel)
+        nc = file_nullcount(rel)
         if mm is not None:
             lo_e, hi_e = _stat_encode(mm[0]), _stat_encode(mm[1])
             if lo_e is not None and hi_e is not None:
                 file_stats[rel] = dict(
-                    cached_stats.get(rel, {}), **{prune_col: [lo_e, hi_e]}
+                    cached_stats.get(rel, {}),
+                    **{prune_col: [lo_e, hi_e, nc]},
                 )
         if update_empty:  # empty update set: nothing can match
             inherited.append(rel)
-        elif nulls_in_updates or mm is None or lo is None:
-            # NULL-keyed updates present (pruning blind to them), no
-            # usable stats for this file, or a non-empty all-NULL-key
-            # update set: the file may hold matches — rewrite it.
+            continue
+        # a file must be rewritten iff it MAY hold a matching row:
+        # (a) a non-NULL key inside the updates' non-NULL bounds —
+        #     unknown ranges (mm is None) count as possible; or
+        # (b) a NULL key while NULL-keyed updates exist (eqNullSafe
+        #     matches NULL to NULL; min/max never sees NULLs) —
+        #     unknown null counts (nc is None) count as possible.
+        may_match_nonnull = lo is not None and (
+            mm is None or not (mm[1] < lo or mm[0] > hi)
+        )
+        may_match_null = nulls_in_updates and (nc is None or nc > 0)
+        if may_match_nonnull or may_match_null:
             touched.append(rel)
         else:
-            fmin, fmax = mm
-            (inherited if fmax < lo or fmin > hi else touched).append(rel)
+            inherited.append(rel)
 
     v = latest["version"] + 1
     data_dir: str | None = None
@@ -876,8 +921,13 @@ def snapshot_delete_range(
         if mm is not None:
             lo_e, hi_e = _stat_encode(mm[0]), _stat_encode(mm[1])
             if lo_e is not None and hi_e is not None:
+                cached = cached_stats.get(rel, {}).get(col)
+                nc = (
+                    cached[2] if cached is not None and len(cached) >= 3
+                    else _footer_nullcount(os.path.join(table, rel), col)
+                )
                 file_stats[rel] = dict(
-                    cached_stats.get(rel, {}), **{col: [lo_e, hi_e]}
+                    cached_stats.get(rel, {}), **{col: [lo_e, hi_e, nc]}
                 )
         if mm is None:  # no stats: may hold matches — rewrite
             touched.append(rel)

@@ -1309,3 +1309,52 @@ def test_snapshot_count_is_metadata_only(spark, table):
             snapshot_read(spark, table, version=v).count() == expected
         )
     assert snapshot_count(table) == 101  # latest
+
+
+def test_pruned_merge_null_keys_still_prune_via_nullcount_stats(
+    spark, table
+):
+    """NULL-keyed updates must NOT degrade the merge to a full
+    rewrite: the manifest's per-file [min, max, null_count] lets the
+    merge rewrite only files that may hold NULL keys plus files whose
+    range overlaps the non-NULL update bounds — everything else is
+    inherited byte-identically, with results equal to the full merge."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    ).unionAll(spark.createDataFrame([(None, 999.0)], "k long, x double"))
+    # range-clustered: NULLs sort into one partition; cache stats
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    before = _file_hashes(table)
+    assert len(before) == 4
+
+    ups = spark.createDataFrame(
+        [(None, -9.0), (350, -3.0)], "k long, x double"
+    )
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        manifest = json.load(f)
+    # only the NULL-carrying file and the file containing k=350
+    # rewrite; at least one file is inherited untouched
+    assert manifest["pruning"]["rewritten_files"] <= 2
+    assert manifest["pruning"]["inherited_files"] >= 2
+    for p in (p for p in manifest["files"] if p.startswith("d00000")):
+        assert _file_hashes(table)[p] == before[p]
+
+    got = sorted(
+        ((r.k, r.x) for r in snapshot_read(spark, table).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert (None, -9.0) in got and (350, -3.0) in got
+    assert len(got) == 401 and (349, 349.0) in got
