@@ -5042,3 +5042,197 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin").alias("min_margin"),
         F.max("margin").alias("max_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH probe-hamming operating curve — the multi-probe knob's
+# price/recall table, completing the operating-curve pair with
+# ivf_operating_curve: for probe_hamming ∈ {0, 1, 2} against the same
+# hyperplane structure ann_lsh_topk uses, emit buckets probed,
+# candidates scored, and recall@5 vs exact. Candidates are computed
+# ONCE at the widest radius and sliced by per-bucket hamming distance
+# (bit_count(xor) — both engines), so the curve costs one candidate
+# join. hamming-2 probes 11 of 16 buckets: the curve SHOWS multi-probe
+# LSH's steep cost curve rather than asserting it.
+# ---------------------------------------------------------------------------
+
+_LSH_CURVE_H = (0, 1, 2)
+
+
+def _lsh_bucket_sql(vcol: str = "embedding") -> str:
+    """The hyperplane bucket id as DuckDB SQL — the same floor-scaled
+    sign-bit construction _ann_oracle inlines (operators.similarity
+    .lsh_bucket's twin)."""
+    proj = (
+        "CAST(list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> CAST(floor(CAST({v}[i] AS DOUBLE) * ([{plane}])[i] "
+        "* 1000000000000.0) AS BIGINT)"
+        ")) AS DOUBLE)"
+    )
+    return " + ".join(
+        "CAST({p} > 0 AS BIGINT) * {w}".format(
+            p=proj.format(v=vcol, plane=", ".join(str(x) for x in pl)),
+            w=2**i,
+        )
+        for i, pl in enumerate(_ANN_PLANES)
+    )
+
+
+def _lsh_curve_oracle() -> str:
+    n_buckets = 2 ** len(_ANN_PLANES)
+    max_h = max(_LSH_CURVE_H)
+    tops = "".join(
+        f""",
+    lct{h} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM lcand WHERE hd <= {h}
+      ) WHERE rk <= 5
+    )"""
+        for h in _LSH_CURVE_H
+    )
+    rows = [f"""
+    SELECT CAST({h} AS INTEGER) AS probe_hamming,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lcp
+            WHERE hd <= {h}) AS n_buckets_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lcand
+            WHERE hd <= {h}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS DOUBLE)
+            FROM lct{h} t JOIN lcex x
+            ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)
+             / (SELECT n_exact FROM lcexn) AS recall_at_5"""
+            for h in _LSH_CURVE_H]
+    return f"""
+    WITH lcb AS MATERIALIZED (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+      FROM embeddings
+    ),
+    lcq AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+      FROM lcb WHERE vec_id < 10
+    ),
+    lcp AS MATERIALIZED (
+      SELECT q.query_id, q.qv, g.b AS bucket,
+             bit_count(CAST(xor(q.qb, g.b) AS BIGINT)) AS hd
+      FROM lcq q, (SELECT unnest(range(0, {n_buckets})) AS b) g
+      WHERE bit_count(CAST(xor(q.qb, g.b) AS BIGINT)) <= {max_h}
+    ),
+    lcand AS MATERIALIZED (
+      SELECT p.query_id, e.vec_id AS neighbor_id, p.hd,
+             {_COSINE.replace("cv", "e.embedding").replace("qv", "p.qv")}
+               AS cosine
+      FROM lcp p JOIN lcb e ON e.bucket = p.bucket
+      WHERE e.vec_id != p.query_id
+    ),
+    lcex AS MATERIALIZED ({_brute_topk_sql('lcx')}),
+    lcexn AS (SELECT COUNT(*) AS n_exact FROM lcex){tops}
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@register("lsh_operating_curve", oracle=_lsh_curve_oracle())
+def lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        _cosine_pre,
+        _norm,
+        lsh_bucket,
+    )
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("__n"))
+        .persist()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        cosine_topk(
+            queries, emb, id_col="vec_id", vec_col="embedding",
+            k=5, norm_col="__n",
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    cb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vec"),
+        F.col("__n").alias("vnorm"),
+        lsh_bucket(F.col("embedding"), _ANN_PLANES).alias("bucket"),
+    )
+    max_h = max(_LSH_CURVE_H)
+    n_buckets = 2 ** len(_ANN_PLANES)
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            lsh_bucket(F.col("embedding"), _ANN_PLANES).alias("__qb"),
+        )
+        .select(
+            "query_id", "__qv", "__qn", "__qb",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(n_buckets - 1).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+        .withColumn(
+            "hd", F.bit_count(F.col("bucket").bitwiseXOR(F.col("__qb")))
+        )
+        .filter(F.col("hd") <= max_h)
+        .drop("__qb")
+        .persist()
+    )
+    cand = (
+        cb.join(F.broadcast(probes), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("vec"),
+                        F.col("__qn"), F.col("vnorm")),
+        )
+        .select("query_id", "neighbor_id", "hd", "cosine")
+        .persist()
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for h in _LSH_CURVE_H:
+        sub = cand.filter(F.col("hd") <= h)
+        top = (
+            sub.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        n_cand = sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_probed = probes.filter(F.col("hd") <= h).agg(
+            F.count(F.lit(1)).alias("n_buckets_probed")
+        )
+        points.append(
+            hits.crossJoin(n_cand)
+            .crossJoin(n_probed)
+            .crossJoin(n_exact)
+            .select(
+                F.lit(h).cast("int").alias("probe_hamming"),
+                F.col("n_buckets_probed").cast("bigint").alias(
+                    "n_buckets_probed"
+                ),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                (
+                    F.col("n_hits").cast("double") / F.col("n_exact")
+                ).alias("recall_at_5"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out

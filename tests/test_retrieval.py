@@ -1188,3 +1188,23 @@ def test_streaming_ingest_loop_with_bm25_append(spark, tmp_path):
         for pre in (prefix, "bm25_rebuild_ref"):
             for t in ("postings", "df", "doclen", "stats"):
                 spark.sql(f"DROP TABLE IF EXISTS {pre}_{t}")
+
+
+def test_lsh_operating_curve_is_monotone(spark):
+    """Widening the probe radius scans more candidates and never loses
+    recall; at radius 1 the curve matches the suite's LSH floor."""
+    from exceldatatransform_py_spark.plans.queries_llm import (
+        _ANN_RECALL_FLOORS,
+        lsh_operating_curve,
+    )
+
+    rows = sorted(
+        lsh_operating_curve(spark, SF).collect(),
+        key=lambda r: r.probe_hamming,
+    )
+    assert [r.probe_hamming for r in rows] == [0, 1, 2]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates > a.n_candidates
+        assert b.n_buckets_probed > a.n_buckets_probed
+        assert b.recall_at_5 >= a.recall_at_5
+    assert rows[1].recall_at_5 >= _ANN_RECALL_FLOORS["lsh"]
