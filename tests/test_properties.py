@@ -538,7 +538,9 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "bpe_encode_corpus",
         "training_shard_manifest",
         "ivf_operating_curve",
+        "lsh_operating_curve",
         "curation_pipeline_v3",
+        "snapshot_delete_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
