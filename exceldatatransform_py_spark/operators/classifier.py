@@ -159,10 +159,17 @@ def logreg_train_score(
             lambda acc, t: acc + t,
         )
 
-    def prob(m: Column) -> Column:
+    def prob(margin_col: str) -> Column:
+        # hard-sigmoid from the NAMED margin column the caller staged:
+        # the name is a parameter (no silent coupling to a hardcoded
+        # alias), and the expression references it exactly ONCE —
+        # CollapseProject inlines the staged margin HOF into every
+        # reference, so a 3-reference formulation was measured to
+        # triple the per-round scoring cost.
         return F.least(
             F.greatest(
-                F.lit(half).cast("long") + F.expr("__m DIV 4"), F.lit(0).cast("long")
+                F.lit(half).cast("long") + F.expr(f"`{margin_col}` DIV 4"),
+                F.lit(0).cast("long"),
             ),
             F.lit(scale).cast("long"),
         )
@@ -175,7 +182,7 @@ def logreg_train_score(
         # MODEL-sized (dim longs), the treeAggregate pattern.
         rowe = train.select("xs", "y", margin(w).alias("__m")).select(
             "xs",
-            (F.col("y") * F.lit(scale) - prob(F.col("__m"))).alias("__e"),
+            (F.col("y") * F.lit(scale) - prob("__m")).alias("__e"),
         )
         g_rows = (
             rowe.select(
@@ -191,12 +198,19 @@ def logreg_train_score(
             .collect()
         )
         if n is None:  # every group counts every doc (dense rows)
-            n = g_rows[0]["cnt"] if g_rows else 1
+            # empty training split → n = 1 (weights stay zero instead
+            # of dividing by zero); the oracle mirrors this with
+            # GREATEST(n, 1) so both engines degrade identically.
+            n = (g_rows[0]["cnt"] if g_rows else 0) or 1
         g = {r["j"]: r["g"] for r in g_rows}
         w = [
             wj + _tdiv(g.get(j, 0), n * lr_c) for j, wj in enumerate(w)
         ]
-    return staged.select(
+    # Score with the final weights, materialize the MODEL-sized result
+    # eagerly (one more map pass over the cache), then release the
+    # staged feature cache — repeated trainings in one session (four
+    # scored queries retrain) must not accumulate persisted RDDs.
+    out = staged.select(
         "id",
         F.col("y").cast("int").alias("label"),
         margin(w).alias("__m"),
@@ -204,6 +218,8 @@ def logreg_train_score(
         "id",
         "label",
         F.col("__m").alias("margin_fixed"),
-        prob(F.col("__m")).alias("prob_fixed"),
-        (prob(F.col("__m")) * 2 >= F.lit(scale)).alias("predicted"),
-    )
+        prob("__m").alias("prob_fixed"),
+        (prob("__m") * 2 >= F.lit(scale)).alias("predicted"),
+    ).localCheckpoint(eager=True)
+    staged.unpersist()
+    return out

@@ -190,7 +190,18 @@ def append_to_bm25_index(
     rewritten, and no document text outside the batch is touched.
     Serve output afterwards is identical to a full rebuild over the
     union (pinned by test): tf/df/dl are exact integers and avgdl is
-    one exact-integer division."""
+    one exact-integer division.
+
+    NOT ATOMIC across the four tables (same caveat as
+    ``maintenance.compact_table``): postings/doclen append before the
+    df merge and stats rewrite, so a writer that dies mid-append can
+    leave postings whose tokens are missing from the df table — the
+    serve-side inner postings⋈df join then silently drops them, and a
+    blind retry double-appends the batch. Recovery: re-run the df
+    merge + stats rewrite from the postings table (both are pure
+    functions of it), or rebuild. The snapshot layer's
+    ``CommitProtocol`` (sources/snapshots.py) is the documented
+    upgrade path for making multi-table index commits atomic."""
     from exceldatatransform_py_spark.sources.bucketing import write_bucketed
     from exceldatatransform_py_spark.sources.maintenance import table_layout
 

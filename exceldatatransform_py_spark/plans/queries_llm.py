@@ -4397,7 +4397,7 @@ def _qc_train_ctes(train_gate: str = "TRUE") -> str:
       FROM qcf f JOIN qce{t} e USING (id) GROUP BY f.j
     ),
     qcw{t} AS MATERIALIZED (
-      SELECT w.j, w.w + COALESCE(g.g, 0) // (n.n * {_QC_C}) AS w
+      SELECT w.j, w.w + COALESCE(g.g, 0) // (GREATEST(n.n, 1) * {_QC_C}) AS w
       FROM qcw{t - 1} w LEFT JOIN qcg{t} g USING (j) CROSS JOIN qcn n
     )""")
     return "".join(parts)
