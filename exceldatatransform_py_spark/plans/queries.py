@@ -632,6 +632,69 @@ def snapshot_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Merge-on-read DELETE (deletion vectors), scored end-to-end: same
+# logical delete as snapshot_delete_orders but ZERO data files are
+# rewritten — the commit records deleted row positions in a parquet
+# sidecar, the v1 read subtracts them with a position anti-join, and
+# v0 time-travels to the full table. The oracle is identical to the
+# copy-on-write twin's (the two physical strategies must be
+# indistinguishable relationally); tests/test_snapshots.py pins the
+# physical claim (rewritten_files == 0, sidecar present).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_dv_delete_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    )
+    SELECT 0 AS version, o_orderkey, p AS o_totalprice FROM t
+    UNION ALL
+    SELECT 1, o_orderkey, p FROM t
+    WHERE NOT (o_orderkey BETWEEN {_DEL_LO} AND {_DEL_HI}
+               AND p < 150000.0)
+    """,
+)
+def snapshot_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_dvq_{token}")
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    snapshot_delete_dv(
+        spark, table, "o_orderkey", _DEL_LO, _DEL_HI,
+        extra_predicate="o_totalprice < 150000.0",
+    )
+    v0 = snapshot_read(spark, table, version=0)
+    v1 = snapshot_read(spark, table, version=1)
+    return v0.select(
+        F.lit(0).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ).unionByName(v1.select(
+        F.lit(1).cast("int").alias("version"), "o_orderkey", "o_totalprice"
+    ))
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

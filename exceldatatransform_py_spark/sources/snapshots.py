@@ -38,6 +38,13 @@ filesystem with nothing but parquet and one JSON manifest per commit:
   always, optional WHEN NOT MATCHED INSERT and WHEN NOT MATCHED BY
   SOURCE DELETE; the file-pruned variant supports INSERT too.
 
+* Deletes come in two physical flavors, like Delta/Iceberg v2:
+  copy-on-write (``snapshot_delete_range`` — rewrite overlapping
+  files) and merge-on-read (``snapshot_delete_dv`` — record deleted
+  row positions in a parquet sidecar, rewrite NOTHING; readers
+  subtract them, COUNT(*) subtracts cached cardinalities, and
+  compaction/merges materialize them away).
+
 At 100 TB: data directories are written by the cluster with normal
 parallelism (this module adds no driver-side data movement); only the
 KB-sized manifest is driver-written. Version history is O(commits)
@@ -61,6 +68,11 @@ from pyspark.sql import types as T
 from exceldatatransform_py_spark.operators.merge import merge_update
 
 _VDIR = "_versions"
+_DVDIR = "_dv"
+
+#: a version's total deleted-position count below this is broadcast
+#: into the read-side anti-join (DVs are usually tiny vs data).
+_DV_BROADCAST_MAX = 2_000_000
 
 
 def _version_path(table: str, v: int) -> str:
@@ -185,10 +197,20 @@ def snapshot_count(table: str, version: int | None = None) -> int:
         raise ValueError(f"version {v} not in {sorted(by_v)}")
     m = by_v[v]
     rows = m.get("rows", {})
-    return sum(
+    files = _manifest_files(table, m)
+    total = sum(
         rows[rel] if rel in rows
         else _footer_rows(os.path.join(table, rel))
-        for rel in _manifest_files(table, m)
+        for rel in files
+    )
+    # deletion vectors: per-file deleted-position cardinalities are
+    # cached in the manifest, so COUNT(*) stays metadata-only even on
+    # merge-on-read tables.
+    fset = set(files)
+    return total - sum(
+        int(e.get("count", 0))
+        for rel, e in m.get("dv", {}).items()
+        if rel in fset
     )
 
 
@@ -552,6 +574,69 @@ def _manifest_files(table: str, manifest: dict) -> list[str]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes): a manifest may carry
+# ``"dv": {rel_file: {"dir": "<_dv/v00007-xxxxxxxx>", "count": n}}`` —
+# per-file deleted ROW POSITIONS stored in a parquet sidecar instead
+# of rewriting the file. Readers subtract them with a position
+# anti-join; COUNT(*) subtracts the cached cardinalities;
+# compact/merge rewrites materialize them away. This is the Delta/
+# Iceberg v2 position-delete design: at 100 TB a one-row delete in a
+# hot file writes a KB-sized sidecar instead of rewriting gigabytes.
+# ---------------------------------------------------------------------------
+
+
+def _rel_file_expr():
+    """Relative ``data_dir/file.parquet`` path of the scanned row's
+    file — manifests always reference files exactly one directory
+    below the table root, so the last two path segments ARE the rel
+    key used throughout the manifest."""
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+    )
+
+
+def _dv_rows(spark: SparkSession, table: str, dv: dict) -> DataFrame | None:
+    """(rel, pos) union of every sidecar directory ``dv`` references,
+    broadcast when the manifest's cached cardinalities say it's small.
+    Rows for files absent from the current scan are harmless — the
+    anti-join key includes the rel path, and rel paths are never
+    reused across versions."""
+    dirs = sorted({e["dir"] for e in dv.values()})
+    if not dirs:
+        return None
+    rows = spark.read.parquet(
+        *[os.path.join(table, d) for d in dirs]
+    ).select("rel", "pos")
+    total = sum(int(e.get("count", 0)) for e in dv.values())
+    return F.broadcast(rows) if total <= _DV_BROADCAST_MAX else rows
+
+
+def _scan_minus_dv(
+    spark: SparkSession, table: str, files: list[str], dv: dict
+) -> DataFrame:
+    """Scan ``files`` (absolute paths) with the deletion vectors of
+    ``dv`` subtracted: tag each row with its (rel file, row position)
+    from the parquet reader's ``_metadata`` and anti-join the sidecar
+    positions. Column set/order of the plain scan is preserved."""
+    scan = spark.read.parquet(*files)
+    rows = _dv_rows(spark, table, dv)
+    if rows is None:
+        return scan
+    cols = scan.columns
+    return (
+        scan.withColumn("__dv_rel", _rel_file_expr())
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(
+            rows,
+            (F.col("__dv_rel") == F.col("rel"))
+            & (F.col("__dv_pos") == F.col("pos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+
+
 def snapshot_read(
     spark: SparkSession,
     table: str,
@@ -582,13 +667,17 @@ def snapshot_read(
     if v not in by_v:
         raise ValueError(f"version {v} not in {sorted(by_v)}")
     m = by_v[v]
+    dv = m.get("dv", {})
     if "files" not in m:
-        return spark.read.parquet(os.path.join(table, m["data_dir"]))
-    files = [os.path.join(table, f) for f in m["files"]]
+        files = [os.path.join(table, m["data_dir"])]
+    else:
+        files = [os.path.join(table, f) for f in m["files"]]
     if not files:  # a merge that touched nothing on an empty table
         return spark.createDataFrame(
             [], T.StructType.fromJson(m["schema"])
         )
+    if dv:
+        return _scan_minus_dv(spark, table, files, dv)
     return spark.read.parquet(*files)
 
 
@@ -803,10 +892,18 @@ def snapshot_merge_update_pruned(
     # None` also holds for a NON-empty all-NULL-key update set, which
     # absolutely must be merged).
     need_write = bool(touched) or (when_not_matched_insert and not update_empty)
+    parent_dv = latest.get("dv", {})
     if need_write:
         if touched:
-            target = spark.read.parquet(
-                *[os.path.join(table, r) for r in touched]
+            # deletion vectors on touched files apply BEFORE the merge
+            # (a DV-deleted row is not in the table, so it must not
+            # match) — the rewrite then materializes them away.
+            tset = set(touched)
+            target = _scan_minus_dv(
+                spark,
+                table,
+                [os.path.join(table, r) for r in touched],
+                {r: e for r, e in parent_dv.items() if r in tset},
             )
         else:  # insert-only commit: nothing matched, nothing rewritten
             target = spark.createDataFrame(
@@ -858,6 +955,17 @@ def snapshot_merge_update_pruned(
         "ts": _t.time(),
         "schema": schema,
         "stats": file_stats,
+        # inherited files keep their deletion vectors; touched files'
+        # DVs were applied during the read and are gone with the files
+        **(
+            {
+                "dv": {
+                    r: e for r, e in parent_dv.items() if r in set(inherited)
+                }
+            }
+            if any(r in set(inherited) for r in parent_dv)
+            else {}
+        ),
         **(
             {"constraints": latest["constraints"]}
             if latest.get("constraints")
@@ -936,11 +1044,17 @@ def snapshot_delete_range(
             (inherited if fmax < lo or fmin > hi else touched).append(rel)
 
     v = latest["version"] + 1
+    parent_dv = latest.get("dv", {})
     data_dir: str | None = None
     new_files: list[str] = []
     if touched:
-        target = spark.read.parquet(
-            *[os.path.join(table, r) for r in touched]
+        # rows already DV-deleted must not re-enter the rewrite
+        tset = set(touched)
+        target = _scan_minus_dv(
+            spark,
+            table,
+            [os.path.join(table, r) for r in touched],
+            {r: e for r, e in parent_dv.items() if r in tset},
         )
         doomed = F.col(col).between(F.lit(lo), F.lit(hi))
         if extra_predicate is not None:
@@ -974,6 +1088,15 @@ def snapshot_delete_range(
         "ts": _t.time(),
         "schema": latest["schema"],
         "stats": file_stats,
+        **(
+            {
+                "dv": {
+                    r: e for r, e in parent_dv.items() if r in set(inherited)
+                }
+            }
+            if any(r in set(inherited) for r in parent_dv)
+            else {}
+        ),
         "pruning": {
             "col": col,
             "rewritten_files": len(touched),
@@ -990,6 +1113,164 @@ def snapshot_delete_range(
     except SnapshotConflictError:
         if data_dir is not None:
             shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+        raise
+    return v
+
+
+def snapshot_delete_dv(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    extra_predicate: str | None = None,
+) -> int:
+    """Merge-on-read DELETE FROM via deletion vectors: remove rows
+    with ``col BETWEEN lo AND hi`` (optionally narrowed by
+    ``extra_predicate``) by recording their (file, row-position)
+    pairs in a parquet sidecar — **zero data files are rewritten**.
+    Readers (``snapshot_read``) subtract the positions with an
+    anti-join; ``snapshot_count`` subtracts the cached cardinalities
+    (still no Spark job); a later ``snapshot_compact`` / full merge
+    materializes the deletes away because its rewrite reads through
+    the DV-aware path.
+
+    The rewrite-amplification fix for the copy-on-write
+    ``snapshot_delete_range``: at 100 TB, a one-row GDPR delete in a
+    hot file writes a KB-sized sidecar instead of rewriting
+    gigabytes. Min/max pruning narrows the position SCAN to
+    overlapping files exactly as the copy-on-write path does (NULL
+    keys never match a BETWEEN, so the NULL-blind stats stay sound);
+    CHECK constraints need no re-validation — a delete only removes
+    rows, and every surviving row was validated at its own commit.
+
+    Consolidation: touched files that already carry deletion vectors
+    get ONE fresh sidecar holding old ∪ new positions (exact
+    cardinalities, no double counting); untouched files inherit their
+    parent entries by reference."""
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    files = _manifest_files(table, latest)
+    cached_stats = latest.get("stats", {})
+    parent_dv = latest.get("dv", {})
+
+    def file_minmax(rel: str):
+        cached = cached_stats.get(rel, {}).get(col)
+        if cached is not None:
+            return _stat_decode(cached[0]), _stat_decode(cached[1])
+        return _footer_minmax(os.path.join(table, rel), col)
+
+    touched: list[str] = []
+    file_stats: dict = dict(cached_stats)
+    for rel in files:
+        mm = file_minmax(rel)
+        if mm is not None and col not in cached_stats.get(rel, {}):
+            lo_e, hi_e = _stat_encode(mm[0]), _stat_encode(mm[1])
+            if lo_e is not None and hi_e is not None:
+                nc = _footer_nullcount(os.path.join(table, rel), col)
+                file_stats[rel] = dict(
+                    cached_stats.get(rel, {}), **{col: [lo_e, hi_e, nc]}
+                )
+        if mm is None or not (mm[1] < lo or mm[0] > hi):
+            touched.append(rel)
+
+    v = latest["version"] + 1
+    import time as _t
+
+    new_dv = dict(parent_dv)
+    dv_dir: str | None = None
+    n_dv_files = 0
+    if touched:
+        # positions to delete, computed ONLY over overlapping files;
+        # parent DV rows for those files are folded in (union) so the
+        # fresh sidecar is each touched file's COMPLETE deletion
+        # vector and cardinalities never double-count.
+        doomed = F.col(col).between(F.lit(lo), F.lit(hi))
+        if extra_predicate is not None:
+            doomed = doomed & F.coalesce(
+                F.expr(extra_predicate), F.lit(False)
+            )
+        scan = spark.read.parquet(
+            *[os.path.join(table, r) for r in touched]
+        )
+        hits = (
+            scan.withColumn("rel", _rel_file_expr())
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .filter(F.coalesce(doomed, F.lit(False)))
+            .select("rel", "pos")
+        )
+        old = {r: e for r, e in parent_dv.items() if r in set(touched)}
+        old_rows = _dv_rows(spark, table, old)
+        if old_rows is not None:
+            tset = list(old)
+            prior = old_rows.filter(F.col("rel").isin(tset))
+            merged = hits.join(
+                prior, ["rel", "pos"], "left_anti"
+            ).unionByName(prior)
+        else:
+            merged = hits
+        counts = {
+            r["rel"]: int(r["n"])
+            for r in merged.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        if counts:
+            dv_dir = os.path.join(
+                _DVDIR, f"v{v:05d}-{uuid.uuid4().hex[:8]}"
+            )
+            n_out = max(1, total // 4_000_000)
+            merged.repartition(n_out, "rel").write.mode(
+                "errorifexists"
+            ).parquet(os.path.join(table, dv_dir))
+            for rel in touched:
+                if rel in counts:
+                    new_dv[rel] = {"dir": dv_dir, "count": counts[rel]}
+                else:
+                    new_dv.pop(rel, None)
+            n_dv_files = sum(1 for rel in touched if rel in counts)
+
+    parent_rows = latest.get("rows", {})
+    manifest = {
+        "version": v,
+        "data_dir": latest["data_dir"],
+        "files": list(files),
+        "rows": {
+            **{
+                r: parent_rows[r]
+                if r in parent_rows
+                else _footer_rows(os.path.join(table, r))
+                for r in files
+            },
+        },
+        "kind": "delete_dv",
+        "parent": latest["version"],
+        "ts": _t.time(),
+        "schema": latest["schema"],
+        "stats": file_stats,
+        "pruning": {
+            "col": col,
+            "rewritten_files": 0,
+            "dv_files": n_dv_files,
+            "scanned_files": len(touched),
+            "inherited_files": len(files) - len(touched),
+        },
+        **(
+            {"constraints": latest["constraints"]}
+            if latest.get("constraints")
+            else {}
+        ),
+    }
+    if new_dv:
+        manifest["dv"] = new_dv
+    try:
+        _publish(table, manifest)
+    except SnapshotConflictError:
+        if dv_dir is not None:
+            shutil.rmtree(os.path.join(table, dv_dir), ignore_errors=True)
         raise
     return v
 
@@ -1034,12 +1315,15 @@ def vacuum(
 
     ms = _manifests(table)
     # every dir ANY manifest references, including pruned-merge
-    # inherited files — a conditional-put data dir becomes sweepable
-    # only if its version was never published (crashed writer)
+    # inherited files and deletion-vector sidecars — a conditional-put
+    # data dir becomes sweepable only if its version was never
+    # published (crashed writer)
     referenced = {m["data_dir"] for m in ms}
     for m in ms:
         for f in m.get("files", []):
             referenced.add(os.path.dirname(f))
+        for e in m.get("dv", {}).values():
+            referenced.add(e["dir"])
     now = _time.time()
     for entry in os.listdir(table):
         # orphans: POSIX staging dirs, and conditional-put unique dirs
@@ -1058,17 +1342,38 @@ def vacuum(
                 continue  # racing writer renamed/removed it — alive
             if age >= stage_retention_sec:
                 shutil.rmtree(p, ignore_errors=True)
+    # deletion-vector sidecars a crashed writer staged but never
+    # published — same retention discipline as data-dir orphans
+    dv_root = os.path.join(table, _DVDIR)
+    if os.path.isdir(dv_root):
+        for entry in os.listdir(dv_root):
+            rel = os.path.join(_DVDIR, entry)
+            if (
+                re.fullmatch(r"v\d{5}-[0-9a-f]{8}", entry)
+                and rel not in referenced
+            ):
+                p = os.path.join(dv_root, entry)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= stage_retention_sec:
+                    shutil.rmtree(p, ignore_errors=True)
     if len(ms) <= keep_last:
         return []
     keep = {m["data_dir"] for m in ms[-keep_last:]}
     for m in ms[-keep_last:]:
         for f in m.get("files", []):
             keep.add(os.path.dirname(f))
+        for e in m.get("dv", {}).values():
+            keep.add(e["dir"])
     dropped = []
     for m in ms[:-keep_last]:
-        refs = {m["data_dir"]} | {
-            os.path.dirname(f) for f in m.get("files", [])
-        }
+        refs = (
+            {m["data_dir"]}
+            | {os.path.dirname(f) for f in m.get("files", [])}
+            | {e["dir"] for e in m.get("dv", {}).values()}
+        )
         if refs & keep:
             continue
         for d in refs:
@@ -1091,6 +1396,7 @@ def snapshot_history(table: str) -> list[dict]:
                 "ts": m.get("ts"),
                 "n_files": len(_manifest_files(table, m)),
                 "has_stats": bool(m.get("stats")),
+                "n_dv_files": len(m.get("dv", {})),
             }
         )
     return out

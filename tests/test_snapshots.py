@@ -1358,3 +1358,185 @@ def test_pruned_merge_null_keys_still_prune_via_nullcount_stats(
     )
     assert (None, -9.0) in got and (350, -3.0) in got
     assert len(got) == 401 and (349, 349.0) in got
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes).
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_rewrites_zero_data_files(spark, table):
+    """Merge-on-read DELETE: no data file is rewritten or copied —
+    the commit writes only a position sidecar; reads subtract the
+    positions, COUNT(*) subtracts cached cardinalities with no Spark
+    job, and time travel still sees the deleted rows."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_history,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    before = _file_hashes(table)
+    assert len(before) == 4
+
+    v = snapshot_delete_dv(spark, table, "k", 100, 149)
+    assert v == 1
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m = json.load(f)
+    assert m["kind"] == "delete_dv"
+    assert m["pruning"]["rewritten_files"] == 0
+    # min/max pruning bounded the position scan to overlapping files
+    assert 1 <= m["pruning"]["scanned_files"] <= 2
+    assert m["files"] == sorted(before)  # SAME data files as v0
+    assert m["dv"] and all(e["count"] > 0 for e in m["dv"].values())
+    # every data file byte-identical (the whole point)
+    after = {
+        p: h for p, h in _file_hashes(table).items()
+        if not p.startswith("_dv")
+    }
+    assert after == before
+
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == [k for k in range(400) if not (100 <= k <= 149)]
+    assert len(snapshot_read(spark, table, version=0).collect()) == 400
+    assert snapshot_count(table, version=1) == 350  # metadata-only
+    assert snapshot_count(table, version=0) == 400
+    assert snapshot_history(table)[-1]["n_dv_files"] >= 1
+
+
+def test_dv_delete_consolidates_exact_cardinalities(spark, table):
+    """Two DV deletes with OVERLAPPING ranges: the second commit
+    folds the first sidecar's positions into one fresh sidecar per
+    touched file — cardinalities stay exact (no double count), and
+    the extra predicate narrows like the copy-on-write path."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+    )
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k"), stats_cols=["k"]
+    )
+    snapshot_delete_dv(spark, table, "k", 10, 49)                  # v1: -40
+    snapshot_delete_dv(spark, table, "k", 30, 69, "v = 1")         # v2: -10 odd
+    expected = [
+        k for k in range(200)
+        if not (10 <= k <= 49) and not (30 <= k <= 69 and k % 2 == 1)
+    ]
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == expected
+    assert snapshot_count(table) == len(expected)
+    assert snapshot_count(table, version=1) == 160
+    # v1 still reads its own subset (old sidecar untouched)
+    assert len(snapshot_read(spark, table, version=1).collect()) == 160
+
+
+def test_dv_applied_by_pruned_merge_and_materialized(spark, table):
+    """A pruned merge over DV-carrying files must (a) not resurrect
+    DV-deleted rows, (b) drop the DV entries of files it rewrites,
+    and (c) keep inherited files' DVs by reference."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k"), stats_cols=["k"]
+    )
+    snapshot_delete_dv(spark, table, "k", 0, 399, "k % 100 = 1")  # every file
+    ups = spark.createDataFrame([(10, -1.0), (1, 5.0)], "k long, x double")
+    v = snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        m = json.load(f)
+    # rewritten files lost their DV entries; inherited kept theirs
+    rewritten_dirs = {p.split("/")[0] for p in m["files"]
+                      if not p.startswith("d00000")}
+    assert rewritten_dirs  # something was rewritten
+    assert all(rel.startswith("d00000") for rel in m.get("dv", {}))
+    assert m.get("dv")  # inherited files still carry DVs
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    # k=1 was DV-deleted before the merge: update-only must NOT
+    # resurrect it; k=10 updated; other %100=1 keys still deleted
+    assert 1 not in got and 101 not in got and 301 not in got
+    assert got[10] == -1.0 and len(got) == 396
+    assert snapshot_count(table) == 396
+
+
+def test_dv_compact_materializes_deletes_away(spark, table):
+    """OPTIMIZE after a DV delete rewrites through the DV-aware read:
+    the compacted version carries no DVs, has the same rows, and
+    vacuum can then drop the old sidecar once unreferenced."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_count,
+        snapshot_delete_dv,
+    )
+
+    base = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(table, base.repartitionByRange(3, "k"), stats_cols=["k"])
+    snapshot_delete_dv(spark, table, "k", 50, 99)
+    v = snapshot_compact(spark, table, target_rows_per_file=125)
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        m = json.load(f)
+    assert "dv" not in m
+    assert snapshot_count(table, version=v) == 250
+    got = sorted(r.k for r in snapshot_read(spark, table, version=v).collect())
+    assert got == [k for k in range(300) if not (50 <= k <= 99)]
+
+    # sidecar survives while v1 is retained...
+    dropped = vacuum(table, keep_last=3, stage_retention_sec=0.0)
+    assert dropped == []
+    assert os.path.isdir(os.path.join(table, "_dv"))
+    assert any(os.scandir(os.path.join(table, "_dv")))
+    # ...and goes once only the compacted version (and its parent
+    # window) is retained
+    vacuum(table, keep_last=1, stage_retention_sec=0.0)
+    dv_root = os.path.join(table, "_dv")
+    assert not os.path.isdir(dv_root) or not any(os.scandir(dv_root))
+    assert snapshot_read(spark, table, version=v).count() == 250
+
+
+def test_scored_dv_delete_query_rewrites_nothing(spark):
+    """The scored snapshot_dv_delete_orders pair must exercise a REAL
+    merge-on-read delete at test scale: zero files rewritten, a live
+    sidecar, and pruning that scanned fewer files than the table."""
+    import json
+    import tempfile
+
+    from exceldatatransform_py_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["snapshot_dv_delete_orders"](spark, sf).collect()
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_dvq_sf0_001")
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m = json.load(f)
+    assert m["kind"] == "delete_dv"
+    assert m["pruning"]["rewritten_files"] == 0
+    assert m["pruning"]["scanned_files"] >= 1
+    assert m["pruning"]["inherited_files"] >= 1
+    assert m["dv"]
