@@ -441,6 +441,35 @@ def _parent_constraints(table: str, parent: int | None) -> dict:
     return {}
 
 
+def last_committed_txn(table: str, app_id: str) -> int | None:
+    """Highest ``batch_id`` any version of ``table`` recorded for
+    writer ``app_id`` (manifest-only — the idempotence ledger for
+    exactly-once streaming commits), or None if the app never
+    committed."""
+    batches = [
+        m["txn"]["batch"]
+        for m in _manifests(table)
+        if m.get("txn", {}).get("app") == app_id
+    ]
+    return max(batches) if batches else None
+
+
+def _txn_already_applied(
+    table: str, txn: tuple[str, int] | None
+) -> int | None:
+    """If ``txn`` (app_id, batch_id) was already committed, return the
+    CURRENT latest version (the replay is a no-op); else None. A
+    replayed micro-batch must compare with ``<=`` max: retries can
+    arrive after later batches already landed."""
+    if txn is None:
+        return None
+    app_id, batch_id = txn
+    last = last_committed_txn(table, app_id)
+    if last is not None and batch_id <= last:
+        return latest_version(table)
+    return None
+
+
 def _commit(
     table: str,
     df: DataFrame,
@@ -448,6 +477,7 @@ def _commit(
     parent: int | None,
     stats_cols: Sequence[str] = (),
     constraints: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     import time
 
@@ -473,6 +503,8 @@ def _commit(
     }
     if effective:
         manifest["constraints"] = effective
+    if txn is not None:
+        manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
     rel_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(os.path.join(table, data_dir))
@@ -496,6 +528,7 @@ def snapshot_write(
     df: DataFrame,
     stats_cols: Sequence[str] = (),
     constraints: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as the next full version of ``table`` (the
     overwrite commit). ``stats_cols`` caches per-file min/max in the
@@ -504,10 +537,20 @@ def snapshot_write(
     (CHECK semantics: NULL passes); they persist in the manifest and
     every later commit — merges included — validates against them
     before staging (pass ``{}`` to drop them). Returns the new
-    version number."""
+    version number.
+
+    ``txn=(app_id, batch_id)`` makes the commit idempotent for
+    exactly-once streaming sinks (Delta's txnAppId/txnVersion
+    pattern): the pair is recorded in the manifest, and a replay of an
+    already-committed batch (``batch_id`` ≤ the app's last recorded
+    batch) is a no-op returning the current version — a foreachBatch
+    retry after a driver crash cannot double-apply."""
+    done = _txn_already_applied(table, txn)
+    if done is not None:
+        return done
     return _commit(
         table, df, "overwrite", latest_version(table),
-        stats_cols=stats_cols, constraints=constraints,
+        stats_cols=stats_cols, constraints=constraints, txn=txn,
     )
 
 
@@ -691,6 +734,7 @@ def snapshot_merge_update(
     when_not_matched_insert: bool = False,
     when_not_matched_by_source_delete: bool = False,
     evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE INTO as a snapshot commit: merge ``updates`` into the
     latest version and commit the result as a NEW version — the
@@ -713,10 +757,19 @@ def snapshot_merge_update(
     and with ``max_retries > 0`` the read-merge-commit is re-run
     against the new latest version (CAS loop); the re-run re-reads the
     winner's rows, so insert/delete decisions are re-taken against the
-    state that actually committed."""
+    state that actually committed.
+
+    ``txn=(app_id, batch_id)`` makes the merge idempotent for
+    exactly-once streaming CDC sinks: a replayed micro-batch whose
+    (app, batch) the manifest log already records is a no-op — the
+    check re-runs inside the CAS loop, so a retry racing its own
+    duplicate still applies exactly once."""
     from exceldatatransform_py_spark.operators.merge import merge_full
 
     for attempt in range(max_retries + 1):
+        done = _txn_already_applied(table, txn)
+        if done is not None:
+            return done
         parent = latest_version(table)
         if parent is None:
             raise FileNotFoundError(f"no versions in {table}")
@@ -728,7 +781,7 @@ def snapshot_merge_update(
             evolve_schema=evolve_schema,
         )
         try:
-            return _commit(table, merged, "merge_update", parent)
+            return _commit(table, merged, "merge_update", parent, txn=txn)
         except SnapshotConflictError:
             if attempt == max_retries:
                 raise
@@ -762,6 +815,82 @@ def _footer_minmax(path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
+def _stage_unique(table: str, df: DataFrame, version: int) -> str:
+    """Stage a file-level commit's rewritten files under a globally
+    UNIQUE directory name — protocol-agnostic (no rename/link:
+    object-store-safe) and collision-free under any concurrency, so a
+    conflicted file-level commit can REBASE onto the new latest
+    without re-staging its parquet. The manifest's explicit "files"
+    list is authoritative; ``vacuum`` sweeps never-published unique
+    dirs past the retention horizon."""
+    data_dir = f"d{version:05d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(os.path.join(table, data_dir))
+    return data_dir
+
+
+def _pruned_rebase_ok(
+    table: str,
+    base: dict,
+    cur: dict,
+    touched_set: set,
+    prune_col: str,
+    lo,
+    hi,
+    nulls_in_updates: bool,
+    update_empty: bool,
+) -> bool:
+    """True iff a pruned commit computed against manifest ``base`` can
+    be replayed verbatim onto ``cur`` (a later version that won the
+    race) — the disjoint-writer rebase real table formats run instead
+    of failing every concurrent commit. Sound conditions:
+
+    * same schema and same CHECK constraints (else semantics changed);
+    * every file we rewrote still exists in ``cur`` with identical
+      deletion vectors (the winner did not touch our write set);
+    * no file the winner ADDED can hold a key matching our updates
+      (same stats superset-test as pruning itself — a winner-inserted
+      row inside our key range would have needed our update). Files
+      the winner merely REMOVED are fine: they drop out of the
+      inherited list, and files that survived from ``base`` were
+      already proven non-matching by our own pruning pass.
+    """
+    def sig(m):  # nullability may legally drift across merge commits
+        return [
+            (f.get("name"), f.get("type"))
+            for f in m.get("schema", {}).get("fields", [])
+        ]
+
+    if sig(cur) != sig(base):
+        return False
+    if cur.get("constraints", {}) != base.get("constraints", {}):
+        return False
+    cur_files = set(_manifest_files(table, cur))
+    if not touched_set <= cur_files:
+        return False
+    bdv, cdv = base.get("dv", {}), cur.get("dv", {})
+    if any(bdv.get(r) != cdv.get(r) for r in touched_set):
+        return False
+    if update_empty:
+        return True
+    base_files = set(_manifest_files(table, base))
+    cur_stats = cur.get("stats", {})
+    for rel in cur_files - base_files:
+        cached = cur_stats.get(rel, {}).get(prune_col)
+        if cached is not None:
+            mm = (_stat_decode(cached[0]), _stat_decode(cached[1]))
+            nc = cached[2] if len(cached) >= 3 else None
+        else:
+            mm = _footer_minmax(os.path.join(table, rel), prune_col)
+            nc = _footer_nullcount(os.path.join(table, rel), prune_col)
+        may_nonnull = lo is not None and (
+            mm is None or not (mm[1] < lo or mm[0] > hi)
+        )
+        may_null = nulls_in_updates and (nc is None or nc > 0)
+        if may_nonnull or may_null:
+            return False
+    return True
+
+
 def snapshot_merge_update_pruned(
     spark: SparkSession,
     table: str,
@@ -770,6 +899,8 @@ def snapshot_merge_update_pruned(
     update_cols: Sequence[str],
     prune_col: str | None = None,
     when_not_matched_insert: bool = False,
+    rebase: bool = True,
+    max_rebase: int = 5,
 ) -> int:
     """File-pruned update-only merge: rewrite ONLY the target files
     whose ``prune_col`` min/max range can overlap the update keys;
@@ -812,6 +943,17 @@ def snapshot_merge_update_pruned(
     offered here: deciding "matches no update row" requires inspecting
     every target row, so every file is touched and pruning degenerates
     — use ``snapshot_merge_update`` (full read) for deletes.
+
+    Concurrency: with ``rebase`` (default), a commit that loses the
+    version race is REPLAYED onto the winner's version when the two
+    commits provably did not interact — same schema/constraints, the
+    winner didn't touch any file this merge rewrote, and no
+    winner-added file can hold a matching key (``_pruned_rebase_ok``)
+    — so disjoint-key writers all succeed without re-running the
+    merge, the resolution real table formats run. Interacting writers
+    still get ``SnapshotConflictError`` deterministically (re-run the
+    merge to retry against the new state). ``max_rebase`` bounds the
+    replay attempts under a commit storm.
     """
     prune_col = prune_col or on[0]
     if prune_col not in on:
@@ -884,7 +1026,6 @@ def snapshot_merge_update_pruned(
         else:
             inherited.append(rel)
 
-    v = latest["version"] + 1
     data_dir: str | None = None
     new_files: list[str] = []
     # A write is needed when files must be rewritten, or when INSERT
@@ -922,7 +1063,9 @@ def snapshot_merge_update_pruned(
         # inherited CHECK constraints guard the rewritten rows (the
         # inherited files were validated at their own commits)
         _validate_constraints(merged, latest.get("constraints", {}))
-        data_dir = _active_protocol.stage_data_dir(table, merged, v)
+        # unique staging: collision-free under concurrency, so a
+        # rebase replays the SAME staged files at a later version
+        data_dir = _stage_unique(table, merged, latest["version"] + 1)
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -938,52 +1081,89 @@ def snapshot_merge_update_pruned(
     )
     import time as _t
 
-    parent_rows = latest.get("rows", {})
-    row_counts = {
-        **{r: parent_rows[r] for r in inherited if r in parent_rows},
-        **_collect_rows(table, new_files),
-    }
-    manifest = {
-        "version": v,
-        # metadata-only commits (nothing rewritten) reference the
-        # parent's dir — the "files" list is authoritative anyway
-        "data_dir": data_dir if data_dir is not None else latest["data_dir"],
-        "files": new_files + inherited,
-        "rows": row_counts,
-        "kind": "merge_update_pruned",
-        "parent": latest["version"],
-        "ts": _t.time(),
-        "schema": schema,
-        "stats": file_stats,
-        # inherited files keep their deletion vectors; touched files'
-        # DVs were applied during the read and are gone with the files
-        **(
-            {
-                "dv": {
-                    r: e for r, e in parent_dv.items() if r in set(inherited)
-                }
-            }
-            if any(r in set(inherited) for r in parent_dv)
-            else {}
-        ),
-        **(
-            {"constraints": latest["constraints"]}
-            if latest.get("constraints")
-            else {}
-        ),
-        "pruning": {
-            "col": prune_col,
-            "rewritten_files": len(touched),
-            "inherited_files": len(inherited),
-        },
-    }
-    try:
-        _publish(table, manifest)
-    except SnapshotConflictError:
-        if need_write:
-            shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
-        raise
-    return v
+    new_rows = _collect_rows(table, new_files)
+    touched_set = set(touched)
+    cur = latest
+    attempts = 0
+    while True:
+        v = cur["version"] + 1
+        inherited_cur = [
+            r for r in _manifest_files(table, cur) if r not in touched_set
+        ]
+        iset = set(inherited_cur)
+        cur_rows = cur.get("rows", {})
+        cur_stats = cur.get("stats", {})
+        cur_dv = cur.get("dv", {})
+        # per-file stats: the winner's refreshed entries merged with
+        # the ones this merge computed (bytes are immutable, so both
+        # are valid; union per column)
+        stats_out: dict = {}
+        for r in inherited_cur:
+            st = dict(cur_stats.get(r, {}), **file_stats.get(r, {}))
+            if st:
+                stats_out[r] = st
+        for r in new_files:
+            if r in file_stats:
+                stats_out[r] = file_stats[r]
+        manifest = {
+            "version": v,
+            # metadata-only commits (nothing rewritten) reference the
+            # parent's dir — the "files" list is authoritative anyway
+            "data_dir": data_dir if data_dir is not None else cur["data_dir"],
+            "files": new_files + inherited_cur,
+            "rows": {
+                **{r: cur_rows[r] for r in inherited_cur if r in cur_rows},
+                **new_rows,
+            },
+            "kind": "merge_update_pruned",
+            "parent": cur["version"],
+            "ts": _t.time(),
+            "schema": schema,
+            "stats": stats_out,
+            # inherited files keep their deletion vectors; touched
+            # files' DVs were applied during the read and are gone
+            **(
+                {"dv": {r: e for r, e in cur_dv.items() if r in iset}}
+                if any(r in iset for r in cur_dv)
+                else {}
+            ),
+            **(
+                {"constraints": cur["constraints"]}
+                if cur.get("constraints")
+                else {}
+            ),
+            "pruning": {
+                "col": prune_col,
+                "rewritten_files": len(touched),
+                "inherited_files": len(inherited_cur),
+                **({"rebased": attempts} if attempts else {}),
+            },
+        }
+        try:
+            _publish(table, manifest)
+            return v
+        except SnapshotConflictError:
+            # disjoint-commit resolution: another writer took this
+            # version — if its commit provably didn't interact with
+            # ours (see _pruned_rebase_ok), replay the SAME staged
+            # files onto the new latest instead of failing.
+            nxt = _manifests(table)[-1]
+            if (
+                rebase
+                and attempts < max_rebase
+                and _pruned_rebase_ok(
+                    table, latest, nxt, touched_set, prune_col,
+                    lo, hi, nulls_in_updates, update_empty,
+                )
+            ):
+                attempts += 1
+                cur = nxt
+                continue
+            if need_write:
+                shutil.rmtree(
+                    os.path.join(table, data_dir), ignore_errors=True
+                )
+            raise
 
 
 def snapshot_delete_range(

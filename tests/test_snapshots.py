@@ -459,7 +459,7 @@ def test_merge_update_retry_wins_after_conflict(spark, table):
     real_commit = snap._commit
     fired = {"done": False}
 
-    def interloper(tbl, df, kind, parent, stats_cols=()):
+    def interloper(tbl, df, kind, parent, stats_cols=(), **kw):
         # writer A sneaks in its commit after B's read, once.
         if not fired["done"]:
             fired["done"] = True
@@ -467,7 +467,7 @@ def test_merge_update_retry_wins_after_conflict(spark, table):
                 snapshot_read(spark, tbl, version=parent),
                 upd_a, on=["id"], update_cols=["v"],
             ), "merge_update", parent)
-        return real_commit(tbl, df, kind, parent, stats_cols)
+        return real_commit(tbl, df, kind, parent, stats_cols, **kw)
 
     with mock.patch.object(snap, "_commit", side_effect=interloper):
         v = snap.snapshot_merge_update(
@@ -792,7 +792,7 @@ def test_merge_full_retry_converges_after_conflict(spark, table):
     real_commit = snap._commit
     fired = {"done": False}
 
-    def interloper(tbl, df, kind, parent, stats_cols=()):
+    def interloper(tbl, df, kind, parent, stats_cols=(), **kw):
         if not fired["done"]:
             fired["done"] = True
             from exceldatatransform_py_spark.operators.merge import merge_full
@@ -801,7 +801,7 @@ def test_merge_full_retry_converges_after_conflict(spark, table):
                 snapshot_read(spark, tbl, version=parent),
                 upd_a, on=["k"], update_cols=["x"], insert=True,
             ), "merge_update", parent)
-        return real_commit(tbl, df, kind, parent, stats_cols)
+        return real_commit(tbl, df, kind, parent, stats_cols, **kw)
 
     with mock.patch.object(snap, "_commit", side_effect=interloper):
         v = snap.snapshot_merge_update(
@@ -1540,3 +1540,263 @@ def test_scored_dv_delete_query_rewrites_nothing(spark):
     assert m["pruning"]["scanned_files"] >= 1
     assert m["pruning"]["inherited_files"] >= 1
     assert m["dv"]
+
+
+# ---------------------------------------------------------------------------
+# Disjoint-commit concurrency resolution (rebase).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "proto", ["posix", "conditional_put"], indirect=False
+)
+def test_disjoint_pruned_merges_both_commit(spark, table, proto):
+    """Two writers merging DISJOINT key ranges race for the same
+    version: the loser rebases its already-staged files onto the
+    winner's version instead of failing — both updates land, versions
+    are linear, no merge re-runs. Deterministic interleaving: a
+    disjoint winner commits between the loser's read and publish.
+    Works on both protocols."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    protocol = (
+        snap.PosixCommitProtocol()
+        if proto == "posix"
+        else snap.ConditionalPutCommitProtocol()
+    )
+    with snap.use_commit_protocol(protocol):
+        base = spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+        )
+        snapshot_write(
+            table,
+            base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+            stats_cols=["k"],
+        )
+
+        real_publish = snap._publish
+        fired = {"done": False}
+
+        def interloper(tbl, manifest):
+            # a DISJOINT winner (high keys — a different file) lands
+            # v1 between the loser's read and publish, exactly once
+            if (
+                not fired["done"]
+                and manifest["kind"] == "merge_update_pruned"
+            ):
+                fired["done"] = True
+                snap.snapshot_merge_update_pruned(
+                    spark, tbl,
+                    spark.createDataFrame(
+                        [(390, -2.0)], "k long, x double"
+                    ),
+                    on=["k"], update_cols=["x"],
+                )
+            return real_publish(tbl, manifest)
+
+        with mock.patch.object(snap, "_publish", side_effect=interloper):
+            v = snap.snapshot_merge_update_pruned(
+                spark, table,
+                spark.createDataFrame([(10, -1.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+            )
+        assert v == 2  # loser REBASED onto the winner's v1
+        got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+        assert got[10] == -1.0 and got[390] == -2.0  # both updates live
+        assert len(got) == 400
+        with open(os.path.join(table, "_versions", "v00002.json")) as f:
+            m2 = json.load(f)
+        assert m2["pruning"]["rebased"] == 1
+        assert snap.snapshot_count(table) == 400
+
+
+def test_overlapping_pruned_merges_still_conflict(spark, table):
+    """Writers whose touched file sets overlap must NOT rebase: the
+    loser surfaces SnapshotConflictError deterministically (its state
+    is stale) and withdraws its staged directory."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def interloper(tbl, manifest):
+        # a winner updates key 11 — the SAME file as the loser's 10 —
+        # between the loser's read and publish, exactly once
+        if not fired["done"] and manifest["kind"] == "merge_update_pruned":
+            fired["done"] = True
+            snap.snapshot_merge_update_pruned(
+                spark, tbl,
+                spark.createDataFrame([(11, 111.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+            )
+        return real_publish(tbl, manifest)
+
+    with mock.patch.object(snap, "_publish", side_effect=interloper):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_merge_update_pruned(
+                spark, table,
+                spark.createDataFrame([(10, -1.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+            )
+    # winner intact; loser withdrew its staged dir (only published
+    # dirs remain besides v0's)
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[11] == 111.0 and got[10] == 10.0
+    import re as _re
+
+    live = {
+        os.path.dirname(f)
+        for m in snap._manifests(table)
+        for f in snap._manifest_files(table, m)
+    } | {m["data_dir"] for m in snap._manifests(table)}
+    on_disk = {
+        d for d in os.listdir(table)
+        if _re.fullmatch(r"d\d{5}(-[0-9a-f]{8})?", d)
+    }
+    assert on_disk == live
+
+
+def test_rebase_rejected_when_winner_inserts_matching_key(spark, table):
+    """A winner that INSERTS a key inside the loser's update range
+    interacts with the loser's merge (the new row should have been
+    updated) — rebase must refuse and surface the conflict."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def interloper(tbl, manifest):
+        if not fired["done"] and manifest["kind"] == "merge_update_pruned":
+            fired["done"] = True
+            # winner inserts k=10000 — INSIDE the loser's key bounds
+            # (10..10000), in a brand-new file
+            snap.snapshot_merge_update_pruned(
+                spark, tbl,
+                spark.createDataFrame([(10000, 0.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+                when_not_matched_insert=True,
+            )
+        return real_publish(tbl, manifest)
+
+    ups = spark.createDataFrame(
+        [(10, -1.0), (10000, -2.0)], "k long, x double"
+    )
+    with mock.patch.object(snap, "_publish", side_effect=interloper):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_merge_update_pruned(
+                spark, table, ups, on=["k"], update_cols=["x"]
+            )
+    # caller retries the merge against the new state: now it sees the
+    # inserted row and updates it
+    v = snap.snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    got = {r.k: r.x for r in snapshot_read(spark, table, version=v).collect()}
+    assert got[10] == -1.0 and got[10000] == -2.0
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming commits by transaction id.
+# ---------------------------------------------------------------------------
+
+
+def test_txn_merge_commit_is_idempotent_on_replay(spark, table):
+    """The Delta txnAppId/txnVersion pattern: a micro-batch commit
+    records (app, batch) in the manifest; replaying the same batch —
+    the foreachBatch retry after a driver crash — is a no-op, even as
+    a LATE retry arriving after later batches already landed."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        last_committed_txn,
+        snapshot_count,
+        snapshot_merge_update,
+    )
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(table, base)
+
+    def apply_batch(batch_id, k, x):
+        ups = spark.createDataFrame([(k, x)], "k long, x double")
+        return snapshot_merge_update(
+            spark, table, ups, on=["k"], update_cols=["x"],
+            txn=("cdc-app", batch_id),
+        )
+
+    assert apply_batch(0, 3, -3.0) == 1
+    assert apply_batch(0, 3, -999.0) == 1      # replay: no-op, same v
+    assert latest_version(table) == 1
+    assert apply_batch(1, 4, -4.0) == 2
+    assert apply_batch(0, 3, -999.0) == 2      # LATE replay: no-op
+    assert apply_batch(1, 4, -999.0) == 2      # replay of batch 1 too
+    assert latest_version(table) == 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[3] == -3.0 and got[4] == -4.0   # first apply won
+    assert snapshot_count(table) == 10
+    assert last_committed_txn(table, "cdc-app") == 1
+    assert last_committed_txn(table, "other-app") is None
+    # a different app's batch numbering is independent
+    ups = spark.createDataFrame([(5, -5.0)], "k long, x double")
+    assert snapshot_merge_update(
+        spark, table, ups, on=["k"], update_cols=["x"],
+        txn=("other-app", 0),
+    ) == 3
+
+
+def test_txn_replay_storm_applies_each_batch_once(spark, table):
+    """A foreachBatch delivery sequence with duplicates (0,0,1,1,0,2)
+    — the at-least-once contract a restarted stream actually gives —
+    lands exactly three versions, one per distinct batch."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update,
+    )
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("x")
+    )
+    snapshot_write(table, base)
+    for batch_id in (0, 0, 1, 1, 0, 2):
+        ups = spark.createDataFrame(
+            [(batch_id, batch_id + 1.0)], "k long, x double"
+        )
+        snapshot_merge_update(
+            spark, table, ups, on=["k"], update_cols=["x"],
+            txn=("stream", batch_id),
+        )
+    assert latest_version(table) == 3  # v0 + exactly one per batch
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[0] == 1.0 and got[1] == 2.0 and got[2] == 3.0
+
+
+def test_txn_write_commit_idempotent(spark, table):
+    from exceldatatransform_py_spark.sources.snapshots import snapshot_write
+
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert snapshot_write(table, df, txn=("loader", 7)) == 0
+    assert snapshot_write(table, df, txn=("loader", 7)) == 0  # replay
+    assert latest_version(table) == 0
+    assert snapshot_write(table, df, txn=("loader", 8)) == 1
