@@ -183,6 +183,124 @@ def _collect_rows(table: str, rel_files: list[str]) -> dict:
     return {rel: _footer_rows(os.path.join(table, rel)) for rel in rel_files}
 
 
+# ---------------------------------------------------------------------------
+# Per-file bloom filters: min/max stats cannot prune POINT lookups on
+# a high-cardinality column that isn't clustered — every file's range
+# covers every key, so a one-key merge rewrites the whole table. A
+# small per-file bloom (m bits, k seeded hashes) cached in the
+# manifest answers "can this file contain key x?" probabilistically:
+# false positives only cost an unnecessary rewrite-unchanged; false
+# negatives are impossible, so pruning stays sound. This is the
+# bloom-filter index Delta/Iceberg/Hudi attach to data files.
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 4096 bits / 2 seeded xxhash64 probes ⇒ ~0.2% FP at
+#: 100 distinct keys per file, ~5% at 500; saturated blooms degrade to
+#: "maybe" (never unsound). 1 KiB hex per (file, col) in the manifest.
+_BLOOM_M = 4096
+_BLOOM_SEEDS = (177, 331)
+#: point-probe key sets larger than this skip bloom consultation (the
+#: driver-side distinct-collect would dominate; range pruning already
+#: handles bulk merges).
+_BLOOM_PROBE_CAP = 10_000
+
+
+def _bloom_bit(seed: int, col: str):
+    return F.pmod(
+        F.xxhash64(F.lit(seed), F.col(col)), F.lit(_BLOOM_M)
+    ).cast("int")
+
+
+def _collect_blooms(
+    spark: SparkSession, table: str, rel_files: list[str], cols: Sequence[str]
+) -> dict:
+    """{rel file: {col: hex bitmap}} in ONE distributed scan of the
+    newly committed files (grouped by the reader's ``_metadata`` file
+    path) — the cluster computes the blooms, the driver only packs
+    ≤ m distinct bit positions per (file, col) into a hex string."""
+    if not rel_files or not cols:
+        return {}
+    scan = spark.read.parquet(*[os.path.join(table, r) for r in rel_files])
+    aggs = []
+    for c in cols:
+        for si, s in enumerate(_BLOOM_SEEDS):
+            aggs.append(
+                F.collect_set(_bloom_bit(s, c)).alias(f"__b_{c}_{si}")
+            )
+    rows = (
+        scan.withColumn("__rel", _rel_file_expr())
+        .groupBy("__rel")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        ent = {}
+        for c in cols:
+            bits = 0
+            for si in range(len(_BLOOM_SEEDS)):
+                for b in r[f"__b_{c}_{si}"] or []:
+                    bits |= 1 << int(b)
+            ent[c] = f"{bits:x}"
+        out[r["__rel"]] = ent
+    return out
+
+
+def _bloom_may_contain(hexmap: str, pairs: list[tuple]) -> bool:
+    """True iff the bloom cannot rule out EVERY probed key (a key is
+    possible when all of its k bit positions are set)."""
+    bits = int(hexmap, 16)
+    return any(
+        all((bits >> b) & 1 for b in pair) for pair in pairs
+    )
+
+
+def _bloom_probe_pairs(
+    keys: DataFrame, col: str, cap: int = _BLOOM_PROBE_CAP
+) -> list[tuple] | None:
+    """The distinct non-NULL probe keys' bloom bit tuples, or None
+    when the key set exceeds ``cap`` (bulk merge — bloom consultation
+    would cost more than it saves; range pruning still applies)."""
+    rows = (
+        keys.filter(F.col(col).isNotNull())
+        .select(
+            *[
+                _bloom_bit(s, col).alias(f"b{i}")
+                for i, s in enumerate(_BLOOM_SEEDS)
+            ]
+        )
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return [
+        tuple(int(r[f"b{i}"]) for i in range(len(_BLOOM_SEEDS)))
+        for r in rows
+    ]
+
+
+def _literal_probe_frame(spark: SparkSession, manifest: dict, col: str, values):
+    """One-row-per-value frame of probe literals CAST to the table
+    column's committed type — xxhash64 is type-sensitive, so probing
+    an int column with a Python int defaulting to long would miss.
+    Returns None for non-primitive column types."""
+    typ = next(
+        (
+            f.get("type")
+            for f in manifest.get("schema", {}).get("fields", [])
+            if f.get("name") == col
+        ),
+        None,
+    )
+    if not isinstance(typ, str) or not values:
+        return None
+    return spark.createDataFrame(
+        [(str(v),) for v in values], "v string"
+    ).select(F.col("v").cast(typ).alias(col))
+
+
 def snapshot_count(table: str, version: int | None = None) -> int:
     """COUNT(*) of a version WITHOUT any Spark job or data read:
     summed from per-file row counts cached in the manifest at commit
@@ -478,6 +596,7 @@ def _commit(
     stats_cols: Sequence[str] = (),
     constraints: dict | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     import time
 
@@ -513,6 +632,10 @@ def _commit(
     manifest["rows"] = _collect_rows(table, rel_files)
     if stats_cols:
         manifest["stats"] = _collect_stats(table, rel_files, stats_cols)
+    if bloom_cols:
+        manifest["blooms"] = _collect_blooms(
+            df.sparkSession, table, rel_files, bloom_cols
+        )
     try:
         _publish(table, manifest)
     except SnapshotConflictError:
@@ -529,11 +652,16 @@ def snapshot_write(
     stats_cols: Sequence[str] = (),
     constraints: dict | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Commit ``df`` as the next full version of ``table`` (the
     overwrite commit). ``stats_cols`` caches per-file min/max in the
     manifest at commit time, so pruned merges on those columns never
-    reopen data-file footers. ``constraints`` maps name → SQL boolean
+    reopen data-file footers. ``bloom_cols`` additionally caches a
+    small per-file bloom filter per column — the index that lets
+    POINT lookups (merge/delete/read on a handful of keys) skip files
+    min/max provably cannot prune on an unclustered high-cardinality
+    key. ``constraints`` maps name → SQL boolean
     (CHECK semantics: NULL passes); they persist in the manifest and
     every later commit — merges included — validates against them
     before staging (pass ``{}`` to drop them). Returns the new
@@ -551,6 +679,7 @@ def snapshot_write(
     return _commit(
         table, df, "overwrite", latest_version(table),
         stats_cols=stats_cols, constraints=constraints, txn=txn,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -559,6 +688,7 @@ def snapshot_compact(
     table: str,
     target_rows_per_file: int,
     stats_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """OPTIMIZE analogue: commit a compacted rewrite of the latest
     version (small files from merges/streaming folded into
@@ -575,7 +705,10 @@ def snapshot_compact(
         df = df.coalesce(n_files)
     elif n_files > n_parts:
         df = df.repartition(n_files)
-    return _commit(table, df, "compact", parent, stats_cols=stats_cols)
+    return _commit(
+        table, df, "compact", parent,
+        stats_cols=stats_cols, bloom_cols=bloom_cols,
+    )
 
 
 def snapshot_optimize_zorder(
@@ -585,6 +718,7 @@ def snapshot_optimize_zorder(
     col_b: str,
     num_files: int,
     stats_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """OPTIMIZE ZORDER BY as a snapshot commit: rewrite the latest
     version clustered on the Morton interleave of two columns and
@@ -600,7 +734,10 @@ def snapshot_optimize_zorder(
     df = snapshot_read(spark, table, version=parent)
     zed = zorder_frame(df, col_a, col_b, num_files)
     cols = list(dict.fromkeys([col_a, col_b, *stats_cols]))
-    return _commit(table, zed, "zorder", parent, stats_cols=cols)
+    return _commit(
+        table, zed, "zorder", parent,
+        stats_cols=cols, bloom_cols=bloom_cols,
+    )
 
 
 def _manifest_files(table: str, manifest: dict) -> list[str]:
@@ -680,18 +817,62 @@ def _scan_minus_dv(
     )
 
 
+def _point_prune_files(
+    spark: SparkSession, table: str, m: dict, rel_files: list[str],
+    col: str, values: list,
+) -> list[str]:
+    """Files of manifest ``m`` that MAY contain a row with ``col`` in
+    ``values`` — min/max range test first, then the per-file bloom
+    (both sound: false positives scan extra bytes, never wrong rows)."""
+    stats = m.get("stats", {})
+    blooms = m.get("blooms", {})
+    pairs = None
+    if any(col in e for e in blooms.values()):
+        pf = _literal_probe_frame(spark, m, col, list(values))
+        if pf is not None:
+            pairs = _bloom_probe_pairs(pf, col)
+    out = []
+    for rel in rel_files:
+        may = True
+        cached = stats.get(rel, {}).get(col)
+        if cached is not None:
+            fmin = _stat_decode(cached[0])
+            fmax = _stat_decode(cached[1])
+            try:
+                may = any(
+                    v is not None and fmin <= v <= fmax for v in values
+                )
+            except TypeError:  # incomparable literal: stay conservative
+                may = True
+        if may and pairs is not None:
+            hexmap = blooms.get(rel, {}).get(col)
+            if hexmap is not None and not _bloom_may_contain(hexmap, pairs):
+                may = False
+        if may:
+            out.append(rel)
+    return out
+
+
 def snapshot_read(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     as_of_ts: float | None = None,
+    point_filter: tuple[str, list] | None = None,
 ) -> DataFrame:
     """Read ``table`` at ``version`` (default: latest), or AS OF a
     wall-clock epoch with ``as_of_ts`` — the latest version whose
     commit timestamp is ≤ the given instant (Delta's ``TIMESTAMP AS
     OF``). Time travel is just manifest resolution — no data is ever
     rewritten or copied. Pre-timestamp manifests (older layouts)
-    count as ts 0, i.e. visible at any as-of instant."""
+    count as ts 0, i.e. visible at any as-of instant.
+
+    ``point_filter=(col, values)`` returns only rows with ``col IN
+    values`` (SQL equality: NULL never matches) AND file-skips via
+    the manifest's cached min/max stats and per-file blooms — a point
+    lookup on a bloom-indexed key reads only the files that may hold
+    it, not the table. The filter itself is always applied, so
+    results never depend on pruning."""
     ms = _manifests(table)
     if not ms:
         raise FileNotFoundError(f"no versions in {table}")
@@ -711,6 +892,22 @@ def snapshot_read(
         raise ValueError(f"version {v} not in {sorted(by_v)}")
     m = by_v[v]
     dv = m.get("dv", {})
+    if point_filter is not None:
+        col, values = point_filter
+        rels = _point_prune_files(
+            spark, table, m, _manifest_files(table, m), col, list(values)
+        )
+        files = [os.path.join(table, r) for r in rels]
+        if not files:
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(m["schema"])
+            )
+        scan = (
+            _scan_minus_dv(spark, table, files, dv)
+            if dv
+            else spark.read.parquet(*files)
+        )
+        return scan.filter(F.col(col).isin(list(values)))
     if "files" not in m:
         files = [os.path.join(table, m["data_dir"])]
     else:
@@ -982,6 +1179,13 @@ def snapshot_merge_update_pruned(
     nulls_in_updates = bounds["n"] > bounds["n_nonnull"]
 
     cached_stats = latest.get("stats", {})
+    blooms = latest.get("blooms", {})
+    # per-file bloom consultation for point-ish key sets: only pay
+    # the probe-key collection when at least one file carries a bloom
+    # on the prune column
+    probe_pairs = None
+    if not update_empty and any(prune_col in e for e in blooms.values()):
+        probe_pairs = _bloom_probe_pairs(updates, prune_col)
 
     def file_minmax(rel: str):
         cached = cached_stats.get(rel, {}).get(prune_col)
@@ -1020,6 +1224,15 @@ def snapshot_merge_update_pruned(
         may_match_nonnull = lo is not None and (
             mm is None or not (mm[1] < lo or mm[0] > hi)
         )
+        # bloom refinement: a file inside the range bounds may still
+        # provably hold NONE of the probed keys (false negatives are
+        # impossible, so skipping it is sound)
+        if may_match_nonnull and probe_pairs is not None:
+            hexmap = blooms.get(rel, {}).get(prune_col)
+            if hexmap is not None and not _bloom_may_contain(
+                hexmap, probe_pairs
+            ):
+                may_match_nonnull = False
         may_match_null = nulls_in_updates and (nc is None or nc > 0)
         if may_match_nonnull or may_match_null:
             touched.append(rel)
@@ -1082,6 +1295,13 @@ def snapshot_merge_update_pruned(
     import time as _t
 
     new_rows = _collect_rows(table, new_files)
+    # keep the bloom index live across merges: rewritten files get
+    # fresh blooms whenever the parent carried any on this column
+    fresh_blooms = (
+        _collect_blooms(spark, table, new_files, [prune_col])
+        if new_files and any(prune_col in e for e in blooms.values())
+        else {}
+    )
     touched_set = set(touched)
     cur = latest
     attempts = 0
@@ -1094,6 +1314,11 @@ def snapshot_merge_update_pruned(
         cur_rows = cur.get("rows", {})
         cur_stats = cur.get("stats", {})
         cur_dv = cur.get("dv", {})
+        cur_blooms = cur.get("blooms", {})
+        blooms_out = {
+            r: cur_blooms[r] for r in inherited_cur if r in cur_blooms
+        }
+        blooms_out.update(fresh_blooms)
         # per-file stats: the winner's refreshed entries merged with
         # the ones this merge computed (bytes are immutable, so both
         # are valid; union per column)
@@ -1120,6 +1345,7 @@ def snapshot_merge_update_pruned(
             "ts": _t.time(),
             "schema": schema,
             "stats": stats_out,
+            **({"blooms": blooms_out} if blooms_out else {}),
             # inherited files keep their deletion vectors; touched
             # files' DVs were applied during the read and are gone
             **(
@@ -1194,6 +1420,15 @@ def snapshot_delete_range(
     latest = ms[-1]
     files = _manifest_files(table, latest)
     cached_stats = latest.get("stats", {})
+    blooms = latest.get("blooms", {})
+    # a POINT delete (lo == hi) consults per-file blooms: on an
+    # unclustered key every file's min/max range covers the key, but
+    # the bloom rules out files that provably don't hold it
+    probe_pairs = None
+    if lo == hi and any(col in e for e in blooms.values()):
+        pf = _literal_probe_frame(spark, latest, col, [lo])
+        if pf is not None:
+            probe_pairs = _bloom_probe_pairs(pf, col)
 
     def file_minmax(rel: str):
         cached = cached_stats.get(rel, {}).get(col)
@@ -1218,10 +1453,17 @@ def snapshot_delete_range(
                     cached_stats.get(rel, {}), **{col: [lo_e, hi_e, nc]}
                 )
         if mm is None:  # no stats: may hold matches — rewrite
-            touched.append(rel)
+            may = True
         else:
             fmin, fmax = mm
-            (inherited if fmax < lo or fmin > hi else touched).append(rel)
+            may = not (fmax < lo or fmin > hi)
+        if may and probe_pairs is not None:
+            hexmap = blooms.get(rel, {}).get(col)
+            if hexmap is not None and not _bloom_may_contain(
+                hexmap, probe_pairs
+            ):
+                may = False
+        (touched if may else inherited).append(rel)
 
     v = latest["version"] + 1
     parent_dv = latest.get("dv", {})
@@ -1254,6 +1496,9 @@ def snapshot_delete_range(
             file_stats.pop(rel, None)
     import time as _t
 
+    blooms_out = {r: blooms[r] for r in inherited if r in blooms}
+    if new_files and any(col in e for e in blooms.values()):
+        blooms_out.update(_collect_blooms(spark, table, new_files, [col]))
     parent_rows = latest.get("rows", {})
     manifest = {
         "version": v,
@@ -1263,6 +1508,7 @@ def snapshot_delete_range(
             **{r: parent_rows[r] for r in inherited if r in parent_rows},
             **_collect_rows(table, new_files),
         },
+        **({"blooms": blooms_out} if blooms_out else {}),
         "kind": "delete_range",
         "parent": latest["version"],
         "ts": _t.time(),
@@ -1335,6 +1581,12 @@ def snapshot_delete_dv(
     files = _manifest_files(table, latest)
     cached_stats = latest.get("stats", {})
     parent_dv = latest.get("dv", {})
+    blooms = latest.get("blooms", {})
+    probe_pairs = None
+    if lo == hi and any(col in e for e in blooms.values()):
+        pf = _literal_probe_frame(spark, latest, col, [lo])
+        if pf is not None:
+            probe_pairs = _bloom_probe_pairs(pf, col)
 
     def file_minmax(rel: str):
         cached = cached_stats.get(rel, {}).get(col)
@@ -1353,7 +1605,14 @@ def snapshot_delete_dv(
                 file_stats[rel] = dict(
                     cached_stats.get(rel, {}), **{col: [lo_e, hi_e, nc]}
                 )
-        if mm is None or not (mm[1] < lo or mm[0] > hi):
+        may = mm is None or not (mm[1] < lo or mm[0] > hi)
+        if may and probe_pairs is not None:
+            hexmap = blooms.get(rel, {}).get(col)
+            if hexmap is not None and not _bloom_may_contain(
+                hexmap, probe_pairs
+            ):
+                may = False
+        if may:
             touched.append(rel)
 
     v = latest["version"] + 1
@@ -1431,6 +1690,8 @@ def snapshot_delete_dv(
         "ts": _t.time(),
         "schema": latest["schema"],
         "stats": file_stats,
+        # blooms stay valid as supersets after a merge-on-read delete
+        **({"blooms": blooms} if blooms else {}),
         "pruning": {
             "col": col,
             "rewritten_files": 0,

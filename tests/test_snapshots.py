@@ -1800,3 +1800,129 @@ def test_txn_write_commit_idempotent(spark, table):
     assert snapshot_write(table, df, txn=("loader", 7)) == 0  # replay
     assert latest_version(table) == 0
     assert snapshot_write(table, df, txn=("loader", 8)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Manifest bloom filters: point-lookup file skipping where min/max
+# provably cannot prune.
+# ---------------------------------------------------------------------------
+
+
+def _interleaved_table(spark, table, n=400, files=4):
+    """Every file holds keys from the FULL range (k % files layout):
+    each file's min/max covers every key, so range pruning is
+    provably useless — only the bloom can skip files."""
+    base = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    from exceldatatransform_py_spark.sources.snapshots import snapshot_write
+
+    return snapshot_write(
+        table,
+        base.repartitionByRange(files, F.col("k") % files),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+
+
+def test_bloom_point_merge_prunes_where_minmax_cannot(spark, table):
+    """A one-key merge on the interleaved layout rewrites ~1 file via
+    the bloom; without blooms every file's range overlaps the key and
+    all of them rewrite. Results identical to the full-read merge."""
+    import json
+
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    _interleaved_table(spark, table)
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    assert len(m0["blooms"]) == 4
+    # sanity: min/max CANNOT prune — every file's range covers k=123
+    for st in m0["stats"].values():
+        assert st["k"][0] <= 123 <= st["k"][1]
+
+    ups = spark.createDataFrame([(123, -1.0)], "k long, x double")
+    v = snap.snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"]
+    )
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        m1 = json.load(f)
+    # bloom skipped the provably-keyless files (FP allowance: ≤ 2)
+    assert m1["pruning"]["rewritten_files"] <= 2
+    assert m1["pruning"]["inherited_files"] >= 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[123] == -1.0 and len(got) == 400 and got[122] == 122.0
+    # rewritten files got FRESH blooms: a second merge on the same key
+    # must keep pruning (the key moved into the new file)
+    ups2 = spark.createDataFrame([(123, -2.0)], "k long, x double")
+    v2 = snap.snapshot_merge_update_pruned(
+        spark, table, ups2, on=["k"], update_cols=["x"]
+    )
+    with open(os.path.join(table, "_versions", f"v{v2:05d}.json")) as f:
+        m2 = json.load(f)
+    assert m2["pruning"]["rewritten_files"] <= 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[123] == -2.0 and len(got) == 400
+
+
+def test_bloom_point_delete_and_point_read(spark, table):
+    """Point DELETE (both physical flavors) and point READ consult the
+    bloom on the interleaved layout: fewer files touched/scanned than
+    the table, identical results to the unpruned paths."""
+    import json
+
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    _interleaved_table(spark, table)
+    # point read: the scan plan touches < 4 files, rows are exact
+    got = snapshot_read(spark, table, point_filter=("k", [7, 250]))
+    assert len(set(got.inputFiles())) <= 2  # ~1 file per key, FP slack
+    assert sorted((r.k, r.x) for r in got.collect()) == [
+        (7, 7.0), (250, 250.0),
+    ]
+    # a key that doesn't exist prunes everything (empty scan, no job)
+    none = snapshot_read(spark, table, point_filter=("k", [40400]))
+    assert none.collect() == []
+
+    # copy-on-write point delete
+    v = snap.snapshot_delete_range(spark, table, "k", 200, 200)
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        m = json.load(f)
+    assert m["pruning"]["rewritten_files"] <= 2
+    assert m["pruning"]["inherited_files"] >= 2
+    assert snapshot_read(spark, table).count() == 399
+
+    # merge-on-read point delete: scanned_files < table via bloom
+    v2 = snap.snapshot_delete_dv(spark, table, "k", 300, 300)
+    with open(os.path.join(table, "_versions", f"v{v2:05d}.json")) as f:
+        m2 = json.load(f)
+    assert m2["pruning"]["rewritten_files"] == 0
+    assert m2["pruning"]["scanned_files"] <= 2
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert 300 not in got and 200 not in got and len(got) == 398
+    # point read on the DV table still subtracts deleted positions
+    assert [
+        tuple(r) for r in snapshot_read(
+            spark, table, point_filter=("k", [300, 301])
+        ).collect()
+    ] == [(301, 301.0)]
+
+
+def test_bloom_bulk_merge_skips_probe_and_stays_correct(spark, table):
+    """A bulk merge (key set above the probe cap) must not pay the
+    bloom probe — pruning falls back to range stats — and results
+    stay identical."""
+    from unittest import mock
+
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    _interleaved_table(spark, table, n=100, files=2)
+    ups = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("x")
+    )
+    with mock.patch.object(snap, "_BLOOM_PROBE_CAP", 10):
+        v = snap.snapshot_merge_update_pruned(
+            spark, table, ups, on=["k"], update_cols=["x"]
+        )
+    got = {r.k: r.x for r in snapshot_read(spark, table, version=v).collect()}
+    assert len(got) == 100 and all(x == -1.0 for x in got.values())
