@@ -334,13 +334,27 @@ def lsh_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    probe_hamming: int = 1,
+    probe_hamming: int | str = 1,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Serve LSH top-k from a persisted index: corpus buckets and
     norms are index bytes (no re-hashing, no re-norming), and the
     bucket equi-join against the broadcast probe set partition-prunes
     the scan to the probed buckets. Identical to live
-    ``hyperplane_lsh_topk`` over the same corpus (pinned by test)."""
+    ``hyperplane_lsh_topk`` over the same corpus (pinned by test).
+
+    ``probe_hamming="auto"`` measures the index's operating curve on
+    these queries and serves at the cheapest radius whose recall
+    meets ``target_recall`` (``choose_probe_width``)."""
+    if probe_hamming == "auto":
+        curve = lsh_curve_from_index(
+            spark, table_prefix, queries, id_col=id_col, vec_col=vec_col, k=k
+        )
+        probe_hamming = int(
+            choose_probe_width(curve, target_recall, "probe_hamming").first()[
+                "probe_hamming"
+            ]
+        )
     planes = _stored_planes(spark, table_prefix)
     return _lsh_serve(
         queries,
@@ -578,14 +592,28 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int | str = 2,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF index — zero corpus
     re-scoring: cell assignment and corpus norms are read back from
     the index, and partition pruning on ``cell`` keeps the scan to
     the probed cells. Results are identical to live ``ivf_topk`` over
     the same corpus+centroids (pinned by test): floats round-trip
-    parquet exactly and the scoring expression is shared."""
+    parquet exactly and the scoring expression is shared.
+
+    ``n_probe="auto"`` runs the one-time tuning pass: measure the
+    index's operating curve on these queries and serve at the
+    cheapest width whose recall meets ``target_recall``
+    (``choose_probe_width``) — the deploy-time selection the
+    operating-curve queries exist to feed."""
+    if n_probe == "auto":
+        curve = ivf_curve_from_index(
+            spark, table_prefix, queries, id_col=id_col, vec_col=vec_col, k=k
+        )
+        n_probe = int(
+            choose_probe_width(curve, target_recall, "n_probe").first()["n_probe"]
+        )
     return _ivf_serve(
         queries,
         spark.table(f"{table_prefix}_cells"),
@@ -786,6 +814,621 @@ def ivf_sq8_topk_from_index(
         k,
         n_probe,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization): the 8-16x compression step every
+# 100 TB vector deployment runs after SQ8 stops being enough. Each
+# vector splits into ``m`` subvectors; per subspace, a k-means
+# codebook of ``k`` entries is trained on fixed-point coordinates
+# (the exact-integer Lloyd's of ``operators.clustering`` — every
+# argmin decision engine-exact, so an ITERATIVE trained quantizer
+# stays fully oracle-checkable); the stored payload is ``m`` small
+# code ids per vector. Serving is asymmetric distance: queries stay
+# full-precision, the probed cells' codes reconstruct to codebook
+# centroids map-side against one broadcast codebook row.
+#
+# Training all m subspace codebooks is ONE joint Lloyd loop keyed by
+# (sub, cid) — per round one map-only scoring pass over the exploded
+# subvectors and one (sub, cid, dim)-keyed aggregate whose shuffle
+# carries m·k·sub_dim rows regardless of corpus size; the codebooks
+# broadcast as a single aggregated row exactly like clustering._lloyd.
+# ---------------------------------------------------------------------------
+
+from exceldatatransform_py_spark.operators.clustering import (  # noqa: E402
+    KMEANS_SCALE,
+    _sqdist,
+)
+
+#: PQ fixed-point scale (shared with k-means: |x| ≤ ~1 ⇒ coordinates
+#: ≤ ~1e6, a 64-dim squared distance ≤ ~2.6e14 — far inside BIGINT).
+PQ_SCALE = KMEANS_SCALE
+
+
+def _pq_subpoints(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Quantized subvector rows ``(id_col, sub, xs array<bigint>)`` —
+    one row per (vector, subspace), ``xs`` the fixed-point slice
+    ``floor(x·scale)`` of the subspace's ``dim/m`` coordinates."""
+    sub_d = dim // m
+    if sub_d * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    qv = F.transform(
+        vec_col,
+        lambda e: F.floor(e.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    subs = F.array(*[F.slice(qv, s * sub_d + 1, sub_d) for s in range(m)])
+    return corpus.select(F.col(id_col), F.posexplode(subs).alias("sub", "xs"))
+
+
+def _pq_carr(codebooks: DataFrame) -> DataFrame:
+    """All m·k codebook entries folded to ONE sorted row — the
+    broadcast-scalar pattern: encoding is then a map-only pass."""
+    return codebooks.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "cs"))).alias("__carr")
+    )
+
+
+def _pq_best(xs: Column) -> Column:
+    """Nearest codebook entry of this row's subspace: lexicographic
+    (d2, cid) argmin over the broadcast ``__carr`` filtered to the
+    row's ``sub`` — exact integer distances, ties → lowest cid."""
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("__carr"), lambda c: c["sub"] == F.col("sub")),
+            lambda c: F.struct(
+                _sqdist(xs, c["cs"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    k: int = 256,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Train the m per-subspace codebooks jointly: ``iters``
+    assignment rounds with ``iters - 1`` centroid updates between
+    them (clustering._lloyd's convention), keyed by (sub, cid).
+    Seeds are the k smallest vector ids' subvectors — no RNG, so
+    training is a pure function of the corpus and fully
+    oracle-replayable. Returns ``(sub int, cid bigint,
+    cs array<bigint>)`` — fixed-point codebook coordinates (the
+    exact encode space; divide by ``scale`` for the reconstruction
+    doubles)."""
+    pts = _pq_subpoints(corpus, id_col, vec_col, m, dim, scale).persist()
+    # seeds: the k smallest vector ids PRESENT in the corpus (a
+    # distributed top-k — TakeOrderedAndProject, no global sort; on a
+    # dense 0-based corpus this is exactly ``id < k``, which is what
+    # the oracle replays).
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
+    cents = pts.join(F.broadcast(seed_ids), id_col).select(
+        "sub", F.col(id_col).alias("cid"), F.col("xs").alias("cs")
+    )
+    for it in range(iters - 1):
+        assigned = (
+            pts.crossJoin(F.broadcast(_pq_carr(cents)))
+            .select(
+                "sub", "xs", _pq_best(F.col("xs"))["cid"].alias("cid")
+            )
+        )
+        # update: per-(sub, cid, dim) exact sums → floor-requantized
+        # means — shuffle volume m·k·sub_dim, independent of corpus.
+        ex = assigned.select("sub", "cid", F.posexplode("xs").alias("i", "x"))
+        sums = ex.groupBy("sub", "cid", "i").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cx = sums.select(
+            "sub",
+            "cid",
+            "i",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cx"),
+        )
+        cents = cx.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cx"))),
+                lambda t: t["cx"],
+            ).alias("cs")
+        )
+    return cents
+
+
+def pq_encode(
+    batch: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Encode vectors against TRAINED codebooks: per subspace the
+    exact-integer nearest entry, reassembled into ``codes
+    array<int>`` ordered by subspace. One map-only scoring pass (the
+    codebooks broadcast as one row) plus a groupBy on the vector id —
+    work scales with the batch, never the corpus."""
+    pts = _pq_subpoints(batch, id_col, vec_col, m, dim, scale)
+    assigned = pts.crossJoin(F.broadcast(_pq_carr(codebooks))).select(
+        id_col, "sub", _pq_best(F.col("xs"))["cid"].alias("cid")
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda s: s["cid"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def _pq_reconstruct(codes: Column) -> Column:
+    """codes → concatenated codebook centroids as doubles; requires
+    a broadcast ``__cbarr`` column (array<struct<sub, cid,
+    cs array<bigint>>>) in scope. The transform index IS the
+    subspace (codes are built ordered by sub), so flatten emits the
+    sub_0..sub_{m-1} concatenation; dequantization is bigint/scale
+    double division — exact and engine-identical."""
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda code, sub: F.transform(
+                F.element_at(
+                    F.filter(
+                        F.col("__cbarr"),
+                        lambda c: (c["sub"] == sub)
+                        & (c["cid"] == code.cast("bigint")),
+                    ),
+                    1,
+                )["cs"],
+                lambda v: v.cast("double") / F.lit(float(PQ_SCALE)),
+            ),
+        )
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    k: int = 256,
+    iters: int = 2,
+) -> None:
+    """Persist the product-quantized IVF index:
+
+    * ``<prefix>_cells`` — ``(neighbor_id, codes array<int>)``
+      PARTITIONED BY ``cell`` (same dynamic-partition-pruned probe
+      scan as the float/SQ8 indexes, m code ids instead of dim
+      floats per vector — the 8-16x payload step);
+    * ``<prefix>_centroids`` — the float coarse quantizer (tiny);
+    * ``<prefix>_codebooks`` — m·k rows of fixed-point codebook
+      coordinates; the index is self-describing (m and sub_dim are
+      read back from this table, never from caller parameters that
+      could drift from what was trained).
+
+    Cell assignment runs on the ORIGINAL floats (quantization error
+    never moves a vector between cells at build time); codebooks are
+    trained on this corpus, then the corpus is encoded against the
+    STORED table — the same artifact appends will replay against."""
+    spark = corpus.sparkSession
+    cb = pq_train_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, dim=dim, k=k, iters=iters
+    )
+    (
+        cb.coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/codebooks")
+        .saveAsTable(f"{table_prefix}_codebooks")
+    )
+    stored_cb = spark.table(f"{table_prefix}_codebooks")
+    codes = pq_encode(
+        corpus, stored_cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+    ).withColumnRenamed(id_col, "neighbor_id")
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    coded = codes.join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    (
+        coded.write.mode("overwrite")
+        .partitionBy("cell")
+        .option("path", f"{path}/cells")
+        .saveAsTable(f"{table_prefix}_cells")
+    )
+    (
+        centroids.select("cent_id", "cent_vec")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/centroids")
+        .saveAsTable(f"{table_prefix}_centroids")
+    )
+
+
+def _pq_stored_shape(spark, table_prefix: str) -> tuple[int, int]:
+    """(m, dim) read back from the stored codebooks — one tiny
+    control-plane aggregate at plan-build time."""
+    row = (
+        spark.table(f"{table_prefix}_codebooks")
+        .agg(
+            (F.max("sub") + 1).alias("m"),
+            F.max(F.size("cs")).alias("sub_d"),
+        )
+        .collect()[0]
+    )
+    return int(row.m), int(row.m) * int(row.sub_d)
+
+
+def append_to_ivf_pq_index(
+    spark,
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Continuous-ingest step (completing PQ's build/serve/append
+    triple): the new batch is assigned against the STORED centroids
+    and encoded with the STORED codebooks — the production contract:
+    a product quantizer is trained once and replayed on new data
+    (retraining would silently re-code the whole corpus). Work scales
+    with the batch; partition-append keeps probe-time pruning."""
+    m, dim = _pq_stored_shape(spark, table_prefix)
+    centroids = spark.table(f"{table_prefix}_centroids")
+    codes = pq_encode(
+        new_vectors,
+        spark.table(f"{table_prefix}_codebooks"),
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        dim=dim,
+    ).withColumnRenamed(id_col, "neighbor_id")
+    cells = ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    coded = codes.join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    coded.write.mode("append").partitionBy("cell").saveAsTable(
+        f"{table_prefix}_cells"
+    )
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    refine_corpus: DataFrame | None = None,
+    refine_factor: int = 5,
+) -> DataFrame:
+    """Serve top-k from the PQ index: the probed cells' codes
+    reconstruct map-side against the broadcast codebook row (a scan
+    of code-bytes, never float-corpus-bytes), then score through the
+    same ``_ivf_serve`` every IVF flavor shares. Queries stay
+    full-precision — the standard asymmetric-distance setup.
+
+    ``refine_corpus`` enables the production two-stage serve (FAISS's
+    IndexRefineFlat): PQ distances select each query's top
+    ``k · refine_factor`` candidates, which are re-scored with their
+    ORIGINAL float vectors fetched from the source table by id — an
+    id-equi-join touching k·refine_factor rows per query, never the
+    corpus. The returned ``cosine`` is then the exact one. At 100 TB
+    this is the shape that makes 8-16x compression usable: the index
+    scan stays code-bytes, and full vectors are read for a few dozen
+    rows per query."""
+    cbarr = _pq_carr(spark.table(f"{table_prefix}_codebooks")).withColumnRenamed(
+        "__carr", "__cbarr"
+    )
+    cells = (
+        spark.table(f"{table_prefix}_cells")
+        .join(F.broadcast(cbarr))
+        .select(
+            "neighbor_id",
+            _pq_reconstruct(F.col("codes")).alias("vec"),
+            "cell",
+        )
+        .withColumn("vnorm", _norm(F.col("vec")))
+    )
+    centroids = spark.table(f"{table_prefix}_centroids")
+    if refine_corpus is None:
+        return _ivf_serve(queries, cells, centroids, id_col, vec_col, k, n_probe)
+    cand = _ivf_serve(
+        queries, cells, centroids, id_col, vec_col, k * refine_factor, n_probe
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = refine_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    rescored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operating-point selection: the operating curves (recall vs probe
+# cost per width) are only useful if something CONSUMES them.
+# choose_probe_width picks the cheapest width meeting a recall
+# target (falling back to the widest width when none does), and the
+# from-index serve paths accept width="auto" to run the one-time
+# tuning pass (curve from the index's own vectors — a deploy-time
+# cost amortized over every subsequent probe) and serve at the
+# chosen width.
+# ---------------------------------------------------------------------------
+
+#: probe widths the auto-tuned IVF serve evaluates.
+IVF_PROBE_WIDTHS = (1, 2, 4)
+#: probe radii the auto-tuned LSH serve evaluates (what _lsh_serve
+#: supports: the exact bucket, or the exact bucket + 1-bit flips).
+LSH_PROBE_WIDTHS = (0, 1)
+
+
+def choose_probe_width(
+    curve: DataFrame,
+    target_recall: float,
+    width_col: str,
+    cost_col: str = "n_candidates",
+    recall_col: str = "recall_at_5",
+) -> DataFrame:
+    """The cheapest operating point meeting ``target_recall`` — ONE
+    row of the curve plus ``(target_recall, meets_target)``. Widths
+    that meet the target rank before those that don't; among meeting
+    widths the lowest ``cost_col`` wins (the cheapest adequate
+    probe); if none meets it, the highest-cost (widest, best-recall)
+    width wins — degrade to the best the index can do, never to the
+    cheapest. Ties break on the width itself, so selection is
+    deterministic. The curve is a handful of rows (one per width);
+    orderBy+limit(1) plans as TakeOrderedAndProject — a streaming
+    top-1, no exchange, no window sort."""
+    meets = F.col(recall_col) >= F.lit(float(target_recall))
+    return (
+        curve.withColumn("target_recall", F.lit(float(target_recall)))
+        .withColumn("meets_target", meets)
+        .orderBy(
+            F.when(F.col("meets_target"), 1).otherwise(0).desc(),
+            F.when(F.col("meets_target"), F.col(cost_col))
+            .otherwise(-F.col(cost_col))
+            .asc(),
+            F.col(width_col).asc(),
+        )
+        .limit(1)
+    )
+
+
+def ivf_curve_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    widths: tuple[int, ...] = IVF_PROBE_WIDTHS,
+) -> DataFrame:
+    """Recall/cost curve of a persisted IVF index, measured on
+    ``queries``: for each probe width, candidates actually scored and
+    recall@k vs the exact top-k over the index's own vectors. The
+    candidate join runs ONCE at the widest width and is sliced by
+    probe rank per point; the exact baseline is one brute-force pass
+    (this is the tuning cost a deployment pays once)."""
+    cells = spark.table(f"{table_prefix}_cells")
+    centroids = spark.table(f"{table_prefix}_centroids")
+    corpus = cells.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("vec").alias(vec_col),
+        "vnorm",
+    )
+    exact = (
+        cosine_topk(
+            queries, corpus, id_col=id_col, vec_col=vec_col, k=k,
+            norm_col="vnorm",
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    c = centroids.select(
+        F.col("cent_id").alias("__cid"),
+        F.col("cent_vec").alias("__cv0"),
+        _norm(F.col("cent_vec")).alias("__cn0"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+        .join(F.broadcast(c))
+        .withColumn(
+            "__qcos",
+            _cosine_pre(F.col("__qv"), F.col("__cv0"), F.col("__qn"), F.col("__cn0")),
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= max(widths))
+        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cell"), "prk")
+        .persist()
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("vec"), F.col("__qn"), F.col("vnorm")),
+        )
+        .select("query_id", "neighbor_id", "prk", "cosine")
+        .persist()
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for np_ in widths:
+        sub = cand.filter(F.col("prk") <= np_)
+        top = (
+            sub.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        n_cand = sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_cells = probes.filter(F.col("prk") <= np_).agg(
+            F.count(F.lit(1)).alias("n_cells_probed")
+        )
+        points.append(
+            hits.crossJoin(n_cand)
+            .crossJoin(n_cells)
+            .crossJoin(n_exact)
+            .select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.col("n_cells_probed").cast("bigint").alias("n_cells_probed"),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                (
+                    F.col("n_hits").cast("double")
+                    / F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def lsh_curve_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    widths: tuple[int, ...] = LSH_PROBE_WIDTHS,
+) -> DataFrame:
+    """Recall/cost curve of a persisted LSH index on ``queries``:
+    probe radius 0 (exact bucket) vs 1 (+ every 1-bit flip).
+    Candidates are computed ONCE at the widest radius with their
+    flip distance recorded, then sliced."""
+    planes = _stored_planes(spark, table_prefix)
+    buckets = spark.table(f"{table_prefix}_buckets")
+    corpus = buckets.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("vec").alias(vec_col),
+        "vnorm",
+    )
+    exact = (
+        cosine_topk(
+            queries, corpus, id_col=id_col, vec_col=vec_col, k=k,
+            norm_col="vnorm",
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__qb"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    probe_arr = F.array(
+        F.struct(F.col("__qb").alias("bucket"), F.lit(0).alias("hd")),
+        *[
+            F.struct(
+                F.col("__qb").bitwiseXOR(F.lit(2**p).cast("bigint")).alias("bucket"),
+                F.lit(1).alias("hd"),
+            )
+            for p in range(len(planes))
+        ],
+    )
+    probes = q.select(
+        "query_id", "__qv", "__qn", F.explode(probe_arr).alias("pr")
+    ).select(
+        "query_id", "__qv", "__qn", F.col("pr.bucket").alias("bucket"),
+        F.col("pr.hd").alias("hd"),
+    ).persist()
+    cand = (
+        buckets.join(F.broadcast(probes), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("__qv"), F.col("vec"), F.col("__qn"), F.col("vnorm")),
+        )
+        .select("query_id", "neighbor_id", "hd", "cosine")
+        .persist()
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for h in widths:
+        sub = cand.filter(F.col("hd") <= h)
+        top = (
+            sub.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        n_cand = sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_buck = probes.filter(F.col("hd") <= h).agg(
+            F.count(F.lit(1)).alias("n_buckets_probed")
+        )
+        points.append(
+            hits.crossJoin(n_cand)
+            .crossJoin(n_buck)
+            .crossJoin(n_exact)
+            .select(
+                F.lit(h).cast("int").alias("probe_hamming"),
+                F.col("n_buckets_probed").cast("bigint").alias(
+                    "n_buckets_probed"
+                ),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                (
+                    F.col("n_hits").cast("double")
+                    / F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def jl_sign_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[int]]:

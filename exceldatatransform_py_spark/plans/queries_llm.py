@@ -3797,6 +3797,246 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ served from the persisted product-quantized index, scored:
+# per-subspace codebooks are TRAINED (fixed-point joint Lloyd's over
+# the m subspaces — engine-exact, like kmeans_embeddings), the corpus
+# is encoded to m code ids per vector, and top-5 serves with
+# full-precision queries against codebook reconstructions (asymmetric
+# distance). The oracle replays the whole thing: subvector
+# quantization, every training round, the final encode, the
+# reconstruction, the cell assignment on ORIGINAL floats, the probes,
+# and the fixed-point cosine ranking. k=16 codes per subspace at this
+# corpus scale (256 on a real corpus would make half the codebook
+# singleton cells and the recall trivially 1.0); the operator
+# defaults to the production 256.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_SUBD, _PQ_K, _PQ_ITERS = 16, 4, 16, 2
+_PQ_REFINE = 10
+_PQ_SCALE = 1_000_000
+
+_PQ_D2 = (
+    "CAST(list_sum(list_transform(range(1, len(p.xs) + 1), "
+    "i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i]))) AS BIGINT)"
+)
+
+
+def _pq_round(t: int) -> str:
+    """One joint assignment round over all m subspaces: score every
+    (vector, sub) row against c{t-1}'s same-sub entries, keep the
+    (d2, cid)-lexicographic argmin."""
+    return f""",
+    pqs{t} AS (
+      SELECT p.vec_id, p.sub, c.cid, {_PQ_D2} AS d2
+      FROM pqpts p JOIN pqc{t - 1} c ON p.sub = c.sub
+    ),
+    pqa{t} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cid) AS rn
+        FROM pqs{t})
+      WHERE rn = 1
+    )"""
+
+
+def _pq_train_ctes(
+    m: int = _PQ_M,
+    sub_d: int = _PQ_SUBD,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    scale: int = _PQ_SCALE,
+) -> str:
+    """CTE chain (no WITH keyword) ending at the trained codebooks
+    ``pqc{iters - 1}`` plus the final corpus encode ``pqa{iters}`` —
+    mirrors ``similarity.pq_train_codebooks`` (iters - 1 updates)
+    followed by ``pq_encode``."""
+    subs = ", ".join(str(s) for s in range(m))
+    parts = [
+        f"""pqpts AS (
+      SELECT vec_id, sub,
+             list_transform(embedding[sub * {sub_d} + 1 : sub * {sub_d} + {sub_d}],
+               e -> CAST(floor(CAST(e AS DOUBLE) * {scale}.0) AS BIGINT)) AS xs
+      FROM embeddings, UNNEST([{subs}]) AS u(sub)
+    ),
+    pqc0 AS (SELECT sub, vec_id AS cid, xs AS cs FROM pqpts WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters):
+        parts.append(_pq_round(t))
+        parts.append(f""",
+    pqe{t} AS (
+      SELECT a.sub, a.cid, unnest(range(1, len(p.xs) + 1)) AS i, unnest(p.xs) AS x
+      FROM pqa{t} a JOIN pqpts p ON a.vec_id = p.vec_id AND a.sub = p.sub
+    ),
+    pqm{t} AS (
+      SELECT sub, cid, i,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM pqe{t} GROUP BY sub, cid, i
+    ),
+    pqc{t} AS (SELECT sub, cid, list(cx ORDER BY i) AS cs
+               FROM pqm{t} GROUP BY sub, cid)""")
+    parts.append(_pq_round(iters))
+    return "".join(parts)
+
+
+def _pq_serve_ctes() -> str:
+    """Training + encode + reconstruction + IVF probe CTEs ending at
+    ``s`` — the PQ-scored (query, candidate) pairs. Shared by the
+    pure asymmetric-distance oracle and the refine oracle."""
+    return f"""{_pq_train_ctes()},
+    pqrec AS (
+      SELECT a.vec_id,
+             flatten(list(
+               list_transform(c.cs, v -> CAST(v AS DOUBLE) / {_PQ_SCALE}.0)
+               ORDER BY a.sub)) AS rv
+      FROM pqa{_PQ_ITERS} a
+      JOIN pqc{_PQ_ITERS - 1} c ON a.sub = c.sub AND a.cid = c.cid
+      GROUP BY a.vec_id
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS ark
+        FROM embeddings e, cents c
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prk
+        FROM embeddings q, cents c WHERE q.vec_id < 10
+      ) WHERE prk <= 2
+    ),
+    s AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             {_cos_sql('p.qv', 'r.rv')} AS cosine
+      FROM probes p
+      JOIN asg a USING (cell)
+      JOIN pqrec r ON r.vec_id = a.neighbor_id
+      WHERE p.query_id != r.vec_id
+    )"""
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+    WITH {_pq_serve_ctes()}
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"ivfpqq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_ivf_pq_index(
+        emb, centroids, prefix, path=path, id_col="vec_id",
+        vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+    return ivf_pq_topk_from_index(
+        spark, prefix, emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ + exact refine, scored — the two-stage serve every PQ
+# deployment actually runs (FAISS IndexRefineFlat): PQ asymmetric
+# distances pick each query's top k·10 candidates from the probed
+# cells (index bytes only), then those ~50 rows per query are
+# re-scored with their ORIGINAL float vectors fetched by id and the
+# exact top-5 wins. Measured here: refine lifts recall@5 from ~0.3
+# (pure PQ at 16x compression) to 0.82-0.86 — the float-IVF ceiling
+# is 0.86-0.90 — while full vectors are read for only k·10 ids per
+# query. The oracle replays training, encode, PQ candidate ranking,
+# and the exact re-scoring.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_refine_oracle() -> str:
+    return f"""
+    WITH {_pq_serve_ctes()},
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS prk
+        FROM s
+      ) WHERE prk <= {5 * _PQ_REFINE}
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cos_sql('q.embedding', 'e.embedding')} AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM rescored
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_ivf_pq_refine_topk", oracle=_ivf_pq_refine_oracle())
+def ann_ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"ivfpqr_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_ivf_pq_index(
+        emb, centroids, prefix, path=path, id_col="vec_id",
+        vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+    return ivf_pq_topk_from_index(
+        spark, prefix, emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
+        refine_corpus=emb, refine_factor=_PQ_REFINE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental SimHash probe, scored end-to-end (completing the scored
 # build+probe family: MinHash ✓ novelty ✓ IVF-SQ8 ✓): index the
 # corpus id-split's band table, probe the held-out batch.
@@ -4610,7 +4850,7 @@ def _ivf_curve_oracle() -> str:
            (SELECT CAST(COUNT(*) AS DOUBLE)
             FROM oct{np_} t JOIN ocex x
             ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)
-             / (SELECT n_exact FROM ocexn) AS recall_at_5""")
+             / (SELECT GREATEST(n_exact, 1) FROM ocexn) AS recall_at_5""")
     tops = "".join(
         f""",
     oct{np_} AS (
@@ -4760,7 +5000,8 @@ def ivf_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("n_candidates").cast("bigint").alias("n_candidates"),
                 (
-                    F.col("n_hits").cast("double") / F.col("n_exact")
+                    F.col("n_hits").cast("double")
+                    / F.greatest(F.col("n_exact"), F.lit(1))
                 ).alias("recall_at_5"),
             )
         )
@@ -5102,7 +5343,7 @@ def _lsh_curve_oracle() -> str:
            (SELECT CAST(COUNT(*) AS DOUBLE)
             FROM lct{h} t JOIN lcex x
             ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)
-             / (SELECT n_exact FROM lcexn) AS recall_at_5"""
+             / (SELECT GREATEST(n_exact, 1) FROM lcexn) AS recall_at_5"""
             for h in _LSH_CURVE_H]
     return f"""
     WITH lcb AS MATERIALIZED (
@@ -5228,7 +5469,8 @@ def lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("n_candidates").cast("bigint").alias("n_candidates"),
                 (
-                    F.col("n_hits").cast("double") / F.col("n_exact")
+                    F.col("n_hits").cast("double")
+                    / F.greatest(F.col("n_exact"), F.lit(1))
                 ).alias("recall_at_5"),
             )
         )
@@ -5236,3 +5478,65 @@ def lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in points[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Auto operating-point selection, scored — the consumer of the two
+# operating curves: pick the CHEAPEST probe width whose recall meets
+# the target (fall back to the widest when none does), pinning the
+# chosen width AND its achieved recall/cost under the oracle. This is
+# the selection ivf_topk_from_index / lsh_topk_from_index run when
+# called with width="auto" (operators/similarity.choose_probe_width);
+# scoring it makes the nprobe-selection a 100 TB deployment tunes by
+# itself a verified artifact, not a heuristic.
+# ---------------------------------------------------------------------------
+
+_AUTO_TARGET = 0.8
+
+
+def _auto_pick_sql(curve_sql: str, width: str, extra_cols: str) -> str:
+    meets = f"recall_at_5 >= {_AUTO_TARGET}"
+    return f"""
+    SELECT CAST({_AUTO_TARGET} AS DOUBLE) AS target_recall,
+           {width}, {extra_cols}, n_candidates, recall_at_5,
+           {meets} AS meets_target
+    FROM ({curve_sql}) curve_
+    ORDER BY ({meets}) DESC,
+             CASE WHEN {meets} THEN n_candidates ELSE -n_candidates END,
+             {width}
+    LIMIT 1
+    """
+
+
+@register(
+    "ivf_auto_probe_width",
+    oracle=_auto_pick_sql(_ivf_curve_oracle(), "n_probe", "n_cells_probed"),
+)
+def ivf_auto_probe_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.similarity import (
+        choose_probe_width,
+    )
+
+    curve = ivf_operating_curve(spark, sf_dir)
+    return choose_probe_width(curve, _AUTO_TARGET, "n_probe").select(
+        "target_recall", "n_probe", "n_cells_probed", "n_candidates",
+        "recall_at_5", "meets_target",
+    )
+
+
+@register(
+    "lsh_auto_probe_width",
+    oracle=_auto_pick_sql(
+        _lsh_curve_oracle(), "probe_hamming", "n_buckets_probed"
+    ),
+)
+def lsh_auto_probe_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.similarity import (
+        choose_probe_width,
+    )
+
+    curve = lsh_operating_curve(spark, sf_dir)
+    return choose_probe_width(curve, _AUTO_TARGET, "probe_hamming").select(
+        "target_recall", "probe_hamming", "n_buckets_probed", "n_candidates",
+        "recall_at_5", "meets_target",
+    )

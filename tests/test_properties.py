@@ -541,6 +541,13 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "lsh_operating_curve",
         "curation_pipeline_v3",
         "snapshot_delete_orders",
+        # round-8 batch: the PQ trainer's joint Lloyd loop, the
+        # encode, and the two-stage refine serve must be pure
+        # functions of the data at any parallelism.
+        "ann_ivf_pq_topk",
+        "ann_ivf_pq_refine_topk",
+        "ivf_auto_probe_width",
+        "lsh_auto_probe_width",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
