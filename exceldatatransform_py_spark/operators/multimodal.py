@@ -415,6 +415,44 @@ def bmp_resize_gray(
     )
 
 
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", image_col: str = "image"
+) -> DataFrame:
+    """63-bit perceptual average-hash per image — the multimodal twin
+    of ``dedup.simhash64``: decode + 8×8 grayscale through the REAL
+    BMP pixel path (``bmp_resize_gray``), then JVM-side
+    ``bit_i = 1 iff gray_i · 64 > Σ gray`` (the average-hash rule
+    as exact integer arithmetic: no mean division, no float — the
+    comparison is engine-identical). 63 bits (gray cells 0..62, the
+    64th is dropped) keep the fingerprint sign-safe for the same
+    shift/mask band arithmetic ``SIMHASH_BANDS`` uses, so
+    ``dedup.simhash_near_dup`` pairs image fingerprints unchanged.
+
+    Output: ``(id_col, phash bigint)``. Scale shape: one Arrow-batched
+    decode pass (the image bytes never shuffle), then a map-only
+    64-element expression; pairing downstream shuffles 8-byte hashes.
+    """
+    from pyspark.sql import functions as F
+
+    gray = bmp_resize_gray(df, id_col=id_col, image_col=image_col, tw=8, th=8)
+    staged = gray.select(
+        F.col(id_col),
+        F.col("gray"),
+        F.aggregate(
+            "gray", F.lit(0).cast("bigint"), lambda a, g: a + g
+        ).alias("__t"),
+    )
+    terms = F.transform(
+        F.slice("gray", 1, 63),
+        lambda g, i: F.when(
+            g * F.lit(64) > F.col("__t"),
+            F.pow(F.lit(2.0), i).cast("bigint"),  # 2^i exact for i<=62
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    phash = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, t: a + t)
+    return staged.select(F.col(id_col), phash.alias("phash"))
+
+
 # ---------------------------------------------------------------------------
 # Real audio path: RIFF/WAV PCM via the stdlib wave module.
 # ---------------------------------------------------------------------------

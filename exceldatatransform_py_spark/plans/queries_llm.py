@@ -818,6 +818,87 @@ def bmp_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_metadata(images, id_col="doc_id", image_col="image")
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (pHash) — the missing multimodal dedup:
+# text dedup is deep (MinHash/SimHash/spans), image dedup composes
+# two things the engine already has: the real decode + 8×8 grayscale
+# (bmp_resize_gray) and the banded-hamming blocking of simhash
+# (SIMHASH_BANDS + simhash_near_dup, reused verbatim — phash is just
+# another 63-bit fingerprint column). bit_i = gray_i·64 > Σgray is
+# exact integer arithmetic, so the oracle recomputes every hash from
+# the RAW pixel bytes (same first-principles gray expression as
+# resize_normalize_media) and replays the banding, hot-bucket cap,
+# and exact hamming verify. Recall is exact for hamming <= 3 by the
+# 4-band pigeonhole (pinned generically in test_properties). The cap
+# is 50 here: zero-padded image tails make degenerate all-dark
+# hashes; their buckets are dropped in BOTH engines identically.
+# ---------------------------------------------------------------------------
+
+_PHASH_HAM_MAX = 3
+_PHASH_MAX_BAND_DOCS = 50
+
+
+def _phash_oracle() -> str:
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH ipdims AS (
+      SELECT doc_id, text,
+             CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
+      FROM documents
+    ),
+    ipg AS (SELECT doc_id, {_gray_oracle_expr()} AS gr FROM ipdims),
+    ipfp AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 63),
+               i -> CASE WHEN gr[i + 1] * 64 > list_sum(gr)
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS phash
+      FROM ipg
+    ),
+    ipb AS (
+      SELECT doc_id, phash, band, (phash >> shift) & mask AS bv
+      FROM ipfp, (VALUES {band_rows}) AS bands(band, shift, mask)
+    ),
+    ipc AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM ipb
+    ),
+    ipp AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.phash AS afp, b.phash AS bfp
+      FROM ipc a JOIN ipc b USING (band, bv)
+      WHERE a.doc_id < b.doc_id
+        AND a.bn <= {_PHASH_MAX_BAND_DOCS}
+        AND b.bn <= {_PHASH_MAX_BAND_DOCS}
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+    FROM ipp
+    WHERE bit_count(xor(afp, bfp)) <= {_PHASH_HAM_MAX}
+    """
+
+
+@register("image_near_dup_pairs", oracle=_phash_oracle())
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+    from exceldatatransform_py_spark.operators.multimodal import image_phash
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    images = pack_bmp(docs, id_col="doc_id", bin_col="payload")
+    fp = image_phash(images, id_col="doc_id", image_col="image")
+    return simhash_near_dup(
+        fp,
+        id_col="doc_id",
+        fp_col="phash",
+        ham_max=_PHASH_HAM_MAX,
+        max_band_docs=_PHASH_MAX_BAND_DOCS,
+    )
+
+
 @register(
     "wav_audio_stats",
     oracle=f"""
@@ -2272,6 +2353,46 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bm25_topk(q, tf.join(df_, "tok"), doclen, stats, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# BM25 served from the PERSISTED index, scored — closing the one index
+# family whose serve path was pytest-only: build the bucketed inverted
+# index (postings/df/doclen/stats) into the warehouse tmp dir, then
+# answer the same query set from index bytes alone (the co-located
+# postings⋈df re-join; no document text read at serve time). Scores
+# are identical to the live path by construction (exact integer
+# tf/df/dl + the shared fixed-point contribution), so the oracle is
+# the same SQL as bm25_topk_docs. An earlier build+APPEND+serve probe
+# cost ~20s of fixed catalog overhead and was withdrawn (NOTES.md);
+# build+serve alone prices in line with the other scored index probes,
+# and append ≡ rebuild stays pinned in tests/test_retrieval.py.
+# ---------------------------------------------------------------------------
+
+
+@register("bm25_index_topk", oracle=_bm25_topk_sql(p="bi"))
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        build_bm25_index,
+        tokenize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"bm25q_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_bm25_index(docs, prefix, n_buckets=4, path=path)
+    q = (
+        tokenize(docs.filter(F.col("doc_id") < _BM25_NQ), "doc_id", "text")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    return bm25_topk_from_index(spark, prefix, q, k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------

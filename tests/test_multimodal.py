@@ -185,6 +185,72 @@ def test_pack_bmp_resize_gray_matches_local_pixel_math(spark):
         assert got[rid] == (w, h, [int(v) for v in gray.reshape(-1)])
 
 
+def test_image_phash_matches_local_recompute(spark):
+    """The distributed pHash equals the average-hash rule applied
+    locally to the decoded 8×8 grayscale: bit_i = gray_i·64 > Σgray
+    over cells 0..62 — exact integers end to end."""
+    import numpy as np
+
+    from exceldatatransform_py_spark.operators.codecs import nearest_resize
+    from exceldatatransform_py_spark.operators.multimodal import (
+        bmp_height,
+        bmp_width,
+        image_phash,
+        pack_bmp,
+    )
+
+    rows = [(i, bytes((i * 13 + j) % 256 for j in range(50 + i * 37)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.phash for r in image_phash(pack_bmp(df)).collect()
+    }
+    for rid, payload in rows:
+        w, h = bmp_width(rid), bmp_height(rid)
+        rgb = payload[: w * h * 3].ljust(w * h * 3, b"\x00")
+        img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        small = nearest_resize(img, 8, 8).astype("int64")
+        gray = ((small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3).reshape(-1)
+        total = int(gray.sum())
+        want = sum(1 << i for i in range(63) if int(gray[i]) * 64 > total)
+        assert got[rid] == want
+
+
+def test_image_near_dup_pairs_micro_semantics(spark):
+    """Perceptual pairing property on hand-built images: a copy with
+    a few brightened pixels pairs with its original at small hamming;
+    the inverted image does not pair with it. Uses doc_ids with the
+    SAME (w, h) class (ids ≡ 0 mod 20) so pixel perturbations — not
+    resampling differences — are what the hashes see."""
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+    from exceldatatransform_py_spark.operators.multimodal import (
+        bmp_height,
+        bmp_width,
+        image_phash,
+        pack_bmp,
+    )
+
+    w, h = bmp_width(0), bmp_height(0)
+    assert (w, h) == (bmp_width(20), bmp_height(20)) == (bmp_width(40),
+                                                         bmp_height(40))
+    base = bytes((j * 7) % 200 for j in range(w * h * 3))
+    tweaked = bytearray(base)
+    for j in range(0, 6):  # brighten two sampled cells' worth of bytes
+        tweaked[j] = min(255, tweaked[j] + 40)
+    inverted = bytes(255 - b for b in base)
+    rows = [(0, base), (20, bytes(tweaked)), (40, inverted)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = image_phash(pack_bmp(df))
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_near_dup(
+            fp, "doc_id", "phash", ham_max=3, max_band_docs=50
+        ).collect()
+    }
+    assert (0, 20) in pairs and pairs[(0, 20)] <= 3
+    assert (0, 40) not in pairs and (20, 40) not in pairs
+
+
 def test_pack_video_frames_are_real_bmps(spark):
     """Every demuxed SVC frame from pack_video is a spec-valid 24-bit
     BMP whose decoded pixels equal the source payload chunk (zero-

@@ -548,6 +548,8 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "ann_ivf_pq_refine_topk",
         "ivf_auto_probe_width",
         "lsh_auto_probe_width",
+        "image_near_dup_pairs",
+        "bm25_index_topk",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
