@@ -940,22 +940,24 @@ def remove_duplicate_spans(
     )
 
 
-def build_simhash_index(
-    docs: DataFrame,
+def build_fingerprint_index(
+    fp: DataFrame,
     table_prefix: str,
     n_buckets: int,
     path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    fp_col: str,
 ) -> None:
-    """Persist the SimHash dedup state (completing the index family:
-    MinHash ✓, BM25 ✓, IVF ✓, LSH ✓): ``<prefix>_simbands``
-    ``(doc id, simhash, band, bv)`` bucketed by ``bv`` — the probe
-    side. The fingerprint rides along in every band row, so a probe
-    computes hamming distances without a second corpus table."""
+    """Persist banded-hamming dedup state for ANY 63-bit fingerprint
+    column (SimHash text fingerprints, image pHashes, ...):
+    ``<prefix>_simbands`` ``(id, fp, band, bv)`` bucketed by ``bv`` —
+    the probe side. The fingerprint rides along in every band row, so
+    a probe computes hamming distances without a second corpus
+    table. The fingerprint column is stored under the canonical name
+    ``simhash`` so probe/append are fingerprint-agnostic."""
     from exceldatatransform_py_spark.sources.bucketing import write_bucketed
 
-    fp = simhash64(docs, id_col, text_col).persist()
+    fp = fp.withColumnRenamed(fp_col, "simhash").persist()
     write_bucketed(
         _simhash_band_rows(fp, id_col, "simhash"),
         f"{table_prefix}_simbands", ["bv"], n_buckets,
@@ -963,29 +965,29 @@ def build_simhash_index(
     )
 
 
-def incremental_simhash_near_dup(
+def incremental_fingerprint_near_dup(
     spark: SparkSession,
     table_prefix: str,
-    new_docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    new_fp: DataFrame,
+    id_col: str,
+    fp_col: str,
     ham_max: int = 3,
     max_band_docs: int | None = 200,
 ) -> DataFrame:
-    """SimHash near-dups of ``new_docs`` AGAINST the indexed corpus:
-    ``(id_a=new doc, id_b=corpus doc, hamming)``. The corpus is never
+    """Near-dups of a new fingerprint batch AGAINST the indexed
+    corpus: ``(id_a=new, id_b=corpus, hamming)``. The corpus is never
     re-fingerprinted — the batch's band rows join the persisted table
     on its bucket key; recall is exact for ``ham_max`` ≤
     ``len(SIMHASH_BANDS) - 1`` by the same pigeonhole (band agreement
     does not care which side of the index split a pair straddles) —
-    but only with ``max_band_docs=None``: the default cap of 200 drops
-    every corpus posting in a hot (band, value) bucket, so pairs whose
-    ONLY agreeing band is hot are missed, exactly as in the live
+    but only with ``max_band_docs=None``: the cap drops every corpus
+    posting in a hot (band, value) bucket, so pairs whose ONLY
+    agreeing band is hot are missed, exactly as in the live
     ``simhash_near_dup``. The cap is the throughput/recall dial for
     boilerplate-heavy corpora; pass ``None`` when the exactness
     guarantee matters more than hot-bucket cost. Work scales with the
     batch plus matched posting sizes."""
-    new_fp = simhash64(new_docs, id_col, text_col).persist()
+    new_fp = new_fp.withColumnRenamed(fp_col, "simhash").persist()
     new_bands = _simhash_band_rows(new_fp, id_col, "simhash")
     corpus_bands = spark.table(f"{table_prefix}_simbands")
 
@@ -1024,19 +1026,70 @@ def incremental_simhash_near_dup(
     )
 
 
+def append_to_fingerprint_index(
+    fp: DataFrame,
+    table_prefix: str,
+    id_col: str,
+    fp_col: str,
+) -> None:
+    """Admit a fingerprint batch: append its band rows (``insertInto``
+    preserves the bucket spec). Same ingest loop as the MinHash
+    index."""
+    fp = fp.withColumnRenamed(fp_col, "simhash").persist()
+    (
+        _simhash_band_rows(fp, id_col, "simhash")
+        .write.mode("append")
+        .insertInto(f"{table_prefix}_simbands")
+    )
+
+
+def build_simhash_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the SimHash dedup state (completing the index family:
+    MinHash ✓, BM25 ✓, IVF ✓, LSH ✓): text fingerprints through the
+    fingerprint-agnostic banded index."""
+    build_fingerprint_index(
+        simhash64(docs, id_col, text_col),
+        table_prefix, n_buckets, path, id_col, "simhash",
+    )
+
+
+def incremental_simhash_near_dup(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ham_max: int = 3,
+    max_band_docs: int | None = 200,
+) -> DataFrame:
+    """SimHash near-dups of ``new_docs`` AGAINST the indexed corpus —
+    text fingerprints through the fingerprint-agnostic probe (see
+    ``incremental_fingerprint_near_dup`` for the recall/cap
+    contract)."""
+    return incremental_fingerprint_near_dup(
+        spark, table_prefix,
+        simhash64(new_docs, id_col, text_col),
+        id_col, "simhash", ham_max=ham_max, max_band_docs=max_band_docs,
+    )
+
+
 def append_to_simhash_index(
     docs: DataFrame,
     table_prefix: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Admit a batch: append its band rows (``insertInto`` preserves
-    the bucket spec). Same ingest loop as the MinHash index."""
-    fp = simhash64(docs, id_col, text_col).persist()
-    (
-        _simhash_band_rows(fp, id_col, "simhash")
-        .write.mode("append")
-        .insertInto(f"{table_prefix}_simbands")
+    """Admit a batch: text fingerprints through the
+    fingerprint-agnostic append."""
+    append_to_fingerprint_index(
+        simhash64(docs, id_col, text_col), table_prefix, id_col, "simhash"
     )
 
 

@@ -880,6 +880,147 @@ def _phash_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Incremental image-dedup probe, scored — the streaming-ingest flavor
+# of image_near_dup_pairs: the corpus split's pHash band rows are
+# PERSISTED (the fingerprint-agnostic banded index the SimHash path
+# uses — one index implementation, two modalities), then the held-out
+# batch probes it without any corpus re-decode or re-hash. The oracle
+# recomputes both splits' hashes from raw pixels and replays the
+# cross-split band join with the corpus-side hot-bucket cap.
+# ---------------------------------------------------------------------------
+
+
+def _incr_phash_oracle() -> str:
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH iqdims AS (
+      SELECT doc_id, text,
+             CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
+      FROM documents
+    ),
+    iqg AS (SELECT doc_id, {_gray_oracle_expr()} AS gr FROM iqdims),
+    iqfp AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 63),
+               i -> CASE WHEN gr[i + 1] * 64 > list_sum(gr)
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS phash
+      FROM iqg
+    ),
+    iqb AS (
+      SELECT doc_id, phash, band, (phash >> shift) & mask AS bv
+      FROM iqfp, (VALUES {band_rows}) AS bands(band, shift, mask)
+    ),
+    iqcorp AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn
+      FROM iqb WHERE doc_id % 4 != 0
+    ),
+    iqp AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS afp, b.phash AS bfp
+      FROM iqb a JOIN iqcorp b USING (band, bv)
+      WHERE a.doc_id % 4 = 0 AND b.bn <= {_PHASH_MAX_BAND_DOCS}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+    FROM iqp
+    WHERE bit_count(xor(afp, bfp)) <= {_PHASH_HAM_MAX}
+    """
+
+
+@register("incremental_image_dedup_probe", oracle=_incr_phash_oracle())
+def incremental_image_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_fingerprint_near_dup,
+    )
+    from exceldatatransform_py_spark.operators.multimodal import image_phash
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def hashes(split):
+        return image_phash(
+            pack_bmp(split, id_col="doc_id", bin_col="payload"),
+            id_col="doc_id", image_col="image",
+        )
+
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"incimgq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_fingerprint_index(
+        hashes(corpus), prefix, n_buckets=8, path=path,
+        id_col="doc_id", fp_col="phash",
+    )
+    return incremental_fingerprint_near_dup(
+        spark, prefix, hashes(batch), id_col="doc_id", fp_col="phash",
+        ham_max=_PHASH_HAM_MAX, max_band_docs=_PHASH_MAX_BAND_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image similarity search, scored — multimodal retrieval composed
+# from two verified layers: the REAL decode + 8×8 grayscale produces
+# a 64-dim integer feature vector per image (the stand-in for a
+# vision-encoder embedding; a deployment swaps the gray vector for
+# model output, the serving structure is identical), and the exact
+# fixed-point cosine top-k ranks them (cosine_topk — broadcast query
+# side, zero shuffle until the |Q|·k aggregate). The oracle
+# recomputes the feature vectors from raw pixel bytes and the
+# identical decimal-dot ranking.
+# ---------------------------------------------------------------------------
+
+
+def _img_sim_oracle() -> str:
+    return f"""
+    WITH isdims AS (
+      SELECT doc_id, text,
+             CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
+      FROM documents
+    ),
+    isg AS (SELECT doc_id, {_gray_oracle_expr()} AS gvec FROM isdims),
+    isq AS (SELECT doc_id AS query_id, gvec AS qv FROM isg WHERE doc_id < 10),
+    isc AS (SELECT doc_id AS neighbor_id, gvec AS cv FROM isg),
+    iss AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine
+      FROM isq, isc WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM iss
+    QUALIFY rk <= 5
+    """
+
+
+@register("image_similarity_topk", oracle=_img_sim_oracle())
+def image_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    gray = bmp_resize_gray(
+        pack_bmp(docs, id_col="doc_id", bin_col="payload"),
+        id_col="doc_id", image_col="image", tw=8, th=8,
+    )
+    corpus = gray.select("doc_id", F.col("gray").alias("gvec"))
+    return cosine_topk(
+        corpus.filter(F.col("doc_id") < 10), corpus,
+        id_col="doc_id", vec_col="gvec", k=5,
+    )
+
+
 @register("image_near_dup_pairs", oracle=_phash_oracle())
 def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exceldatatransform_py_spark.operators.dedup import simhash_near_dup

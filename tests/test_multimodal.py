@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from exceldatatransform_py_spark.operators.multimodal import (
     media_height,
     media_width,
@@ -249,6 +251,65 @@ def test_image_near_dup_pairs_micro_semantics(spark):
     }
     assert (0, 20) in pairs and pairs[(0, 20)] <= 3
     assert (0, 40) not in pairs and (20, 40) not in pairs
+
+
+def test_incremental_image_dedup_matches_full_batch(spark, tmp_path):
+    """The persisted image-pHash index (fingerprint-agnostic banded
+    index) probed by a held-out batch must emit exactly the
+    cross-split subset of the full-batch pairing — no corpus
+    re-decode, same pairs."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_fingerprint_index,
+        build_fingerprint_index,
+        incremental_fingerprint_near_dup,
+        simhash_near_dup,
+    )
+    from exceldatatransform_py_spark.operators.multimodal import (
+        image_phash,
+        pack_bmp,
+    )
+
+    rows = [(i, bytes((i * 11 + j * 3) % 251 for j in range(60 + i * 17)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = image_phash(pack_bmp(df, id_col="doc_id", bin_col="payload"))
+    corpus_fp = fp.filter(F.col("doc_id") % 3 != 0)
+    batch_fp = fp.filter(F.col("doc_id") % 3 == 0)
+    prefix = "img_fp_idx"
+    build_fingerprint_index(
+        corpus_fp, prefix, n_buckets=4, path=str(tmp_path / "idx"),
+        id_col="doc_id", fp_col="phash",
+    )
+    try:
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in incremental_fingerprint_near_dup(
+                spark, prefix, batch_fp, id_col="doc_id", fp_col="phash",
+                ham_max=5, max_band_docs=None,
+            ).collect()
+        )
+        full = simhash_near_dup(
+            fp, "doc_id", "phash", ham_max=5, max_band_docs=10**9
+        )
+        want = sorted(
+            (a, b, hd)
+            for r in full.collect()
+            for a, b, hd in [(r.a_id, r.b_id, r.hamming)]
+            if (a % 3 == 0) != (b % 3 == 0)
+        )
+        # probe emits (new, corpus); normalize to sorted-id pairs
+        got_norm = sorted((min(a, b), max(a, b), hd) for a, b, hd in got)
+        assert got_norm == want
+
+        # append the batch; re-probing one of its docs now also sees
+        # batch-mates (the ingest loop admits what it probed)
+        append_to_fingerprint_index(
+            batch_fp, prefix, id_col="doc_id", fp_col="phash"
+        )
+        n_rows = spark.table(f"{prefix}_simbands").count()
+        assert n_rows == 24 * 4  # every doc, every band
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
 
 
 def test_pack_video_frames_are_real_bmps(spark):

@@ -895,9 +895,14 @@ def test_bpe_encode_join_is_broadcast(spark):
 def test_classifier_gate_scoring_broadcast_only(spark):
     """The learned gate's corpus pass: scored predictions join docs on
     the id — both doc-sized, but the scoring side arrives from the
-    persisted feature cache, and no Python eval appears anywhere (the
+    trainer's eagerly-materialized checkpoint (the feature cache is
+    RELEASED after training — repeated trainings must not accumulate
+    persisted RDDs), and no Python eval appears anywhere (the
     trainer's Python runs at PLAN BUILD time, collecting a model-sized
     gradient; the scored plan itself is pure JVM)."""
     plan = plan_of(spark, "classifier_gated_corpus")
     assert "BatchEvalPython" not in plan
-    assert "InMemoryTableScan" in plan  # staged features served from cache
+    # scored predictions served from the materialized checkpoint, not
+    # a live retrain subtree (and not a leaked cache)
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan

@@ -550,6 +550,8 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "lsh_auto_probe_width",
         "image_near_dup_pairs",
         "bm25_index_topk",
+        "incremental_image_dedup_probe",
+        "image_similarity_topk",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
