@@ -217,7 +217,8 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
         raise SystemExit(f"index {args.action} {args.kind}: --input is required")
     if args.action == "build" and not args.path:
         raise SystemExit(f"index build {args.kind}: --path is required")
-    if (args.action == "build" and args.kind in ("ivf", "ivf_sq8")
+    if (args.action == "build" and args.kind in ("ivf", "ivf_sq8",
+                                                  "ivf_pq")
             and not args.centroids):
         raise SystemExit(f"index build {args.kind}: --centroids is required")
     df = spark.read.parquet(args.input)
@@ -259,15 +260,40 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
             deliver(probe(spark, args.prefix, df, id_col, text_col))
         return
 
-    if args.kind in ("ivf", "ivf_sq8", "lsh"):
+    if args.kind == "phash":
+        # image near-dup: input parquet of (id, image) BMP payloads;
+        # fingerprints flow through the SAME banded index simhash uses
+        from exceldatatransform_py_spark.operators import dedup as dd
+        from exceldatatransform_py_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        fp = image_phash(df, id_col=args.id_col, image_col=args.image_col)
+        if args.action == "build":
+            dd.build_fingerprint_index(
+                fp, args.prefix, n_buckets=args.buckets, path=args.path,
+                id_col=args.id_col, fp_col="phash",
+            )
+        elif args.action == "append":
+            dd.append_to_fingerprint_index(
+                fp, args.prefix, id_col=args.id_col, fp_col="phash"
+            )
+        else:
+            deliver(dd.incremental_fingerprint_near_dup(
+                spark, args.prefix, fp, id_col=args.id_col, fp_col="phash"
+            ))
+        return
+
+    if args.kind in ("ivf", "ivf_sq8", "ivf_pq", "lsh"):
         from exceldatatransform_py_spark.operators import similarity as sim
 
         id_col, vec_col = args.id_col, args.vec_col
         if args.action == "build":
-            if args.kind in ("ivf", "ivf_sq8"):
+            if args.kind in ("ivf", "ivf_sq8", "ivf_pq"):
                 cent = spark.read.parquet(args.centroids)
-                build = (sim.build_ivf_index if args.kind == "ivf"
-                         else sim.build_ivf_sq8_index)
+                build = {"ivf": sim.build_ivf_index,
+                         "ivf_sq8": sim.build_ivf_sq8_index,
+                         "ivf_pq": sim.build_ivf_pq_index}[args.kind]
                 build(df, cent, args.prefix, path=args.path,
                       id_col=id_col, vec_col=vec_col)
             else:
@@ -276,11 +302,13 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
         elif args.action == "append":
             append = {"ivf": sim.append_to_ivf_index,
                       "ivf_sq8": sim.append_to_ivf_sq8_index,
+                      "ivf_pq": sim.append_to_ivf_pq_index,
                       "lsh": sim.append_to_lsh_index}[args.kind]
             append(spark, df, args.prefix, id_col=id_col, vec_col=vec_col)
         else:
             serve = {"ivf": sim.ivf_topk_from_index,
                      "ivf_sq8": sim.ivf_sq8_topk_from_index,
+                     "ivf_pq": sim.ivf_pq_topk_from_index,
                      "lsh": sim.lsh_topk_from_index}[args.kind]
             deliver(serve(spark, args.prefix, df, id_col=id_col,
                           vec_col=vec_col, k=args.k))
@@ -411,8 +439,8 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("action",
                     choices=["build", "probe", "append", "compact"])
     ix.add_argument("kind",
-                    choices=["dedup", "simhash", "novelty", "ivf", "ivf_sq8",
-                             "lsh", "bm25"])
+                    choices=["dedup", "simhash", "novelty", "phash", "ivf",
+                             "ivf_sq8", "ivf_pq", "lsh", "bm25"])
     ix.add_argument("--prefix", required=True,
                     help="catalog table prefix, e.g. corpus_dedup")
     ix.add_argument("--input", default=None,
@@ -425,6 +453,8 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--id-col", default="doc_id")
     ix.add_argument("--text-col", default="text")
     ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument("--image-col", default="image",
+                    help="BMP payload column — phash kind only")
     ix.add_argument("--k", type=int, default=5)
     ix.add_argument("--output", default=None,
                     help="parquet dir or .csv path; omit to print")

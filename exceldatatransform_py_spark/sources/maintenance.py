@@ -120,8 +120,10 @@ INDEX_FAMILY_TABLES = {
     "lsh": ["buckets"],
     "ivf": ["cells"],
     "ivf_sq8": ["cells"],
+    "ivf_pq": ["cells"],
     "dedup": ["bands", "shingles"],
     "simhash": ["simbands"],
+    "phash": ["simbands"],  # image fingerprints share the banded layout
     "bm25": ["postings", "df", "doclen"],
 }
 

@@ -222,6 +222,107 @@ def test_cli_index_build_probe_append_loop(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
+def test_cli_image_phash_index_loop(spark, tmp_path):
+    """The image near-dup loop through the CLI: pack a corpus of real
+    BMPs, build the pHash band index, probe a batch, append it, probe
+    again (the second probe sees batch 1), compact, probe unchanged."""
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.cli import main
+    from exceldatatransform_py_spark.operators.multimodal import pack_bmp
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    images = pack_bmp(docs, id_col="doc_id", bin_col="payload")
+    corpus_p = str(tmp_path / "corpus")
+    b1_p = str(tmp_path / "b1")
+    b2_p = str(tmp_path / "b2")
+    images.filter(F.col("doc_id") >= 100).write.parquet(corpus_p)
+    images.filter(F.col("doc_id") < 50).write.parquet(b1_p)
+    images.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+    ).write.parquet(b2_p)
+
+    prefix = "cli_phash_idx"
+    out1 = str(tmp_path / "probe1")
+    out2 = str(tmp_path / "probe2")
+    try:
+        main(["index", "build", "phash", "--prefix", prefix,
+              "--input", corpus_p, "--path", str(tmp_path / "idx"),
+              "--buckets", "4"])
+        main(["index", "probe", "phash", "--prefix", prefix,
+              "--input", b1_p, "--output", out1])
+        main(["index", "append", "phash", "--prefix", prefix,
+              "--input", b1_p])
+        main(["index", "probe", "phash", "--prefix", prefix,
+              "--input", b2_p, "--output", out2])
+        p2 = spark.read.parquet(out2)
+        assert p2.count() > 0
+        assert p2.filter(F.col("id_b") < 50).count() > 0
+        main(["index", "compact", "phash", "--prefix", prefix])
+        out3 = str(tmp_path / "probe3")
+        main(["index", "probe", "phash", "--prefix", prefix,
+              "--input", b2_p, "--output", out3])
+        assert sorted(map(tuple, spark.read.parquet(out3).collect())) == \
+            sorted(map(tuple, p2.collect()))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
+
+
+def test_cli_ivf_pq_index_loop(spark, tmp_path):
+    """IVF-PQ through the CLI: build (trains codebooks), probe top-k,
+    append a batch encoded with the FROZEN codebooks, probe again."""
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.cli import main
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus_p = str(tmp_path / "corpus")
+    batch_p = str(tmp_path / "batch")
+    cent_p = str(tmp_path / "cents")
+    q_p = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(corpus_p)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(batch_p)
+    emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    ).write.parquet(cent_p)
+    emb.filter(F.col("vec_id") < 6).write.parquet(q_p)
+
+    prefix = "cli_ivfpq_idx"
+    out1 = str(tmp_path / "probe1")
+    out2 = str(tmp_path / "probe2")
+    try:
+        main(["index", "build", "ivf_pq", "--prefix", prefix,
+              "--input", corpus_p, "--path", str(tmp_path / "idx"),
+              "--centroids", cent_p, "--id-col", "vec_id"])
+        main(["index", "probe", "ivf_pq", "--prefix", prefix,
+              "--input", q_p, "--output", out1, "--k", "3",
+              "--id-col", "vec_id"])
+        p1 = spark.read.parquet(out1)
+        assert p1.count() == 6 * 3
+        cb_before = sorted(
+            map(tuple, spark.table(f"{prefix}_codebooks").collect())
+        )
+        main(["index", "append", "ivf_pq", "--prefix", prefix,
+              "--input", batch_p, "--id-col", "vec_id"])
+        assert sorted(
+            map(tuple, spark.table(f"{prefix}_codebooks").collect())
+        ) == cb_before
+        main(["index", "probe", "ivf_pq", "--prefix", prefix,
+              "--input", q_p, "--output", out2, "--k", "3",
+              "--id-col", "vec_id"])
+        p2 = spark.read.parquet(out2)
+        assert p2.count() == 6 * 3
+        # appended (odd-id) vectors are now findable
+        assert p2.filter(F.col("neighbor_id") % 2 == 1).count() > 0
+    finally:
+        for t in ("cells", "centroids", "codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_cli_snapshot_workflows(spark, tmp_path, capsys):
     """snapshot write → merge (insert+delete) → read → history →
     rollback → vacuum driven entirely through the CLI."""
