@@ -312,6 +312,115 @@ def test_incremental_image_dedup_matches_full_batch(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
 
 
+def test_streaming_ingest_loop_with_image_phash(spark, tmp_path):
+    """The image twin of the text dedup ingest loops: an image stream
+    drained through foreachBatch, each micro-batch's pHashes probed
+    against the persisted band index, near-dups dropped, survivors
+    admitted so later batches see earlier ones. max_band_docs=None
+    keeps the pigeonhole recall exact, so the stream's decisions are
+    checkable against the live pairing ground truth."""
+    from exceldatatransform_py_spark.operators.dedup import (
+        append_to_fingerprint_index,
+        build_fingerprint_index,
+        incremental_fingerprint_near_dup,
+        simhash_near_dup,
+    )
+    from exceldatatransform_py_spark.operators.multimodal import (
+        image_phash,
+        pack_bmp,
+    )
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    images = pack_bmp(docs, id_col="doc_id", bin_col="payload")
+
+    def hashes(split):
+        return image_phash(split, id_col="doc_id", image_col="image")
+
+    seed = images.filter(F.col("doc_id") >= 300)
+    wave1 = images.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    wave2 = images.filter(F.col("doc_id") < 150)
+
+    prefix = "phash_stream_idx"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    build_fingerprint_index(
+        hashes(seed), prefix, n_buckets=4, path=str(tmp_path / "ph"),
+        id_col="doc_id", fp_col="phash",
+    )
+
+    flagged: list[int] = []
+    admitted: list[int] = []
+
+    def ingest(batch_df, _bid):
+        fp = hashes(batch_df)
+        pairs = incremental_fingerprint_near_dup(
+            spark, prefix, fp, id_col="doc_id", fp_col="phash",
+            ham_max=3, max_band_docs=None,
+        )
+        dup_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+        keep = batch_df.join(dup_ids, "doc_id", "left_anti")
+        flagged.extend(r.doc_id for r in dup_ids.collect())
+        admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+        append_to_fingerprint_index(
+            hashes(keep), prefix, id_col="doc_id", fp_col="phash"
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(images.schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def live_pairs(subset):
+        return simhash_near_dup(
+            hashes(subset), "doc_id", "phash", ham_max=3,
+            max_band_docs=10**9,
+        )
+
+    try:
+        wave1.write.mode("append").parquet(in_dir)
+        drain()
+        admitted_w1 = sorted(admitted)
+        wave2.write.mode("append").parquet(in_dir)
+        drain()
+
+        full1 = live_pairs(images.filter(F.col("doc_id") >= 150))
+        w1_expected_flagged = sorted(
+            {
+                r.a_id
+                for r in full1.filter(
+                    (F.col("a_id") >= 150)
+                    & (F.col("a_id") < 300)
+                    & (F.col("b_id") >= 300)
+                ).collect()
+            }
+        )
+        got_w1_flagged = sorted(set(range(150, 300)) - set(admitted_w1))
+        assert got_w1_flagged == w1_expected_flagged
+        visible = set(range(300, 500)) & {
+            r.doc_id for r in docs.select("doc_id").collect()
+        } | set(admitted_w1)
+        full_all = live_pairs(images)
+        cross2 = {
+            r.a_id
+            for r in full_all.filter(F.col("a_id") < 150).collect()
+            if r.b_id in visible
+        }
+        w2_flagged = set(flagged) - set(got_w1_flagged)
+        assert w2_flagged == cross2
+        assert flagged, "no image near-dups flagged across the stream"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
+
+
 def test_pack_video_frames_are_real_bmps(spark):
     """Every demuxed SVC frame from pack_video is a spec-valid 24-bit
     BMP whose decoded pixels equal the source payload chunk (zero-
