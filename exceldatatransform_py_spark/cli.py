@@ -380,6 +380,17 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
     elif a == "history":
         for entry in snap.snapshot_history(args.table):
             print(entry)
+    elif a == "changes":
+        if args.from_version is None:
+            raise SystemExit("snapshot changes: --from-version is required")
+        out = snap.snapshot_changes(
+            spark, args.table, args.from_version, to_version=args.version
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote change feed to {args.output}", file=sys.stderr)
+        else:
+            out.show(args.limit, truncate=False)
     elif a == "rollback":
         if args.version is None:
             raise SystemExit("snapshot rollback: --version is required")
@@ -464,7 +475,7 @@ def main(argv: list[str] | None = None) -> None:
                         help="versioned snapshot tables: write / merge / "
                              "read / history / rollback / vacuum / compact")
     sn.add_argument("action",
-                    choices=["write", "merge", "read", "history",
+                    choices=["write", "merge", "read", "history", "changes",
                              "rollback", "vacuum", "compact"])
     sn.add_argument("--table", required=True, help="snapshot table root dir")
     sn.add_argument("--input", default=None,
@@ -486,6 +497,8 @@ def main(argv: list[str] | None = None) -> None:
                          "and is enforced on every later commit")
     sn.add_argument("--version", type=int, default=None,
                     help="read/rollback: version number")
+    sn.add_argument("--from-version", type=int, default=None,
+                    help="change-feed start version (changes only)")
     sn.add_argument("--as-of-ts", type=float, default=None,
                     help="read: TIMESTAMP AS OF (epoch seconds)")
     sn.add_argument("--keep-last", type=int, default=2,

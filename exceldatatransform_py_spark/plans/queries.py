@@ -695,6 +695,99 @@ def snapshot_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Change data feed, scored end-to-end: commit orders as v0, DV-delete
+# a range as v1 (merge-on-read: the feed's deletes come from sidecar
+# positions, no file-set change), full merge as v2 (rewrite: every
+# pre-image row deletes, every post-image row inserts — Delta's CDF
+# for a full-rewrite merge). The feed is reconstructed from manifests
+# alone; the oracle recomputes all three change sets relationally.
+# The steps are deliberately layout-INDEPENDENT (DV delete + full
+# rewrite) so the row-level feed is a pure function of the data — a
+# pruned merge's feed would depend on sampled file boundaries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_cdf_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    ),
+    d1 AS (
+      SELECT o_orderkey, p FROM t
+      WHERE o_orderkey BETWEEN {_DEL_LO} AND {_DEL_HI} AND p < 150000.0
+    ),
+    v1 AS (
+      SELECT o_orderkey, p FROM t
+      WHERE NOT (o_orderkey BETWEEN {_DEL_LO} AND {_DEL_HI}
+                 AND p < 150000.0)
+    ),
+    u AS (
+      SELECT o_orderkey AS k, p * 1.1 AS np FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey, p FROM t WHERE o_orderkey % 7 = 0
+    ),
+    v2 AS (
+      SELECT v1.o_orderkey, COALESCE(u.np, v1.p) AS p
+      FROM v1 LEFT JOIN u ON v1.o_orderkey = u.k
+      UNION ALL
+      SELECT u.k, u.np FROM u ANTI JOIN v1 ON v1.o_orderkey = u.k
+    )
+    SELECT CAST(1 AS INTEGER) AS _commit_version,
+           'delete' AS _change_type, o_orderkey, p AS o_totalprice
+    FROM d1
+    UNION ALL
+    SELECT 2, 'delete', o_orderkey, p FROM v1
+    UNION ALL
+    SELECT 2, 'insert', o_orderkey, p FROM v2
+    """,
+)
+def snapshot_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_merge_update,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_cdfq_{token}")
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    snapshot_delete_dv(
+        spark, table, "o_orderkey", _DEL_LO, _DEL_HI,
+        extra_predicate="o_totalprice < 150000.0",
+    )
+    key = F.col("o_orderkey")
+    ups = base.filter(key % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice")
+    ).unionByName(base.filter(key % 7 == 0).select(
+        (-key).alias("o_orderkey"), "o_totalprice"
+    ))
+    snapshot_merge_update(
+        spark, table, ups, on=["o_orderkey"], update_cols=["o_totalprice"],
+        when_not_matched_insert=True,
+    )
+    return snapshot_changes(spark, table, 0).select(
+        "_commit_version", "_change_type", "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

@@ -1736,6 +1736,134 @@ def rollback(table: str, version: int) -> int:
     return v
 
 
+#: layout-maintenance commit kinds: rows identical before/after, so
+#: the change feed skips them (Delta's dataChange=false files).
+_LAYOUT_ONLY_KINDS = {"compact", "zorder"}
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed (Delta CDF analogue): the row-level inserts
+    and deletes between two committed versions, reconstructed from
+    manifests alone — no per-commit change files are ever written.
+
+    Per commit step, the diff is three manifest-derived pieces:
+
+    * rows of files ADDED by the commit (minus any deletion vectors
+      the commit itself carries on them) → ``insert``;
+    * rows of files the commit REMOVED, as they were live at the
+      parent (minus the parent's DVs) → ``delete``;
+    * rows newly covered by DELETION VECTORS on carried files — the
+      current sidecar positions anti-joined against the parent's →
+      ``delete`` (merge-on-read deletes produce a feed without any
+      file-set change).
+
+    Layout-only commits (``compact``, ``zorder``) rewrite every file
+    without changing a row; they are skipped outright (Delta's
+    ``dataChange=false``), so OPTIMIZE never floods the feed. An
+    UPDATE appears as its delete/insert row pair, exactly like
+    Delta's CDF without the optional preimage tracking.
+
+    Output: the table's data columns (latest-schema superset; rows
+    from pre-evolution files carry NULLs in added columns) plus
+    ``_change_type`` (``insert`` | ``delete``) and
+    ``_commit_version``. Invariant (pinned in tests):
+    ``rows(from) + inserts − deletes == rows(to)`` as multisets.
+
+    Scale shape: each step scans ONLY the files that changed hands
+    (added/removed/DV'd) — a small commit's feed reads a small number
+    of files regardless of table size; nothing is collected."""
+    from pyspark.sql import types as T
+
+    ms = {m["version"]: m for m in _manifests(table)}
+    if to_version is None:
+        to_version = max(ms)
+    if from_version not in ms or to_version not in ms:
+        raise ValueError(
+            f"versions {from_version}..{to_version} not all in "
+            f"{sorted(ms)}"
+        )
+
+    def tag(df: DataFrame, change: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(change).alias("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+
+    pieces: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        m_cur, m_prev = ms[v], ms[v - 1]
+        if m_cur.get("kind") in _LAYOUT_ONLY_KINDS:
+            continue
+        prev_files = set(_manifest_files(table, m_prev))
+        cur_files = set(_manifest_files(table, m_cur))
+        dv_prev = m_prev.get("dv", {})
+        dv_cur = m_cur.get("dv", {})
+
+        added = sorted(cur_files - prev_files)
+        if added:
+            pieces.append(tag(_scan_minus_dv(
+                spark, table,
+                [os.path.join(table, r) for r in added],
+                {r: dv_cur[r] for r in added if r in dv_cur},
+            ), "insert", v))
+        removed = sorted(prev_files - cur_files)
+        if removed:
+            pieces.append(tag(_scan_minus_dv(
+                spark, table,
+                [os.path.join(table, r) for r in removed],
+                {r: dv_prev[r] for r in removed if r in dv_prev},
+            ), "delete", v))
+        # carried files whose DV grew: the freshly-deleted positions
+        grown = sorted(
+            r for r in (cur_files & prev_files)
+            if r in dv_cur and dv_cur[r].get("dir") != (
+                dv_prev.get(r) or {}
+            ).get("dir")
+        )
+        if grown:
+            cur_pos = _dv_rows(
+                spark, table, {r: dv_cur[r] for r in grown}
+            ).filter(F.col("rel").isin(grown))
+            prev_entries = {r: dv_prev[r] for r in grown if r in dv_prev}
+            if prev_entries:
+                prev_pos = _dv_rows(spark, table, prev_entries).filter(
+                    F.col("rel").isin(list(prev_entries))
+                )
+                cur_pos = cur_pos.join(prev_pos, ["rel", "pos"], "left_anti")
+            scan = spark.read.parquet(
+                *[os.path.join(table, r) for r in grown]
+            )
+            cols = scan.columns
+            newly_deleted = (
+                scan.withColumn("__cdf_rel", _rel_file_expr())
+                .withColumn("__cdf_pos", F.col("_metadata.row_index"))
+                .join(
+                    cur_pos,
+                    (F.col("__cdf_rel") == F.col("rel"))
+                    & (F.col("__cdf_pos") == F.col("pos")),
+                    "left_semi",
+                )
+                .select(*cols)
+            )
+            pieces.append(tag(newly_deleted, "delete", v))
+
+    if not pieces:
+        schema = T.StructType.fromJson(ms[to_version]["schema"]).add(
+            "_change_type", T.StringType()
+        ).add("_commit_version", T.IntegerType())
+        return spark.createDataFrame([], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def vacuum(
     table: str, keep_last: int = 2, stage_retention_sec: float = 3600.0
 ) -> list[int]:

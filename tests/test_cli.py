@@ -349,6 +349,20 @@ def test_cli_snapshot_workflows(spark, tmp_path, capsys):
     hist = capsys.readouterr().out.strip().splitlines()
     assert len(hist) == 2 and "'merge_update'" in hist[1]
 
+    # change data feed through the CLI: the merge's full-rewrite step
+    # deletes every v0 row and inserts every v1 row
+    feed_out = os.path.join(str(tmp_path), "feed_out")
+    main(["snapshot", "changes", "--table", table,
+          "--from-version", "0", "--output", feed_out])
+    feed = sorted(
+        (r["_change_type"], r["k"], r["x"])
+        for r in spark.read.parquet(feed_out).collect()
+    )
+    assert feed == [
+        ("delete", 1, 10.0), ("delete", 2, 20.0), ("delete", 3, 30.0),
+        ("insert", 2, 99.0), ("insert", 9, 9.0),
+    ]
+
     # time travel via rollback, then read latest
     main(["snapshot", "rollback", "--table", table, "--version", "0"])
     main(["snapshot", "read", "--table", table, "--output", out])

@@ -552,6 +552,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "bm25_index_topk",
         "incremental_image_dedup_probe",
         "image_similarity_topk",
+        "snapshot_cdf_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):

@@ -1926,3 +1926,69 @@ def test_bloom_bulk_merge_skips_probe_and_stays_correct(spark, table):
         )
     got = {r.k: r.x for r in snapshot_read(spark, table, version=v).collect()}
     assert len(got) == 100 and all(x == -1.0 for x in got.values())
+
+
+def test_change_feed_reconstructs_every_version(spark, table):
+    """snapshot_changes invariant over a mixed history — write →
+    DV-delete → PRUNED merge (file carry-over + rewrites) → compact
+    (layout-only, MUST be silent) → rollback: for every version pair
+    (a, b), rows(a) + inserts − deletes == rows(b) as multisets, and
+    the compact step contributes nothing to the feed."""
+    from collections import Counter
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+        rollback,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(200)], "k long, x double"
+    )
+    snapshot_write(
+        table,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                       # v0
+    snapshot_delete_dv(spark, table, "k", 20, 39)           # v1: DV only
+    ups = spark.createDataFrame(
+        [(5, 999.0), (110, 111.0), (400, 4.0)], "k long, x double"
+    )
+    snapshot_merge_update_pruned(
+        spark, table, ups, on=["k"], update_cols=["x"], prune_col="k",
+        when_not_matched_insert=True,
+    )                                                       # v2: pruned
+    snapshot_compact(spark, table, target_rows_per_file=1000)  # v3: layout
+    rollback(table, 1)                                      # v4: restore
+
+    feed = snapshot_changes(spark, table, 0, 4)
+    by_step = {
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
+    }
+    assert 3 not in by_step  # compaction is dataChange=false
+
+    # the DV-only step emits deletes and no inserts
+    v1 = [r for r in feed.collect() if r._commit_version == 1]
+    assert v1 and all(r._change_type == "delete" for r in v1)
+    assert sorted(r.k for r in v1) == list(range(20, 40))
+
+    def rows_at(v):
+        return Counter(
+            (r.k, r.x) for r in snapshot_read(spark, table, version=v).collect()
+        )
+
+    for a in range(0, 5):
+        for b in range(a + 1, 5):
+            acc = Counter(rows_at(a))
+            for r in snapshot_changes(spark, table, a, b).collect():
+                key = (r.k, r.x)
+                if r._change_type == "insert":
+                    acc[key] += 1
+                else:
+                    acc[key] -= 1
+            assert +acc == rows_at(b), f"feed {a}->{b} broken"
