@@ -982,26 +982,29 @@ def incremental_image_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def _img_sim_oracle() -> str:
+def _img_sim_oracle(p: str = "is", k: int = 5) -> str:
+    """Gray-vector cosine top-k SELECT; ``p`` prefixes inner CTE
+    names so the fragment composes into a larger oracle's WITH scope
+    (the ``_brute_topk_sql`` convention)."""
     return f"""
-    WITH isdims AS (
+    WITH {p}dims AS (
       SELECT doc_id, text,
              CAST(12 + (doc_id % 5) * 3 AS INTEGER) AS w,
              CAST(8 + (doc_id % 4) * 2 AS INTEGER) AS h
       FROM documents
     ),
-    isg AS (SELECT doc_id, {_gray_oracle_expr()} AS gvec FROM isdims),
-    isq AS (SELECT doc_id AS query_id, gvec AS qv FROM isg WHERE doc_id < 10),
-    isc AS (SELECT doc_id AS neighbor_id, gvec AS cv FROM isg),
-    iss AS (
+    {p}g AS (SELECT doc_id, {_gray_oracle_expr()} AS gvec FROM {p}dims),
+    {p}q AS (SELECT doc_id AS query_id, gvec AS qv FROM {p}g WHERE doc_id < 10),
+    {p}c AS (SELECT doc_id AS neighbor_id, gvec AS cv FROM {p}g),
+    {p}s AS (
       SELECT query_id, neighbor_id, {_COSINE} AS cosine
-      FROM isq, isc WHERE query_id != neighbor_id
+      FROM {p}q, {p}c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
-    FROM iss
-    QUALIFY rk <= 5
+    FROM {p}s
+    QUALIFY rk <= {k}
     """
 
 
@@ -3318,6 +3321,106 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _RRF_TOPK)
         .select("query_id", "id", "n_systems", "rrf_score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal hybrid retrieval, scored — the CLIP-era fusion shape:
+# per query document, the TEXT ranking (BM25 over the inverted index)
+# and the IMAGE ranking (gray-feature cosine over the real decode
+# path) each produce a top-20 list over the same corpus, fused by
+# reciprocal-rank fusion (1/(60+rank), the same engine-exact RRF
+# hybrid_rrf_retrieval uses for text+dense). Documents surfaced by
+# BOTH modalities rise; the oracle recomputes both rankings and the
+# fused ordering end to end.
+# ---------------------------------------------------------------------------
+
+_MM_CAND_K = 20
+
+
+@register(
+    "multimodal_rrf_retrieval",
+    oracle=f"""
+    WITH mmi AS ({_img_sim_oracle(p="mi", k=_MM_CAND_K)}),
+    mml AS ({_bm25_topk_sql(p="ml", k=_MM_CAND_K)}),
+    mmc AS (
+      SELECT query_id, neighbor_id AS id,
+             CAST(1.0 AS DOUBLE) / ({_RRF_K0} + rk) AS contrib
+      FROM mmi
+      UNION ALL
+      SELECT query_id, doc_id AS id,
+             CAST(1.0 AS DOUBLE) / ({_RRF_K0} + rk) AS contrib
+      FROM mml
+    ),
+    mms AS (
+      SELECT query_id, id,
+             CAST(COUNT(*) AS BIGINT) AS n_modalities,
+             SUM(contrib) AS rrf_score
+      FROM mmc GROUP BY 1, 2
+    )
+    SELECT query_id, id, n_modalities, rrf_score, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, id) AS INTEGER) AS rk
+      FROM mms
+    ) WHERE rk <= {_RRF_TOPK}
+    """,
+)
+def multimodal_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from exceldatatransform_py_spark.operators.retrieval import (
+        bm25_stage,
+        bm25_topk,
+        tokenize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    # image modality: gray feature vectors through the real decode
+    gray = bmp_resize_gray(
+        pack_bmp(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            id_col="doc_id", bin_col="payload",
+        ),
+        id_col="doc_id", image_col="image", tw=8, th=8,
+    )
+    gcorpus = gray.select("doc_id", F.col("gray").alias("gvec"))
+    img = cosine_topk(
+        gcorpus.filter(F.col("doc_id") < 10), gcorpus,
+        id_col="doc_id", vec_col="gvec", k=_MM_CAND_K,
+    )
+    # text modality: BM25 over the staged inverted index
+    staged = bm25_stage(docs)
+    q = (
+        tokenize(docs.filter(F.col("doc_id") < 10), "doc_id", "text")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    lex = bm25_topk(
+        q, staged["postings"], staged["doclen"], staged["stats"],
+        k=_MM_CAND_K,
+    )
+    contrib = F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rk"))
+    fused = (
+        img.select(
+            "query_id", F.col("neighbor_id").alias("id"),
+            contrib.alias("contrib"),
+        )
+        .unionByName(lex.select(
+            "query_id", F.col("doc_id").alias("id"), contrib.alias("contrib")
+        ))
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_modalities"),
+            F.sum("contrib").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "id", "n_modalities", "rrf_score", "rk")
     )
 
 

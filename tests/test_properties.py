@@ -553,6 +553,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "incremental_image_dedup_probe",
         "image_similarity_topk",
         "snapshot_cdf_orders",
+        "multimodal_rrf_retrieval",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
