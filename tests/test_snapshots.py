@@ -1992,3 +1992,57 @@ def test_change_feed_reconstructs_every_version(spark, table):
                 else:
                     acc[key] -= 1
             assert +acc == rows_at(b), f"feed {a}->{b} broken"
+
+
+def test_change_feed_drives_replication(spark, table, tmp_path):
+    """The CDC-replication recipe: a replica bootstrapped at v0 and
+    advanced ONLY by each commit's change feed (apply deletes by key,
+    then append inserts — Delta's merge-from-CDF pattern) stays
+    row-identical to the source at every version, across a DV delete,
+    a pruned merge with inserts, and a full-rewrite merge."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_merge_update,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src = table
+    dst = str(tmp_path / "replica")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(120)], "k long, x double"
+    )
+    snapshot_write(
+        src, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_delete_dv(spark, src, "k", 30, 49)                # v1
+    ups1 = spark.createDataFrame(
+        [(7, 700.0), (300, 3.0)], "k long, x double"
+    )
+    snapshot_merge_update_pruned(
+        spark, src, ups1, on=["k"], update_cols=["x"], prune_col="k",
+        when_not_matched_insert=True,
+    )                                                          # v2
+    ups2 = spark.createDataFrame(
+        [(100, -1.0), (301, 1.0)], "k long, x double"
+    )
+    snapshot_merge_update(
+        spark, src, ups2, on=["k"], update_cols=["x"],
+        when_not_matched_insert=True,
+    )                                                          # v3
+
+    snapshot_write(dst, snapshot_read(spark, src, version=0))  # bootstrap
+    for v in range(1, 4):
+        feed = snapshot_changes(spark, src, v - 1, v)
+        dels = feed.filter(F.col("_change_type") == "delete").select("k")
+        ins = feed.filter(F.col("_change_type") == "insert").select("k", "x")
+        cur = snapshot_read(spark, dst)
+        snapshot_write(
+            dst, cur.join(dels, "k", "left_anti").unionByName(ins)
+        )
+        assert _rows(snapshot_read(spark, dst)) == _rows(
+            snapshot_read(spark, src, version=v)
+        ), f"replica diverged at source version {v}"
