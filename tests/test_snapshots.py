@@ -2046,3 +2046,45 @@ def test_change_feed_drives_replication(spark, table, tmp_path):
         assert _rows(snapshot_read(spark, dst)) == _rows(
             snapshot_read(spark, src, version=v)
         ), f"replica diverged at source version {v}"
+
+
+def test_change_feed_scans_only_changed_files(spark, table):
+    """Physical posture of the feed: a DV-only commit's change feed
+    reads the DV'd data file and its sidecar — NOT the table's other
+    data files (the docstring's 'only files that changed hands'
+    claim, checked against the plan's actual input files)."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        _manifest_files,
+        _manifests,
+        snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_write,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, x double"
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                            # v0: 4 range-clustered files
+    snapshot_delete_dv(spark, table, "k", 10, 19)  # v1: one file DV'd
+    ms = {m["version"]: m for m in _manifests(table)}
+    all_files = set(_manifest_files(table, ms[0]))
+    assert len(all_files) == 4
+    dv_files = set(ms[1]["dv"])
+    assert len(dv_files) == 1  # the range hit exactly one file
+
+    feed = snapshot_changes(spark, table, 0, 1)
+    scanned = {f.replace("file://", "") for f in feed.inputFiles()}
+    scanned_data = {
+        rel for rel in all_files
+        if any(s.endswith(rel) for s in scanned)
+    }
+    assert scanned_data == dv_files, (
+        f"feed scanned {scanned_data}, expected only {dv_files}"
+    )
+    # and the feed is exactly the 10 deleted rows
+    rows = feed.collect()
+    assert sorted(r.k for r in rows) == list(range(10, 20))
+    assert all(r._change_type == "delete" for r in rows)
