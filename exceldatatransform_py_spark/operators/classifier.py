@@ -115,64 +115,91 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def logreg_train_score(
+def dense_margin(xs: Column | str, w: Sequence[int]) -> Column:
+    """Exact fixed-point margin ⟨xs, w⟩ over the dense feature vector
+    (weights enter as an array literal — a broadcast of dim longs)."""
+    warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
+    return F.aggregate(
+        F.zip_with(xs, warr, lambda x, wv: x * wv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def token_margin(
+    tokens: Column,
+    w: Sequence[int],
+    n_buckets: int,
+    seed: int = 21,
+) -> Column:
+    """The SERVING margin — row-local, shuffle-free: with hashed
+    unigram counts, ⟨xs, w⟩ = Σ_tokens w[h(tok) % B] + w[B] (the bias),
+    and int64 addition is associative, so the token-order sum is
+    hash-identical to the dense dot product ``dense_margin`` computes.
+    This is what makes the trained gate deployable at 100 TB: scoring
+    never builds the design matrix — one map pass over the corpus with
+    the (B+1)-long weight vector broadcast as literals, no explode, no
+    (id, bucket) shuffle, no checkpoint."""
+    warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
+    toks = F.coalesce(tokens, F.array().cast("array<string>"))
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr, (md5_hash32(t, seed=seed) % n_buckets + 1).cast("int")
+        ),
+    )
+    return F.aggregate(
+        per_tok, F.lit(0).cast("long"), lambda acc, t: acc + t
+    ) + F.lit(int(w[n_buckets])).cast("long")
+
+
+def hard_sigmoid_fixed(margin_col: str, scale: int = LOGREG_SCALE) -> Column:
+    """Fixed-point hard sigmoid ``clamp(S/2 + margin DIV 4, 0, S)``
+    from the NAMED margin column the caller staged: the name is a
+    parameter (no silent coupling to a hardcoded alias), and the
+    expression references it exactly ONCE — CollapseProject inlines
+    the staged margin HOF into every reference, so a 3-reference
+    formulation was measured to triple the per-round scoring cost."""
+    return F.least(
+        F.greatest(
+            F.lit(scale // 2).cast("long")
+            + F.expr(f"`{margin_col}` DIV 4"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(scale).cast("long"),
+    )
+
+
+def logreg_train(
     vecs: DataFrame,
     dim: int | None = None,
     iters: int = 8,
     scale: int = LOGREG_SCALE,
     lr_c: int = LOGREG_C,
     train_filter: Column | None = None,
-) -> DataFrame:
+) -> list[int]:
     """Train the hard-sigmoid logistic scorer on ``vecs`` (``id, y,
     xs``: dense integer features with y ∈ {0,1}) for ``iters`` exact
-    fixed-point gradient rounds, then score every document with the
-    final weights.
+    fixed-point gradient rounds and return the final weights (dim
+    longs — MODEL-sized, ready to re-enter any scoring plan as
+    literals).
 
     ``dim`` is the feature-vector length (``n_buckets + 1`` from
     ``dense_hashed_features``); passing it skips a probe job. The
     document count the learning rate divides by is harvested from the
     first gradient aggregate itself (every dense row contributes every
     j, so any group's row count IS n) — training runs exactly
-    ``iters`` jobs over the cached features, nothing else.
-
-    Returns one row per document: ``(id, label int, margin_fixed
-    bigint, prob_fixed bigint, predicted boolean)`` — ``prob_fixed``
-    is the hard-sigmoid prediction at scale ``scale``; ``predicted``
-    gates at probability ≥ ½.
+    ``iters`` jobs over the cached features, nothing else; the feature
+    cache is released before returning.
     """
     staged = vecs.select(
         "id", F.col("y").cast("long").alias("y"), "xs"
     ).persist()
-    # holdout evaluation: gradients see only the training split;
-    # scoring still covers every document
+    # holdout evaluation: gradients see only the training split
     train = staged if train_filter is None else staged.filter(train_filter)
     if dim is None:
         dim = len(staged.select("xs").first()["xs"])
     n = None
-    half = scale // 2
-
-    def margin(w: list[int]) -> Column:
-        warr = F.array(*[F.lit(wi).cast("long") for wi in w])
-        return F.aggregate(
-            F.zip_with("xs", warr, lambda x, wv: x * wv),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def prob(margin_col: str) -> Column:
-        # hard-sigmoid from the NAMED margin column the caller staged:
-        # the name is a parameter (no silent coupling to a hardcoded
-        # alias), and the expression references it exactly ONCE —
-        # CollapseProject inlines the staged margin HOF into every
-        # reference, so a 3-reference formulation was measured to
-        # triple the per-round scoring cost.
-        return F.least(
-            F.greatest(
-                F.lit(half).cast("long") + F.expr(f"`{margin_col}` DIV 4"),
-                F.lit(0).cast("long"),
-            ),
-            F.lit(scale).cast("long"),
-        )
 
     w = [0] * dim
     for _ in range(iters):
@@ -180,10 +207,20 @@ def logreg_train_score(
         # gradient terms exploded and partially aggregated map-side —
         # the exchange carries (dim × partitions) rows; the collect is
         # MODEL-sized (dim longs), the treeAggregate pattern.
-        rowe = train.select("xs", "y", margin(w).alias("__m")).select(
+        rowe = train.select(
+            "xs", "y", dense_margin("xs", w).alias("__m")
+        ).select(
             "xs",
-            (F.col("y") * F.lit(scale) - prob("__m")).alias("__e"),
+            (
+                F.col("y") * F.lit(scale)
+                - hard_sigmoid_fixed("__m", scale)
+            ).alias("__e"),
         )
+        # posexplode → (dim)-group aggregate: map-side partials shrink
+        # the exchange to dim × partitions rows and the collect is
+        # MODEL-sized — the treeAggregate shape. (A one-row aggregate
+        # with dim sum COLUMNS was measured ~25% slower end-to-end:
+        # the dim-wide generated aggregate recompiles every round.)
         g_rows = (
             rowe.select(
                 F.posexplode(
@@ -206,20 +243,54 @@ def logreg_train_score(
         w = [
             wj + _tdiv(g.get(j, 0), n * lr_c) for j, wj in enumerate(w)
         ]
-    # Score with the final weights, materialize the MODEL-sized result
-    # eagerly (one more map pass over the cache), then release the
-    # staged feature cache — repeated trainings in one session (four
-    # scored queries retrain) must not accumulate persisted RDDs.
-    out = staged.select(
-        "id",
-        F.col("y").cast("int").alias("label"),
-        margin(w).alias("__m"),
-    ).select(
-        "id",
-        "label",
-        F.col("__m").alias("margin_fixed"),
-        prob("__m").alias("prob_fixed"),
-        (prob("__m") * 2 >= F.lit(scale)).alias("predicted"),
-    ).localCheckpoint(eager=True)
     staged.unpersist()
-    return out
+    return w
+
+
+def scored_columns(
+    df: DataFrame, margin: Column, scale: int = LOGREG_SCALE
+) -> DataFrame:
+    """Attach the scorer's output columns to ``df`` from a margin
+    expression: ``margin_fixed``, ``prob_fixed`` (hard sigmoid at
+    ``scale``), and ``predicted`` (probability ≥ ½). Keeps every
+    existing column; the whole attachment is row-local."""
+    staged = df.withColumn("__m", margin)
+    p = hard_sigmoid_fixed("__m", scale)
+    return staged.select(
+        *[c for c in df.columns],
+        F.col("__m").alias("margin_fixed"),
+        p.alias("prob_fixed"),
+        (p * 2 >= F.lit(scale)).alias("predicted"),
+    )
+
+
+def logreg_train_score(
+    vecs: DataFrame,
+    dim: int | None = None,
+    iters: int = 8,
+    scale: int = LOGREG_SCALE,
+    lr_c: int = LOGREG_C,
+    train_filter: Column | None = None,
+) -> DataFrame:
+    """Train (``logreg_train``), then score every document in ``vecs``
+    with the final weights over the dense features — one LAZY map-only
+    projection; the weights are literals, so the returned plan has no
+    Python, no cache, and no checkpoint. Callers that hold the token
+    column should prefer ``token_margin`` + ``scored_columns`` — the
+    shuffle-free serving path that skips the design matrix entirely.
+
+    Returns one row per document: ``(id, label int, margin_fixed
+    bigint, prob_fixed bigint, predicted boolean)``.
+    """
+    if dim is None:
+        dim = len(vecs.select("xs").first()["xs"])
+    w = logreg_train(
+        vecs, dim=dim, iters=iters, scale=scale, lr_c=lr_c,
+        train_filter=train_filter,
+    )
+    base = vecs.select(
+        "id", F.col("y").cast("int").alias("label"), "xs"
+    )
+    return scored_columns(
+        base, dense_margin("xs", w), scale=scale
+    ).drop("xs")

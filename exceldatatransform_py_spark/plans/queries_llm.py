@@ -5009,11 +5009,13 @@ def _qc_train_ctes(train_gate: str = "TRUE") -> str:
 
 
 def _qc_scored(
-    spark: SparkSession, sf_dir: str, train_filter=None
+    spark: SparkSession, sf_dir: str, train_filter=None, extra=()
 ) -> DataFrame:
     from exceldatatransform_py_spark.operators.classifier import (
         dense_hashed_features,
-        logreg_train_score,
+        logreg_train,
+        scored_columns,
+        token_margin,
     )
 
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
@@ -5027,14 +5029,33 @@ def _qc_scored(
         (F.lit(16) * stopword_hits(toks, "en") >= F.size(toks))
         .cast("long").alias("y"),
         toks.alias("__toks"),
+        *extra,
     )
     vecs = dense_hashed_features(
         base, F.col("__toks"), id_col="id", carry=("y",),
         n_buckets=_QC_B, seed=_QC_SEED,
     )
-    return logreg_train_score(
+    # TRAIN over the dense design matrix (one featurization shuffle,
+    # iters map-only gradient rounds over the cache, released before
+    # returning) — then SERVE shuffle-free: the margin is re-derived
+    # per token from the weight literals (token_margin — int64
+    # addition is associative, so it hash-matches the dense dot
+    # product the oracle computes), making the whole scored frame a
+    # single map pass over the documents scan. The r8 variant eagerly
+    # checkpointed a corpus-sized scored frame here; this is strictly
+    # cheaper for every consumer and is the 100 TB serving shape
+    # (broadcast B+1 longs, no design matrix at scoring time).
+    w = logreg_train(
         vecs, dim=_QC_B + 1, iters=_QC_ITERS, scale=_QC_SCALE, lr_c=_QC_C,
         train_filter=train_filter,
+    )
+    return scored_columns(
+        base.select(
+            "id", F.col("y").cast("int").alias("label"), "__toks",
+            *extra,
+        ),
+        token_margin(F.col("__toks"), w, _QC_B, seed=_QC_SEED),
+        scale=_QC_SCALE,
     )
 
 
@@ -5094,13 +5115,16 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    scored = _qc_scored(spark, sf_dir).select("id", "predicted")
-    toks = F.size(ws_tokens(F.lower(F.col("text")))).cast("long")
-    d = docs.select(
-        F.col("doc_id").alias("id"), "source", toks.alias("n_toks")
+    # the scored frame is row-local over the documents scan (r9: the
+    # gate margin is served per-token from weight literals), so the
+    # per-source accounting needs NO doc×doc join — carry `source`
+    # through scoring and aggregate directly: scan → map → one groupBy.
+    scored = _qc_scored(spark, sf_dir, extra=("source",))
+    d = scored.select(
+        "source", "predicted",
+        F.size("__toks").cast("long").alias("n_toks"),
     )
-    return d.join(scored, "id").groupBy("source").agg(
+    return d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum(F.col("predicted").cast("bigint")).cast("bigint").alias(
             "n_kept"
@@ -5617,25 +5641,29 @@ def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
-    scored = _qc_scored(spark, sf_dir).select(
-        F.col("id").alias("doc_id"), "margin_fixed", "predicted"
-    )
+    # row-local gate (r9): scoring carries source/lang/text through,
+    # so the gated corpus is scan → map → filter — no doc×doc join.
+    scored = _qc_scored(spark, sf_dir, extra=("source", "lang", "text"))
     gated = (
-        docs.join(scored, "doc_id")
-        .filter(F.col("predicted"))
+        scored.filter(F.col("predicted"))
         .select(
-            "doc_id", "source", "lang", "text",
+            F.col("id").alias("doc_id"), "source", "lang", "text",
             F.col("margin_fixed").alias("margin"),
-            F.size(ws_tokens(F.lower(F.col("text")))).cast("long").alias(
-                "n_tokens"
-            ),
+            F.size("__toks").cast("long").alias("n_tokens"),
         )
     )
-    ded = gated.groupBy(F.md5(normalize_text("text")).alias("__d")).agg(
-        F.min("doc_id").alias("keep_id")
+    # exact dedup as ONE window pass (keep the min doc_id per
+    # normalized-text hash): the r8 groupBy+semi-join formulation read
+    # the gated subtree twice, and with the r9 row-local gate each read
+    # re-runs the per-token scoring map — a rank-1 window reads it once.
+    dw = Window.partitionBy(
+        F.md5(normalize_text("text"))
+    ).orderBy("doc_id")
+    kept = (
+        gated.withColumn("__dk", F.row_number().over(dw))
+        .filter(F.col("__dk") == 1)
+        .drop("__dk")
     )
-    kept = gated.join(ded, gated.doc_id == ded.keep_id, "left_semi")
     w = Window.partitionBy("source").orderBy(
         F.col("margin").desc(), F.col("doc_id")
     )

@@ -894,15 +894,16 @@ def test_bpe_encode_join_is_broadcast(spark):
 
 def test_classifier_gate_scoring_broadcast_only(spark):
     """The learned gate's corpus pass: scored predictions join docs on
-    the id — both doc-sized, but the scoring side arrives from the
-    trainer's eagerly-materialized checkpoint (the feature cache is
-    RELEASED after training — repeated trainings must not accumulate
-    persisted RDDs), and no Python eval appears anywhere (the
-    trainer's Python runs at PLAN BUILD time, collecting a model-sized
-    gradient; the scored plan itself is pure JVM)."""
+    the id — both doc-sized. The scoring side is the trainer's LAZY
+    final map pass (final weights are literals, so the subtree is one
+    featurization + projection — r9 dropped the always-on eager
+    checkpoint that cost single-action consumers ~1.4×), the feature
+    cache is RELEASED before the trainer returns (repeated trainings
+    must not accumulate persisted RDDs), and no Python eval appears
+    anywhere (the trainer's Python runs at PLAN BUILD time, collecting
+    a model-sized gradient; the scored plan itself is pure JVM)."""
     plan = plan_of(spark, "classifier_gated_corpus")
     assert "BatchEvalPython" not in plan
-    # scored predictions served from the materialized checkpoint, not
-    # a live retrain subtree (and not a leaked cache)
-    assert "Scan ExistingRDD" in plan
+    # lazy scored subtree: no checkpoint scan, and no leaked cache
+    assert "Scan ExistingRDD" not in plan
     assert "InMemoryTableScan" not in plan

@@ -554,6 +554,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "image_similarity_topk",
         "snapshot_cdf_orders",
         "multimodal_rrf_retrieval",
+        "snapshot_dv_delete_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
