@@ -683,21 +683,142 @@ def snapshot_write(
     )
 
 
+def _commit_layout_rewrite(
+    spark: SparkSession,
+    table: str,
+    base: dict,
+    df: DataFrame,
+    kind: str,
+    touched: list[str],
+    stats_cols: Sequence[str],
+    bloom_cols: Sequence[str],
+    rebase: bool,
+    max_rebase: int,
+) -> int:
+    """Commit a LAYOUT-ONLY rewrite (compact / zorder): ``df`` holds
+    exactly the live rows of ``touched`` (DVs already applied by the
+    DV-aware read), staged under a unique dir and committed as a
+    file-level manifest that replaces ``touched`` and inherits every
+    other file from the commit parent.
+
+    Disjoint-commit resolution: a layout rewrite changes NO rows, so
+    replaying it onto a winner is sound whenever the winner left every
+    touched file intact — bytes and DV entry (a winner-grown DV would
+    be materialized back to life by our rewrite) — regardless of what
+    the winner ADDED (new files are simply inherited; a layout commit
+    has no key range to collide with). That is ``_pruned_rebase_ok``
+    with the added-file check disabled (update_empty=True). At 100 TB
+    this is the difference between nightly OPTIMIZE succeeding under
+    continuous ingest and throwing away its whole rewrite on every
+    race."""
+    import time as _t
+
+    touched_set = set(touched)
+    data_dir = _stage_unique(table, df, base["version"] + 1)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(os.path.join(table, data_dir))
+        if f.endswith(".parquet")
+    )
+    new_stats = (
+        _collect_stats(table, new_files, stats_cols) if stats_cols else {}
+    )
+    new_blooms = (
+        _collect_blooms(spark, table, new_files, bloom_cols)
+        if bloom_cols
+        else {}
+    )
+    new_rows = _collect_rows(table, new_files)
+
+    def build_manifest(cur: dict, attempts: int) -> dict:
+        inherited_cur = [
+            r for r in _manifest_files(table, cur) if r not in touched_set
+        ]
+        iset = set(inherited_cur)
+        cur_rows = cur.get("rows", {})
+        cur_stats = cur.get("stats", {})
+        cur_dv = cur.get("dv", {})
+        cur_blooms = cur.get("blooms", {})
+        stats_out = {
+            r: cur_stats[r] for r in inherited_cur if r in cur_stats
+        }
+        stats_out.update(new_stats)
+        blooms_out = {
+            r: cur_blooms[r] for r in inherited_cur if r in cur_blooms
+        }
+        blooms_out.update(new_blooms)
+        return {
+            "version": cur["version"] + 1,
+            "data_dir": data_dir,
+            "files": new_files + inherited_cur,
+            "rows": {
+                **{r: cur_rows[r] for r in inherited_cur if r in cur_rows},
+                **new_rows,
+            },
+            "kind": kind,
+            "parent": cur["version"],
+            "ts": _t.time(),
+            "schema": cur["schema"],
+            **({"stats": stats_out} if stats_out else {}),
+            **({"blooms": blooms_out} if blooms_out else {}),
+            **(
+                {"dv": {r: e for r, e in cur_dv.items() if r in iset}}
+                if any(r in iset for r in cur_dv)
+                else {}
+            ),
+            **(
+                {"constraints": cur["constraints"]}
+                if cur.get("constraints")
+                else {}
+            ),
+            "pruning": {
+                "rewritten_files": len(touched),
+                "inherited_files": len(inherited_cur),
+                **({"rebased": attempts} if attempts else {}),
+            },
+        }
+
+    def cleanup():
+        shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+
+    return _publish_with_rebase(
+        table, base, build_manifest,
+        rebase_ok=lambda nxt: _pruned_rebase_ok(
+            table, base, nxt, touched_set, None,
+            None, None, False, True,
+        ),
+        cleanup=cleanup, rebase=rebase, max_rebase=max_rebase,
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     table: str,
     target_rows_per_file: int,
     stats_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
+    rebase: bool = True,
+    max_rebase: int = 5,
 ) -> int:
     """OPTIMIZE analogue: commit a compacted rewrite of the latest
     version (small files from merges/streaming folded into
     evenly-sized ones) as a NEW version — rows identical, history
     intact, old versions readable until vacuumed. ``coalesce`` when
     shrinking (narrow, no shuffle); ``repartition`` only when growing
-    the file count (oversized files are being rewritten anyway)."""
-    parent = latest_version(table)
-    df = snapshot_read(spark, table, version=parent)
+    the file count (oversized files are being rewritten anyway).
+
+    Concurrency: the rewrite replays onto a winner that left every
+    file of this version intact (e.g. an insert-only merge landing
+    mid-compaction — its new files are inherited); a winner that
+    rewrote or DV-deleted any file conflicts deterministically. For
+    compaction that stays disjoint from FILE-REWRITING traffic, use
+    ``snapshot_compact_small_files`` (touches only the small-file
+    subset)."""
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    df = snapshot_read(spark, table, version=latest["version"])
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     n_parts = df.rdd.getNumPartitions()
@@ -705,9 +826,70 @@ def snapshot_compact(
         df = df.coalesce(n_files)
     elif n_files > n_parts:
         df = df.repartition(n_files)
-    return _commit(
-        table, df, "compact", parent,
-        stats_cols=stats_cols, bloom_cols=bloom_cols,
+    return _commit_layout_rewrite(
+        spark, table, latest, df, "compact",
+        _manifest_files(table, latest), stats_cols, bloom_cols,
+        rebase, max_rebase,
+    )
+
+
+def snapshot_compact_small_files(
+    spark: SparkSession,
+    table: str,
+    target_rows_per_file: int,
+    stats_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
+    rebase: bool = True,
+    max_rebase: int = 5,
+) -> int:
+    """Incremental OPTIMIZE: fold ONLY the files smaller than
+    ``target_rows_per_file`` (by the manifest's cached per-file row
+    counts — no footer reads) into evenly-sized ones; every
+    full-sized file is inherited by reference, untouched. Returns the
+    current version unchanged when fewer than two small files exist
+    (nothing to fold).
+
+    This is the OPTIMIZE a 100 TB table actually runs: streaming
+    ingest and pruned merges leave a trickle of small files behind,
+    and folding just those keeps the rewrite (and therefore the
+    conflict FOOTPRINT) proportional to the trickle, not the table —
+    a concurrent merge that rewrites a big hot file races DISJOINTLY
+    with this commit and both land (the rebase rule in
+    ``_commit_layout_rewrite``)."""
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    files = _manifest_files(table, latest)
+    rows_map = latest.get("rows", {})
+    dv = latest.get("dv", {})
+
+    def live_rows(rel: str) -> int:
+        n = rows_map.get(rel)
+        if n is None:
+            n = _footer_rows(os.path.join(table, rel))
+        return n - dv.get(rel, {}).get("count", 0)
+
+    small = [r for r in files if live_rows(r) < target_rows_per_file]
+    if len(small) < 2:
+        return latest["version"]
+    sset = set(small)
+    df = _scan_minus_dv(
+        spark,
+        table,
+        [os.path.join(table, r) for r in small],
+        {r: e for r, e in dv.items() if r in sset},
+    )
+    n_rows = sum(live_rows(r) for r in small)
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    n_parts = df.rdd.getNumPartitions()
+    if n_files < n_parts:
+        df = df.coalesce(n_files)
+    elif n_files > n_parts:
+        df = df.repartition(n_files)
+    return _commit_layout_rewrite(
+        spark, table, latest, df, "compact",
+        small, stats_cols, bloom_cols, rebase, max_rebase,
     )
 
 
@@ -719,6 +901,8 @@ def snapshot_optimize_zorder(
     num_files: int,
     stats_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
+    rebase: bool = True,
+    max_rebase: int = 5,
 ) -> int:
     """OPTIMIZE ZORDER BY as a snapshot commit: rewrite the latest
     version clustered on the Morton interleave of two columns and
@@ -727,16 +911,22 @@ def snapshot_optimize_zorder(
     extra ``stats_cols``), so subsequent pruned merges on EITHER
     column skip files without reopening footers. This is the layout-
     maintenance commit a 100 TB fact table runs periodically so that
-    two independent predicate dimensions both data-skip."""
+    two independent predicate dimensions both data-skip. Races with
+    writers that leave this version's files intact (insert-only
+    merges) rebase instead of conflicting."""
     from exceldatatransform_py_spark.sources.writers import zorder_frame
 
-    parent = latest_version(table)
-    df = snapshot_read(spark, table, version=parent)
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    df = snapshot_read(spark, table, version=latest["version"])
     zed = zorder_frame(df, col_a, col_b, num_files)
     cols = list(dict.fromkeys([col_a, col_b, *stats_cols]))
-    return _commit(
-        table, zed, "zorder", parent,
-        stats_cols=cols, bloom_cols=bloom_cols,
+    return _commit_layout_rewrite(
+        spark, table, latest, zed, "zorder",
+        _manifest_files(table, latest), cols, bloom_cols,
+        rebase, max_rebase,
     )
 
 
@@ -1088,6 +1278,41 @@ def _pruned_rebase_ok(
     return True
 
 
+def _publish_with_rebase(
+    table: str,
+    base: dict,
+    build_manifest,
+    rebase_ok,
+    cleanup,
+    rebase: bool = True,
+    max_rebase: int = 5,
+) -> int:
+    """Optimistic-concurrency publish loop shared by every file-level
+    commit (pruned merge, range/DV delete, compact, zorder): build the
+    manifest against ``cur`` (initially ``base``), publish; on a
+    version race, if ``rebase_ok(winner)`` proves the winner's commit
+    did not interact with ours, rebuild against the winner and retry
+    with the SAME staged bytes — else run ``cleanup`` and re-raise.
+    ``build_manifest(cur, attempts)`` must derive everything that
+    depends on the parent (inherited files, rows, stats, blooms, DVs,
+    constraints) from ``cur``, not from ``base``."""
+    cur = base
+    attempts = 0
+    while True:
+        manifest = build_manifest(cur, attempts)
+        try:
+            _publish(table, manifest)
+            return manifest["version"]
+        except SnapshotConflictError:
+            nxt = _manifests(table)[-1]
+            if rebase and attempts < max_rebase and rebase_ok(nxt):
+                attempts += 1
+                cur = nxt
+                continue
+            cleanup()
+            raise
+
+
 def snapshot_merge_update_pruned(
     spark: SparkSession,
     table: str,
@@ -1303,9 +1528,8 @@ def snapshot_merge_update_pruned(
         else {}
     )
     touched_set = set(touched)
-    cur = latest
-    attempts = 0
-    while True:
+
+    def build_manifest(cur: dict, attempts: int) -> dict:
         v = cur["version"] + 1
         inherited_cur = [
             r for r in _manifest_files(table, cur) if r not in touched_set
@@ -1365,31 +1589,23 @@ def snapshot_merge_update_pruned(
                 **({"rebased": attempts} if attempts else {}),
             },
         }
-        try:
-            _publish(table, manifest)
-            return v
-        except SnapshotConflictError:
-            # disjoint-commit resolution: another writer took this
-            # version — if its commit provably didn't interact with
-            # ours (see _pruned_rebase_ok), replay the SAME staged
-            # files onto the new latest instead of failing.
-            nxt = _manifests(table)[-1]
-            if (
-                rebase
-                and attempts < max_rebase
-                and _pruned_rebase_ok(
-                    table, latest, nxt, touched_set, prune_col,
-                    lo, hi, nulls_in_updates, update_empty,
-                )
-            ):
-                attempts += 1
-                cur = nxt
-                continue
-            if need_write:
-                shutil.rmtree(
-                    os.path.join(table, data_dir), ignore_errors=True
-                )
-            raise
+        return manifest
+
+    def cleanup():
+        if need_write:
+            shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+
+    # disjoint-commit resolution: a writer that loses the version race
+    # replays the SAME staged files onto the winner when the winner's
+    # commit provably didn't interact with ours (_pruned_rebase_ok).
+    return _publish_with_rebase(
+        table, latest, build_manifest,
+        rebase_ok=lambda nxt: _pruned_rebase_ok(
+            table, latest, nxt, touched_set, prune_col,
+            lo, hi, nulls_in_updates, update_empty,
+        ),
+        cleanup=cleanup, rebase=rebase, max_rebase=max_rebase,
+    )
 
 
 def snapshot_delete_range(
@@ -1399,6 +1615,8 @@ def snapshot_delete_range(
     lo,
     hi,
     extra_predicate: str | None = None,
+    rebase: bool = True,
+    max_rebase: int = 5,
 ) -> int:
     """File-pruned DELETE FROM: remove rows with ``col BETWEEN lo AND
     hi`` (optionally further narrowed by ``extra_predicate``, a SQL
@@ -1465,7 +1683,6 @@ def snapshot_delete_range(
                 may = False
         (touched if may else inherited).append(rel)
 
-    v = latest["version"] + 1
     parent_dv = latest.get("dv", {})
     data_dir: str | None = None
     new_files: list[str] = []
@@ -1485,7 +1702,9 @@ def snapshot_delete_range(
             )
         kept = target.filter(~F.coalesce(doomed, F.lit(False)))
         _validate_constraints(kept, latest.get("constraints", {}))
-        data_dir = _active_protocol.stage_data_dir(table, kept, v)
+        # unique staging: collision-free under concurrency, so a
+        # conflicted delete can rebase its staged files verbatim
+        data_dir = _stage_unique(table, kept, latest["version"] + 1)
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -1496,51 +1715,89 @@ def snapshot_delete_range(
             file_stats.pop(rel, None)
     import time as _t
 
-    blooms_out = {r: blooms[r] for r in inherited if r in blooms}
-    if new_files and any(col in e for e in blooms.values()):
-        blooms_out.update(_collect_blooms(spark, table, new_files, [col]))
-    parent_rows = latest.get("rows", {})
-    manifest = {
-        "version": v,
-        "data_dir": data_dir if data_dir is not None else latest["data_dir"],
-        "files": new_files + inherited,
-        "rows": {
-            **{r: parent_rows[r] for r in inherited if r in parent_rows},
-            **_collect_rows(table, new_files),
-        },
-        **({"blooms": blooms_out} if blooms_out else {}),
-        "kind": "delete_range",
-        "parent": latest["version"],
-        "ts": _t.time(),
-        "schema": latest["schema"],
-        "stats": file_stats,
-        **(
-            {
-                "dv": {
-                    r: e for r, e in parent_dv.items() if r in set(inherited)
-                }
-            }
-            if any(r in set(inherited) for r in parent_dv)
-            else {}
-        ),
-        "pruning": {
-            "col": col,
-            "rewritten_files": len(touched),
-            "inherited_files": len(inherited),
-        },
-        **(
-            {"constraints": latest["constraints"]}
-            if latest.get("constraints")
-            else {}
-        ),
-    }
-    try:
-        _publish(table, manifest)
-    except SnapshotConflictError:
+    fresh_blooms = (
+        _collect_blooms(spark, table, new_files, [col])
+        if new_files and any(col in e for e in blooms.values())
+        else {}
+    )
+    new_rows = _collect_rows(table, new_files)
+    touched_set = set(touched)
+
+    def build_manifest(cur: dict, attempts: int) -> dict:
+        inherited_cur = [
+            r for r in _manifest_files(table, cur) if r not in touched_set
+        ]
+        iset = set(inherited_cur)
+        cur_rows = cur.get("rows", {})
+        cur_stats = cur.get("stats", {})
+        cur_dv = cur.get("dv", {})
+        cur_blooms = cur.get("blooms", {})
+        blooms_out = {
+            r: cur_blooms[r] for r in inherited_cur if r in cur_blooms
+        }
+        blooms_out.update(fresh_blooms)
+        stats_out: dict = {}
+        for r in inherited_cur:
+            st = dict(cur_stats.get(r, {}), **file_stats.get(r, {}))
+            if st:
+                stats_out[r] = st
+        for r in new_files:
+            if r in file_stats:
+                stats_out[r] = file_stats[r]
+        return {
+            "version": cur["version"] + 1,
+            "data_dir": (
+                data_dir if data_dir is not None else cur["data_dir"]
+            ),
+            "files": new_files + inherited_cur,
+            "rows": {
+                **{r: cur_rows[r] for r in inherited_cur if r in cur_rows},
+                **new_rows,
+            },
+            **({"blooms": blooms_out} if blooms_out else {}),
+            "kind": "delete_range",
+            "parent": cur["version"],
+            "ts": _t.time(),
+            "schema": cur["schema"],
+            "stats": stats_out,
+            **(
+                {"dv": {r: e for r, e in cur_dv.items() if r in iset}}
+                if any(r in iset for r in cur_dv)
+                else {}
+            ),
+            "pruning": {
+                "col": col,
+                "rewritten_files": len(touched),
+                "inherited_files": len(inherited_cur),
+                **({"rebased": attempts} if attempts else {}),
+            },
+            **(
+                {"constraints": cur["constraints"]}
+                if cur.get("constraints")
+                else {}
+            ),
+        }
+
+    def cleanup():
         if data_dir is not None:
             shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
-        raise
-    return v
+
+    # disjoint-commit resolution: the delete replays onto a winner
+    # that (a) left every file it rewrote intact with identical DVs
+    # and (b) added no file that may hold keys in [lo, hi] — a
+    # winner-inserted row in the delete range would have needed this
+    # delete, so that race conflicts deterministically. NULL keys
+    # never match a BETWEEN, so the NULL-side test is moot
+    # (nulls_in_updates=False); update_empty=False keeps the
+    # winner-added-file check live even for a no-op delete.
+    return _publish_with_rebase(
+        table, latest, build_manifest,
+        rebase_ok=lambda nxt: _pruned_rebase_ok(
+            table, latest, nxt, touched_set, col,
+            lo, hi, False, False,
+        ),
+        cleanup=cleanup, rebase=rebase, max_rebase=max_rebase,
+    )
 
 
 def snapshot_delete_dv(
@@ -1550,6 +1807,8 @@ def snapshot_delete_dv(
     lo,
     hi,
     extra_predicate: str | None = None,
+    rebase: bool = True,
+    max_rebase: int = 5,
 ) -> int:
     """Merge-on-read DELETE FROM via deletion vectors: remove rows
     with ``col BETWEEN lo AND hi`` (optionally narrowed by
@@ -1672,48 +1931,86 @@ def snapshot_delete_dv(
                     new_dv.pop(rel, None)
             n_dv_files = sum(1 for rel in touched if rel in counts)
 
-    parent_rows = latest.get("rows", {})
-    manifest = {
-        "version": v,
-        "data_dir": latest["data_dir"],
-        "files": list(files),
-        "rows": {
-            **{
-                r: parent_rows[r]
-                if r in parent_rows
+    # per-touched-file DV outcome (None = entry removed): applied on
+    # top of whichever parent the commit finally lands on — sound
+    # because the rebase check requires the winner to have left every
+    # touched file's bytes AND its DV entry exactly as we read them.
+    touched_set = set(touched)
+    dv_touched = {rel: new_dv.get(rel) for rel in touched}
+
+    def build_manifest(cur: dict, attempts: int) -> dict:
+        cur_files = _manifest_files(table, cur)
+        cur_rows = cur.get("rows", {})
+        cur_stats = cur.get("stats", {})
+        cur_blooms = cur.get("blooms", {})
+        dv_out = dict(cur.get("dv", {}))
+        for rel, entry in dv_touched.items():
+            if entry is None:
+                dv_out.pop(rel, None)
+            else:
+                dv_out[rel] = entry
+        stats_out = {
+            r: dict(cur_stats.get(r, {}), **file_stats.get(r, {}))
+            for r in cur_files
+            if cur_stats.get(r) or file_stats.get(r)
+        }
+        manifest = {
+            "version": cur["version"] + 1,
+            "data_dir": cur["data_dir"],
+            "files": list(cur_files),
+            "rows": {
+                r: cur_rows[r]
+                if r in cur_rows
                 else _footer_rows(os.path.join(table, r))
-                for r in files
+                for r in cur_files
             },
-        },
-        "kind": "delete_dv",
-        "parent": latest["version"],
-        "ts": _t.time(),
-        "schema": latest["schema"],
-        "stats": file_stats,
-        # blooms stay valid as supersets after a merge-on-read delete
-        **({"blooms": blooms} if blooms else {}),
-        "pruning": {
-            "col": col,
-            "rewritten_files": 0,
-            "dv_files": n_dv_files,
-            "scanned_files": len(touched),
-            "inherited_files": len(files) - len(touched),
-        },
-        **(
-            {"constraints": latest["constraints"]}
-            if latest.get("constraints")
-            else {}
-        ),
-    }
-    if new_dv:
-        manifest["dv"] = new_dv
-    try:
-        _publish(table, manifest)
-    except SnapshotConflictError:
+            "kind": "delete_dv",
+            "parent": cur["version"],
+            "ts": _t.time(),
+            "schema": cur["schema"],
+            "stats": stats_out,
+            # blooms stay valid as supersets after a merge-on-read
+            # delete
+            **({"blooms": cur_blooms} if cur_blooms else {}),
+            "pruning": {
+                "col": col,
+                "rewritten_files": 0,
+                "dv_files": n_dv_files,
+                "scanned_files": len(touched),
+                "inherited_files": len(cur_files) - len(touched),
+                **({"rebased": attempts} if attempts else {}),
+            },
+            **(
+                {"constraints": cur["constraints"]}
+                if cur.get("constraints")
+                else {}
+            ),
+        }
+        if dv_out:
+            manifest["dv"] = dv_out
+        return manifest
+
+    def cleanup():
         if dv_dir is not None:
             shutil.rmtree(os.path.join(table, dv_dir), ignore_errors=True)
-        raise
-    return v
+
+    # disjoint-commit resolution: two concurrent DV deletes (or a DV
+    # delete racing a pruned merge) both commit when the winner (a)
+    # kept every file this delete scanned, bytes and DV entry intact
+    # — our fresh sidecar consolidates old ∪ new positions, so a
+    # winner-modified DV on a touched file would be silently dropped
+    # — and (b) added no file that may hold keys in [lo, hi] (a
+    # winner-inserted row in the delete range would have needed this
+    # delete). Files the winner touched that we only INHERIT are fine:
+    # dv_out starts from the winner's map.
+    return _publish_with_rebase(
+        table, latest, build_manifest,
+        rebase_ok=lambda nxt: _pruned_rebase_ok(
+            table, latest, nxt, touched_set, col,
+            lo, hi, False, False,
+        ),
+        cleanup=cleanup, rebase=rebase, max_rebase=max_rebase,
+    )
 
 
 def rollback(table: str, version: int) -> int:

@@ -355,7 +355,8 @@ def test_snapshot_compact_preserves_rows_and_history(spark, table):
     # one file now; rows identical to the merged version
     import glob
 
-    files = glob.glob(os.path.join(table, "d00002", "*.parquet"))
+    # r9: compact stages under a globally-unique dir (rebase support)
+    files = glob.glob(os.path.join(table, "d00002-*", "*.parquet"))
     assert len(files) == 1
     got = sorted((r.k, r.x) for r in snapshot_read(spark, table).collect())
     want = sorted((r.k, r.x) for r in snapshot_read(spark, table, 1).collect())
@@ -1717,6 +1718,367 @@ def test_rebase_rejected_when_winner_inserts_matching_key(spark, table):
     )
     got = {r.k: r.x for r in snapshot_read(spark, table, version=v).collect()}
     assert got[10] == -1.0 and got[10000] == -2.0
+
+
+def _race_once(snap, kinds, winner):
+    """Patch helper: return a side_effect for ``snap._publish`` that
+    fires ``winner()`` exactly once, right before the first publish of
+    a manifest whose kind is in ``kinds`` — the deterministic
+    read-to-publish interleaving every race test here uses."""
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def interloper(tbl, manifest):
+        if not fired["done"] and manifest["kind"] in kinds:
+            fired["done"] = True
+            winner(tbl)
+        return real_publish(tbl, manifest)
+
+    return interloper
+
+
+def test_disjoint_dv_deletes_both_commit(spark, table):
+    """Two concurrent DV deletes on DISJOINT keys (different files):
+    the loser rebases — both commits land, both sidecars are live, and
+    the table reads as if the deletes ran serially."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_delete_dv(spark, tbl, "k", 390, 399)
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_dv"}, winner),
+    ):
+        v = snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+    assert v == 2  # loser REBASED onto the winner's v1
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == [k for k in range(400) if not (10 <= k <= 19 or 390 <= k)]
+    assert snap.snapshot_count(table) == 380  # manifest-only count too
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    assert m2["pruning"]["rebased"] == 1
+    # BOTH sidecars live in the final manifest (disjoint files)
+    dv_dirs = {e["dir"] for e in m2["dv"].values()}
+    assert len(m2["dv"]) == 2 and len(dv_dirs) == 2
+
+
+def test_dv_delete_rebases_onto_disjoint_pruned_merge(spark, table):
+    """A DV delete losing the race to a pruned merge on a DIFFERENT
+    file replays instead of failing; the winner's rewrite and the
+    loser's sidecar are both honored."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(390, -2.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_dv"}, winner),
+    ):
+        v = snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+    assert v == 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[390] == -2.0 and len(got) == 390
+    assert not any(10 <= k <= 19 for k in got)
+
+
+def test_dv_deletes_same_file_still_conflict(spark, table):
+    """Two DV deletes hitting the SAME file interact (the loser's
+    consolidated sidecar would drop the winner's positions): the loser
+    must surface SnapshotConflictError; a retry then sees both."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_delete_dv(spark, tbl, "k", 20, 29)  # same file as 10-19
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_dv"}, winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+    # retry against the new state applies cleanly (consolidated DV)
+    snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == [k for k in range(400) if not (10 <= k <= 29)]
+
+
+def test_dv_delete_rejected_when_winner_rewrites_touched_file(spark, table):
+    """A winner that REWRITES the file the loser's sidecar points at
+    interacts (the DV references dead bytes): rebase must refuse."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(15, 0.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    # delete 10..19 of a table whose file holding 10..19 gets REWRITTEN
+    # by the winner's matched update — touched-file check fires
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_dv"}, winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+
+
+def test_dv_delete_rejected_when_winner_adds_matching_file(spark, table):
+    """A winner that ADDS a file holding keys inside the loser's
+    delete range interacts (serial semantics would delete those rows):
+    the rebase's added-file stats check must refuse — even though the
+    loser's own touched set was EMPTY (no existing file overlapped)."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(15000, 0.0)], "k long, x double"),
+            on=["k"], update_cols=["x"], when_not_matched_insert=True,
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_dv"}, winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_delete_dv(spark, table, "k", 10000, 20000)
+    # retrying against the new state deletes the inserted row
+    snap.snapshot_delete_dv(spark, table, "k", 10000, 20000)
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == list(range(400))
+
+
+def test_range_delete_rebases_onto_disjoint_merge(spark, table):
+    """Copy-on-write range delete losing to a pruned merge on a
+    different file rebases: staged files are replayed verbatim."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(390, -2.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"delete_range"}, winner),
+    ):
+        v = snap.snapshot_delete_range(spark, table, "k", 10, 19)
+    assert v == 2
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[390] == -2.0 and len(got) == 390
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    assert m2["pruning"]["rebased"] == 1
+
+
+def test_small_file_compact_rebases_onto_disjoint_merge(spark, table):
+    """The incremental OPTIMIZE folds only the small files; a merge
+    rewriting a DIFFERENT (full-sized) file lands mid-compaction and
+    the compaction REPLAYS its rewrite instead of discarding it."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    # v0: 4 full files of 100 rows; two merges leave small files behind
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    # two single-file rewrites produce two ~100-row files; with
+    # target_rows_per_file=150 BOTH count as small, the two untouched
+    # 100-row files... also small. Use inserts to create tiny files.
+    snap.snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(1000, 1.0), (1001, 2.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )
+    snap.snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(2000, 3.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )
+
+    def winner(tbl):
+        # rewrites the 300..399 file — NOT part of the small-file set
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(390, -2.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"compact"}, winner),
+    ):
+        v = snap.snapshot_compact_small_files(
+            spark, table, target_rows_per_file=50, stats_cols=["k"]
+        )
+    assert v == 4  # winner took v3; compaction rebased onto it
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[390] == -2.0 and got[1000] == 1.0 and got[2000] == 3.0
+    assert len(got) == 403
+    with open(os.path.join(table, "_versions", f"v{v:05d}.json")) as f:
+        m = json.load(f)
+    assert m["pruning"]["rebased"] == 1
+    # the two tiny insert files folded together; base files untouched
+    assert m["pruning"]["rewritten_files"] == 2
+
+
+def test_full_compact_conflicts_with_file_rewriting_merge(spark, table):
+    """A FULL-table compact races a merge that rewrote one of the
+    files the compaction read: replaying would resurrect stale rows,
+    so the loser must conflict (and withdraw its staged dir) — while
+    an INSERT-ONLY winner rebases fine."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def rewriting_winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(10, -1.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"compact"}, rewriting_winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_compact(spark, table, target_rows_per_file=1000)
+    got = {r.k: r.x for r in snapshot_read(spark, table).collect()}
+    assert got[10] == -1.0  # winner intact
+
+    def inserting_winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(5000, 5.0)], "k long, x double"),
+            on=["k"], update_cols=["x"], when_not_matched_insert=True,
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"compact"}, inserting_winner),
+    ):
+        v = snap.snapshot_compact(spark, table, target_rows_per_file=1000)
+    got = {r.k: r.x for r in snapshot_read(spark, table, version=v).collect()}
+    assert got[5000] == 5.0 and got[10] == -1.0 and len(got) == 401
+
+
+def test_zorder_rebases_onto_insert_only_merge(spark, table):
+    """OPTIMIZE ZORDER losing to an insert-only merge inherits the
+    winner's new file and keeps its clustered rewrite."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(256).select(
+        (F.col("id") % 16).alias("a"),
+        (F.col("id") / 16).cast("long").alias("b"),
+        F.col("id").alias("k"),
+    )
+    snapshot_write(table, base.repartition(4), stats_cols=["k"])
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(99, 99, 9999)], "a long, b long, k long"),
+            on=["k"], update_cols=["a"], when_not_matched_insert=True,
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"zorder"}, winner),
+    ):
+        v = snap.snapshot_optimize_zorder(
+            spark, table, "a", "b", num_files=4
+        )
+    got = sorted(r.k for r in snapshot_read(spark, table, version=v).collect())
+    assert got == sorted(list(range(256)) + [9999])
 
 
 # ---------------------------------------------------------------------------
