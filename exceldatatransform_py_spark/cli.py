@@ -260,27 +260,41 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
             deliver(probe(spark, args.prefix, df, id_col, text_col))
         return
 
-    if args.kind == "phash":
-        # image near-dup: input parquet of (id, image) BMP payloads;
-        # fingerprints flow through the SAME banded index simhash uses
+    if args.kind in ("phash", "audio", "video"):
+        # multimodal near-dup: input parquet of (id, media payload) —
+        # BMP / WAV / SVC; all three fingerprints flow through the
+        # SAME banded index simhash uses
         from exceldatatransform_py_spark.operators import dedup as dd
-        from exceldatatransform_py_spark.operators.multimodal import (
-            image_phash,
-        )
+        from exceldatatransform_py_spark.operators import multimodal as mm
 
-        fp = image_phash(df, id_col=args.id_col, image_col=args.image_col)
+        if args.kind == "phash":
+            fp = mm.image_phash(
+                df, id_col=args.id_col, image_col=args.image_col
+            )
+            fp_col = "phash"
+        elif args.kind == "audio":
+            fp = mm.audio_fingerprint(
+                df, id_col=args.id_col, audio_col=args.audio_col,
+                window_samples=args.audio_window or None,  # 0 = whole clip
+            )
+            fp_col = "afp"
+        else:
+            fp = mm.video_fingerprint(
+                df, id_col=args.id_col, video_col=args.video_col
+            )
+            fp_col = "vfp"
         if args.action == "build":
             dd.build_fingerprint_index(
                 fp, args.prefix, n_buckets=args.buckets, path=args.path,
-                id_col=args.id_col, fp_col="phash",
+                id_col=args.id_col, fp_col=fp_col,
             )
         elif args.action == "append":
             dd.append_to_fingerprint_index(
-                fp, args.prefix, id_col=args.id_col, fp_col="phash"
+                fp, args.prefix, id_col=args.id_col, fp_col=fp_col
             )
         else:
             deliver(dd.incremental_fingerprint_near_dup(
-                spark, args.prefix, fp, id_col=args.id_col, fp_col="phash"
+                spark, args.prefix, fp, id_col=args.id_col, fp_col=fp_col
             ))
         return
 
@@ -450,7 +464,8 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("action",
                     choices=["build", "probe", "append", "compact"])
     ix.add_argument("kind",
-                    choices=["dedup", "simhash", "novelty", "phash", "ivf",
+                    choices=["dedup", "simhash", "novelty", "phash",
+                             "audio", "video", "ivf",
                              "ivf_sq8", "ivf_pq", "lsh", "bm25"])
     ix.add_argument("--prefix", required=True,
                     help="catalog table prefix, e.g. corpus_dedup")
@@ -466,6 +481,13 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--vec-col", default="embedding")
     ix.add_argument("--image-col", default="image",
                     help="BMP payload column — phash kind only")
+    ix.add_argument("--audio-col", default="audio",
+                    help="WAV payload column — audio kind only")
+    ix.add_argument("--audio-window", type=int, default=128,
+                    help="leading-excerpt samples for the audio "
+                         "fingerprint (0 = whole clip)")
+    ix.add_argument("--video-col", default="video",
+                    help="SVC payload column — video kind only")
     ix.add_argument("--k", type=int, default=5)
     ix.add_argument("--output", default=None,
                     help="parquet dir or .csv path; omit to print")

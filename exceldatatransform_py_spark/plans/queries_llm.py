@@ -1079,6 +1079,238 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio near-dup (energy-delta fingerprint) — completes the near-dup
+# modality matrix (text: MinHash/SimHash, image: pHash, audio: this,
+# video: below): decode the real WAV, pool sample energy into 64
+# equal spans, fingerprint the delta signs (exact int64 end-to-end —
+# multimodal.audio_fingerprint), and pair through the SAME banded
+# hamming blocking every other 63-bit fingerprint uses. The oracle
+# recomputes every fingerprint from the raw bytes (u8→s16 widening,
+# span floor map, squared-sample sums) and replays the banding,
+# hot-bucket cap, and exact hamming verify.
+# ---------------------------------------------------------------------------
+
+_AFP_HAM_MAX = 3
+_AFP_MAX_BAND_DOCS = 50
+#: fixed-duration excerpt (16 ms at 8 kHz): whole-clip fingerprints
+#: are alignment-sensitive — the corpus's near-dups share a long
+#: prefix then diverge, and a full-length fingerprint finds ZERO of
+#: them (measured); the 128-sample excerpt finds 24 of the 25
+#: prefix-sharing pairs at both test SFs.
+_AFP_WINDOW = 128
+
+#: DuckDB list of the 64 span energies of the u8→s16 PCM samples —
+#: spans are [s·n//64, (s+1)·n//64) in 0-based sample positions, the
+#: same floor map the engine uses; empty spans are energy 0.
+_AFP_ES = (
+    "list_transform(range(0, 64), s -> COALESCE(list_sum("
+    "list_transform(range(s * n // 64, (s + 1) * n // 64), "
+    "j -> CAST(({pix} - 128) * 256 AS BIGINT) * (({pix} - 128) * 256)"
+    ")), 0))"
+).format(pix=_PIX.format(j="(j + 1)"))
+
+#: 63-bit delta-sign fingerprint over a 64-long energy list ``{es}``.
+_FP_FROM_ES = (
+    "COALESCE(list_sum(list_transform(range(0, 63), "
+    "i -> CASE WHEN {es}[CAST(i AS INTEGER) + 2] > "
+    "{es}[CAST(i AS INTEGER) + 1] "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)"
+)
+
+
+def _band_pairs_sql(p: str, fp_cte: str, ham_max: int, cap: int) -> str:
+    """Banding + hot-bucket cap + exact-hamming SELECT over a CTE
+    ``fp_cte`` with columns ``(doc_id, fp)`` — the oracle twin of
+    ``dedup.simhash_near_dup`` for any 63-bit fingerprint."""
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(SIMHASH_BANDS)
+    )
+    return f"""
+    {p}b AS (
+      SELECT doc_id, fp, band, (fp >> shift) & mask AS bv
+      FROM {fp_cte}, (VALUES {band_rows}) AS bands(band, shift, mask)
+    ),
+    {p}c AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM {p}b
+    ),
+    {p}p AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.fp AS afp, b.fp AS bfp
+      FROM {p}c a JOIN {p}c b USING (band, bv)
+      WHERE a.doc_id < b.doc_id AND a.bn <= {cap} AND b.bn <= {cap}
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+    FROM {p}p
+    WHERE bit_count(xor(afp, bfp)) <= {ham_max}
+    """
+
+
+@register(
+    "audio_near_dup_pairs",
+    oracle=f"""
+    WITH an AS (SELECT doc_id, text,
+                least(length(text), {_AFP_WINDOW}) AS n FROM documents),
+    aes AS (SELECT doc_id, {_AFP_ES} AS es FROM an),
+    afpt AS (SELECT doc_id, {_FP_FROM_ES.format(es="es")} AS fp FROM aes),
+    {_band_pairs_sql("anp", "afpt", _AFP_HAM_MAX, _AFP_MAX_BAND_DOCS)}
+    """,
+)
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+    from exceldatatransform_py_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    audio = pack_wav(docs, id_col="doc_id", bin_col="payload")
+    fp = audio_fingerprint(
+        audio, id_col="doc_id", audio_col="audio",
+        window_samples=_AFP_WINDOW,
+    )
+    return simhash_near_dup(
+        fp,
+        id_col="doc_id",
+        fp_col="afp",
+        ham_max=_AFP_HAM_MAX,
+        max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+
+
+@register(
+    "incremental_audio_dedup_probe",
+    oracle=f"""
+    WITH an AS (SELECT doc_id, text,
+                least(length(text), {_AFP_WINDOW}) AS n FROM documents),
+    aes AS (SELECT doc_id, {_AFP_ES} AS es FROM an),
+    afpt AS (SELECT doc_id, {_FP_FROM_ES.format(es="es")} AS fp FROM aes),
+    iab AS (
+      SELECT doc_id, fp, band, (fp >> shift) & mask AS bv
+      FROM afpt, (VALUES {", ".join(
+          f"({i}, {shift}, {(1 << width) - 1})"
+          for i, (shift, width) in enumerate(SIMHASH_BANDS)
+      )}) AS bands(band, shift, mask)
+    ),
+    iacorp AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn
+      FROM iab WHERE doc_id % 4 != 0
+    ),
+    iap AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS afp, b.fp AS bfp
+      FROM iab a JOIN iacorp b USING (band, bv)
+      WHERE a.doc_id % 4 = 0 AND b.bn <= {_AFP_MAX_BAND_DOCS}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(afp, bfp)) AS INTEGER) AS hamming
+    FROM iap
+    WHERE bit_count(xor(afp, bfp)) <= {_AFP_HAM_MAX}
+    """,
+)
+def incremental_audio_dedup_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-ingest flavor of ``audio_near_dup_pairs``: the corpus
+    split's fingerprint band rows are PERSISTED through the
+    fingerprint-agnostic banded index (one implementation, three
+    modalities now), then the held-out batch probes it without any
+    corpus re-decode."""
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_fingerprint_near_dup,
+    )
+    from exceldatatransform_py_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def hashes(split):
+        return audio_fingerprint(
+            pack_wav(split, id_col="doc_id", bin_col="payload"),
+            id_col="doc_id", audio_col="audio",
+            window_samples=_AFP_WINDOW,
+        )
+
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"incaudq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_fingerprint_index(
+        hashes(corpus), prefix, n_buckets=8, path=path,
+        id_col="doc_id", fp_col="afp",
+    )
+    return incremental_fingerprint_near_dup(
+        spark, prefix, hashes(batch), id_col="doc_id", fp_col="afp",
+        ham_max=_AFP_HAM_MAX, max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+
+
+#: DuckDB list of frame 0's 48 scan-order pixel grays: encode+decode
+#: round-trips (the stride/flip/BGR transforms cancel), so decoded
+#: pixel m's bytes are raw chunk offsets 3m..3m+2 and its gray
+#: r + g + b is their sum; zero padding past the text contributes 0.
+_VFP_GS = (
+    "list_transform(range(0, 48), m -> COALESCE(list_sum("
+    "list_transform(range(m * 3, m * 3 + 3), "
+    "j -> CAST({pix} AS BIGINT))), 0))"
+).format(pix=_PIX.format(j="(j + 1)"))
+
+#: 47-bit gradient-sign fingerprint over the 48-long gray list.
+_VFP_FROM_GS = (
+    "COALESCE(list_sum(list_transform(range(0, 47), "
+    "i -> CASE WHEN gs[CAST(i AS INTEGER) + 2] > "
+    "gs[CAST(i AS INTEGER) + 1] "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)"
+)
+
+
+@register(
+    "video_near_dup_pairs",
+    oracle=f"""
+    WITH vg AS (SELECT doc_id, {_VFP_GS} AS gs FROM documents),
+    vfpt AS (SELECT doc_id, {_VFP_FROM_GS} AS fp FROM vg),
+    {_band_pairs_sql("vnp", "vfpt", _AFP_HAM_MAX, _AFP_MAX_BAND_DOCS)}
+    """,
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe video near-dup: demux the SVC container, decode frame
+    0 through the real BMP codec, fingerprint the gradient signs of
+    its 48 scan-order pixel grays (multimodal.video_fingerprint), and
+    pair through the shared banded index. The oracle recomputes every
+    gray from the raw chunk bytes via the bottom-up row position map
+    and replays banding, cap, and the exact hamming verify."""
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+    from exceldatatransform_py_spark.operators.multimodal import (
+        pack_video,
+        video_fingerprint,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    video = pack_video(docs, id_col="doc_id", bin_col="payload")
+    fp = video_fingerprint(video, id_col="doc_id", video_col="video")
+    return simhash_near_dup(
+        fp,
+        id_col="doc_id",
+        fp_col="vfp",
+        ham_max=_AFP_HAM_MAX,
+        max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN — the other scale path next to hyperplane LSH: coarse
 # quantizer (nearest centroid) partitions the corpus into cells;
 # queries probe only their n_probe nearest cells. Centroids here are

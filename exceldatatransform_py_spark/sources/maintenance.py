@@ -124,6 +124,8 @@ INDEX_FAMILY_TABLES = {
     "dedup": ["bands", "shingles"],
     "simhash": ["simbands"],
     "phash": ["simbands"],  # image fingerprints share the banded layout
+    "audio": ["simbands"],  # ... as do audio energy-delta fingerprints
+    "video": ["simbands"],  # ... and keyframe video fingerprints
     "bm25": ["postings", "df", "doclen"],
 }
 

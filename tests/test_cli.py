@@ -386,3 +386,51 @@ def test_cli_snapshot_validates_options(spark, tmp_path):
         main(["snapshot", "merge", "--table", table, "--input", "x"])
     with pytest.raises(SystemExit):
         main(["snapshot", "rollback", "--table", table])  # no --version
+
+
+def test_cli_audio_index_loop(spark, tmp_path):
+    """The audio near-dup loop through the CLI: pack a corpus of real
+    WAVs, build the fingerprint band index, probe a batch, append it,
+    probe again (the second probe sees batch 1), compact, probe
+    unchanged — the third modality through the same banded index."""
+    import pyspark.sql.functions as F
+
+    from exceldatatransform_py_spark.cli import main
+    from exceldatatransform_py_spark.operators.multimodal import pack_wav
+    from exceldatatransform_py_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    audio = pack_wav(docs, id_col="doc_id", bin_col="payload")
+    corpus_p = str(tmp_path / "corpus")
+    b1_p = str(tmp_path / "b1")
+    b2_p = str(tmp_path / "b2")
+    audio.filter(F.col("doc_id") >= 100).write.parquet(corpus_p)
+    audio.filter(F.col("doc_id") < 50).write.parquet(b1_p)
+    audio.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+    ).write.parquet(b2_p)
+
+    prefix = "cli_audio_idx"
+    out1 = str(tmp_path / "probe1")
+    out2 = str(tmp_path / "probe2")
+    try:
+        main(["index", "build", "audio", "--prefix", prefix,
+              "--input", corpus_p, "--path", str(tmp_path / "idx"),
+              "--buckets", "4"])
+        main(["index", "probe", "audio", "--prefix", prefix,
+              "--input", b1_p, "--output", out1])
+        main(["index", "append", "audio", "--prefix", prefix,
+              "--input", b1_p])
+        main(["index", "probe", "audio", "--prefix", prefix,
+              "--input", b2_p, "--output", out2])
+        p2 = spark.read.parquet(out2)
+        main(["index", "compact", "audio", "--prefix", prefix])
+        out3 = str(tmp_path / "probe3")
+        main(["index", "probe", "audio", "--prefix", prefix,
+              "--input", b2_p, "--output", out3])
+        assert sorted(map(tuple, spark.read.parquet(out3).collect())) == \
+            sorted(map(tuple, p2.collect()))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")

@@ -481,3 +481,98 @@ def test_video_frame_stats_matches_local_pixel_math(spark):
     assert got[2].abs_delta == exp_delta
     assert got[2].scene_cut == (exp_delta >= 40 * fb)
     assert got[2].scene_cut  # the flip is far past the threshold
+
+
+def test_audio_fingerprint_matches_local_recompute(spark):
+    """The distributed audio fingerprint equals the energy-delta rule
+    applied locally to the decoded PCM: 64 equal spans (floor bounds),
+    exact Σs² per span, bit_i = e_{i+1} > e_i — and the excerpt window
+    truncates the samples BEFORE the span map."""
+    from exceldatatransform_py_spark.operators.multimodal import (
+        audio_fingerprint,
+        pack_wav,
+    )
+
+    rows = [(i, bytes((i * 29 + j * 5) % 256 for j in range(40 + i * 63)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for window in (None, 128):
+        audio = pack_wav(df, id_col="doc_id", bin_col="payload")
+        got = {
+            r.doc_id: r.afp
+            for r in audio_fingerprint(
+                audio, window_samples=window
+            ).collect()
+        }
+        for rid, payload in rows:
+            s = [(b - 128) * 256 for b in payload]
+            if window is not None:
+                s = s[:window]
+            n = len(s)
+            bounds = [(j * n) // 64 for j in range(65)]
+            es = [
+                sum(v * v for v in s[bounds[j]:bounds[j + 1]])
+                for j in range(64)
+            ]
+            want = sum(
+                1 << i for i in range(63) if es[i + 1] > es[i]
+            )
+            assert got[rid] == want, (window, rid)
+
+
+def test_audio_near_dup_excerpt_window_semantics(spark):
+    """The fixed-duration excerpt makes the pairing tail-edit robust:
+    a clip and its tail-appended copy share the leading 128 samples →
+    hamming 0; a clip with a DIFFERENT opening does not pair."""
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
+    from exceldatatransform_py_spark.operators.multimodal import (
+        audio_fingerprint,
+        pack_wav,
+    )
+
+    base = bytes((j * 17 + 31) % 256 for j in range(200))
+    appended = base + bytes(range(50))
+    different = bytes((j * 23 + 7) % 256 for j in range(200))
+    rows = [(0, base), (1, appended), (2, different)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = audio_fingerprint(
+        pack_wav(df, id_col="doc_id", bin_col="payload"),
+        window_samples=128,
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_near_dup(
+            fp, "doc_id", "afp", ham_max=3, max_band_docs=10**9
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_keyframe_fingerprint_matches_local_recompute(spark):
+    """The keyframe fingerprint equals the gradient-sign rule over
+    frame 0's decoded scan-order grays — which, because encode+decode
+    round-trips, are the 3-byte sums of the clip's first 144 payload
+    bytes (zero-padded)."""
+    from exceldatatransform_py_spark.operators.multimodal import (
+        pack_video,
+        video_fingerprint,
+    )
+
+    rows = [(i, bytes((i * 41 + j * 11) % 256 for j in range(30 + i * 80)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.vfp
+        for r in video_fingerprint(
+            pack_video(df, id_col="doc_id", bin_col="payload")
+        ).collect()
+    }
+    for rid, payload in rows:
+        chunk = payload[:144].ljust(144, b"\x00")
+        gs = [
+            chunk[3 * m] + chunk[3 * m + 1] + chunk[3 * m + 2]
+            for m in range(48)
+        ]
+        want = sum(1 << i for i in range(47) if gs[i + 1] > gs[i])
+        assert got[rid] == want

@@ -555,6 +555,11 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "snapshot_cdf_orders",
         "multimodal_rrf_retrieval",
         "snapshot_dv_delete_orders",
+        # round-9 batch: the audio/video fingerprints and their
+        # banded pairings are pure functions of the bytes.
+        "audio_near_dup_pairs",
+        "incremental_audio_dedup_probe",
+        "video_near_dup_pairs",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
