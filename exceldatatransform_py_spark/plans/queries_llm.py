@@ -4443,21 +4443,60 @@ def _pq_train_ctes(
     k: int = _PQ_K,
     iters: int = _PQ_ITERS,
     scale: int = _PQ_SCALE,
+    residual: bool = False,
 ) -> str:
     """CTE chain (no WITH keyword) ending at the trained codebooks
     ``pqc{iters - 1}`` plus the final corpus encode ``pqa{iters}`` —
     mirrors ``similarity.pq_train_codebooks`` (iters - 1 updates)
-    followed by ``pq_encode``."""
+    followed by ``pq_encode``. Always defines the coarse quantizer
+    CTEs ``cents``/``asg`` first (the serve probes need them anyway);
+    with ``residual`` the encoded points are x − centroid(cell) —
+    exact IEEE double subtraction, replaying
+    ``similarity._pq_residualize``."""
     subs = ", ".join(str(s) for s in range(m))
+    dim = m * sub_d
     parts = [
-        f"""pqpts AS (
+        f"""cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS ark
+        FROM embeddings e, cents c
+      ) WHERE ark = 1
+    )"""
+    ]
+    if residual:
+        parts.append(f""",
+    pqres AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {dim} + 1),
+               i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    - CAST(c.cvec[CAST(i AS INTEGER)] AS DOUBLE)) AS rvec
+      FROM embeddings e
+      JOIN asg a ON e.vec_id = a.neighbor_id
+      JOIN cents c ON a.cell = c.cid
+    ),
+    pqpts AS (
+      SELECT vec_id, sub,
+             list_transform(rvec[sub * {sub_d} + 1 : sub * {sub_d} + {sub_d}],
+               e -> CAST(floor(e * {scale}.0) AS BIGINT)) AS xs
+      FROM pqres, UNNEST([{subs}]) AS u(sub)
+    )""")
+    else:
+        parts.append(f""",
+    pqpts AS (
       SELECT vec_id, sub,
              list_transform(embedding[sub * {sub_d} + 1 : sub * {sub_d} + {sub_d}],
                e -> CAST(floor(CAST(e AS DOUBLE) * {scale}.0) AS BIGINT)) AS xs
       FROM embeddings, UNNEST([{subs}]) AS u(sub)
-    ),
-    pqc0 AS (SELECT sub, vec_id AS cid, xs AS cs FROM pqpts WHERE vec_id < {k})"""
-    ]
+    )""")
+    parts.append(f""",
+    pqc0 AS (SELECT sub, vec_id AS cid, xs AS cs FROM pqpts WHERE vec_id < {k})""")
     for t in range(1, iters):
         parts.append(_pq_round(t))
         parts.append(f""",
@@ -4476,11 +4515,34 @@ def _pq_train_ctes(
     return "".join(parts)
 
 
-def _pq_serve_ctes() -> str:
+def _pq_serve_ctes(residual: bool = False) -> str:
     """Training + encode + reconstruction + IVF probe CTEs ending at
     ``s`` — the PQ-scored (query, candidate) pairs. Shared by the
-    pure asymmetric-distance oracle and the refine oracle."""
-    return f"""{_pq_train_ctes()},
+    pure asymmetric-distance oracle, the refine oracle, and the
+    residual oracle (which reconstructs centroid + decoded
+    residual)."""
+    if residual:
+        rec = f"""
+    pqrec0 AS (
+      SELECT a.vec_id,
+             flatten(list(
+               list_transform(c.cs, v -> CAST(v AS DOUBLE) / {_PQ_SCALE}.0)
+               ORDER BY a.sub)) AS rr
+      FROM pqa{_PQ_ITERS} a
+      JOIN pqc{_PQ_ITERS - 1} c ON a.sub = c.sub AND a.cid = c.cid
+      GROUP BY a.vec_id
+    ),
+    pqrec AS (
+      SELECT r.vec_id,
+             list_transform(range(1, {_PQ_M * _PQ_SUBD} + 1),
+               i -> r.rr[CAST(i AS INTEGER)]
+                    + CAST(c.cvec[CAST(i AS INTEGER)] AS DOUBLE)) AS rv
+      FROM pqrec0 r
+      JOIN asg a ON r.vec_id = a.neighbor_id
+      JOIN cents c ON a.cell = c.cid
+    ),"""
+    else:
+        rec = f"""
     pqrec AS (
       SELECT a.vec_id,
              flatten(list(
@@ -4489,20 +4551,8 @@ def _pq_serve_ctes() -> str:
       FROM pqa{_PQ_ITERS} a
       JOIN pqc{_PQ_ITERS - 1} c ON a.sub = c.sub AND a.cid = c.cid
       GROUP BY a.vec_id
-    ),
-    cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
-    ),
-    asg AS (
-      SELECT neighbor_id, cell FROM (
-        SELECT e.vec_id AS neighbor_id, c.cid AS cell,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
-               ) AS ark
-        FROM embeddings e, cents c
-      ) WHERE ark = 1
-    ),
+    ),"""
+    return f"""{_pq_train_ctes(residual=residual)},{rec}
     probes AS (
       SELECT query_id, qv, cell FROM (
         SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
@@ -4556,6 +4606,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, prefix, path=path, id_col="vec_id",
         vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
         iters=_PQ_ITERS,
+        # raw-subvector encoding, deliberately: with the stand-in
+        # coarse quantizer (first 8 vectors), residual encoding was
+        # MEASURED to not improve recall on this isotropic corpus
+        # (the quantizer explains ~4% of variance, so residual
+        # magnitudes ~ vector magnitudes); ann_ivf_pq_residual_topk
+        # scores the residual path.
+        residual=False,
     )
     return ivf_pq_topk_from_index(
         spark, prefix, emb.filter(F.col("vec_id") < 10),
@@ -4625,11 +4682,73 @@ def ann_ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, prefix, path=path, id_col="vec_id",
         vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
         iters=_PQ_ITERS,
+        # raw-subvector encoding, deliberately: with the stand-in
+        # coarse quantizer (first 8 vectors), residual encoding was
+        # MEASURED to not improve recall on this isotropic corpus
+        # (the quantizer explains ~4% of variance, so residual
+        # magnitudes ~ vector magnitudes); ann_ivf_pq_residual_topk
+        # scores the residual path.
+        residual=False,
     )
     return ivf_pq_topk_from_index(
         spark, prefix, emb.filter(F.col("vec_id") < 10),
         id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
         refine_corpus=emb, refine_factor=_PQ_REFINE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with RESIDUAL encoding, scored — FAISS IVFPQ's actual
+# encoding space: codebooks are trained on x - centroid(cell(x)) and
+# the serve reconstructs centroid + decoded residual. Residuals
+# cluster around the origin regardless of cell, so codebook capacity
+# goes to within-cell geometry; on THIS corpus (isotropic synthetic
+# embeddings, stand-in quantizer) the measured recall matches the raw
+# encoding - the win appears when the coarse quantizer explains real
+# variance (see test_retrieval's trained-quantizer floor). The oracle
+# replays residualization (exact IEEE double subtraction), every
+# joint Lloyd round over the residual subvectors, the encode, and the
+# centroid-plus-decode reconstruction.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_residual_oracle() -> str:
+    return f"""
+    WITH {_pq_serve_ctes(residual=True)}
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+    FROM s
+    QUALIFY rk <= 5
+    """
+
+
+@register("ann_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle())
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"ivfpqres_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_ivf_pq_index(
+        emb, centroids, prefix, path=path, id_col="vec_id",
+        vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
+        iters=_PQ_ITERS, residual=True,
+    )
+    return ivf_pq_topk_from_index(
+        spark, prefix, emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
     )
 
 

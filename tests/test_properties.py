@@ -560,6 +560,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "audio_near_dup_pairs",
         "incremental_audio_dedup_probe",
         "video_near_dup_pairs",
+        "ann_ivf_pq_residual_topk",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
