@@ -413,11 +413,22 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
     elif a == "vacuum":
         dropped = snap.vacuum(args.table, keep_last=args.keep_last)
         print(f"vacuumed versions {dropped}", file=sys.stderr)
-    else:  # compact
+    elif a == "compact":
         v = snap.snapshot_compact(
             spark, args.table, target_rows_per_file=args.target_rows
         )
         print(f"committed compacted version {v}", file=sys.stderr)
+    else:  # replicate
+        if not args.replica or not args.keys:
+            raise SystemExit(
+                "snapshot replicate: --replica and --keys are required"
+            )
+        n = snap.replicate_snapshot_changes(
+            spark, args.table, args.replica,
+            keys=args.keys.split(","), app_id=args.app_id,
+        )
+        print(f"applied {n} source versions to {args.replica}",
+              file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -498,7 +509,7 @@ def main(argv: list[str] | None = None) -> None:
                              "read / history / rollback / vacuum / compact")
     sn.add_argument("action",
                     choices=["write", "merge", "read", "history", "changes",
-                             "rollback", "vacuum", "compact"])
+                             "rollback", "vacuum", "compact", "replicate"])
     sn.add_argument("--table", required=True, help="snapshot table root dir")
     sn.add_argument("--input", default=None,
                     help="parquet of rows to write / merge")
@@ -527,6 +538,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="vacuum: versions to retain")
     sn.add_argument("--target-rows", type=int, default=1_000_000,
                     help="compact: target rows per file")
+    sn.add_argument("--replica", default=None,
+                    help="replicate: replica table root dir")
+    sn.add_argument("--keys", default=None,
+                    help="replicate: row-identity keys, comma-separated")
+    sn.add_argument("--app-id", default="cdf-replica",
+                    help="replicate: txn-ledger writer id (the cursor)")
     sn.add_argument("--output", default=None,
                     help="read: parquet dir; omit to print")
     sn.add_argument("--limit", type=int, default=20)

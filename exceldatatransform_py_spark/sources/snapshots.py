@@ -2161,6 +2161,75 @@ def snapshot_changes(
     return out
 
 
+def replicate_snapshot_changes(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    keys: Sequence[str],
+    app_id: str = "cdf-replica",
+    max_versions: int | None = None,
+) -> int:
+    """Advance a replica table by CONSUMING the source's change feed —
+    the incremental CDC-replication loop, exactly-once:
+
+    * the cursor is the existing transaction ledger: each applied
+      source version commits to the replica with ``txn=(app_id,
+      src_version)``, so ``last_committed_txn`` IS the resume point —
+      no side files, and a crashed/replayed application of an
+      already-applied version is a no-op by the ledger's ``<= max``
+      rule;
+    * versions apply ONE AT A TIME (deletes by ``keys`` anti-join,
+      then inserts appended — Delta's merge-from-CDF recipe): a key
+      updated in two consecutive source versions must see its delete/
+      insert pairs in order, so multi-version feeds cannot be folded
+      into one application;
+    * layout-only source commits produce an empty feed and still
+      advance the cursor (the replica re-commits its rows unchanged);
+    * a replica that does not exist yet is bootstrapped from source
+      version 0 (``txn=(app_id, 0)``), then the feed replays forward.
+
+    Run it in a loop (or from ``foreachBatch`` of any trigger stream)
+    while the source keeps committing: each call drains versions that
+    exist at call time and returns how many it applied — concurrent
+    source commits are picked up by the next call.
+    """
+    src_latest = latest_version(src_table)
+    if src_latest is None:
+        raise FileNotFoundError(f"no versions in {src_table}")
+    applied = 0
+    if latest_version(dst_table) is None:
+        snapshot_write(
+            dst_table,
+            snapshot_read(spark, src_table, version=0),
+            txn=(app_id, 0),
+        )
+        applied += 1
+    cursor = last_committed_txn(dst_table, app_id)
+    if cursor is None:
+        raise RuntimeError(
+            f"replica {dst_table} exists but has no txn ledger for "
+            f"app {app_id!r} — it was not bootstrapped by this loop"
+        )
+    for v in range(cursor + 1, src_latest + 1):
+        if max_versions is not None and applied >= max_versions:
+            break
+        feed = snapshot_changes(spark, src_table, v - 1, v)
+        dels = feed.filter(F.col("_change_type") == "delete").select(*keys)
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        cur = snapshot_read(spark, dst_table)
+        snapshot_write(
+            dst_table,
+            cur.join(dels, list(keys), "left_anti").unionByName(
+                ins, allowMissingColumns=True
+            ),
+            txn=(app_id, v),
+        )
+        applied += 1
+    return applied
+
+
 def vacuum(
     table: str, keep_last: int = 2, stage_retention_sec: float = 3600.0
 ) -> list[int]:

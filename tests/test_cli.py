@@ -434,3 +434,36 @@ def test_cli_audio_index_loop(spark, tmp_path):
             sorted(map(tuple, p2.collect()))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_simbands")
+
+
+def test_cli_snapshot_replicate_loop(spark, tmp_path):
+    """CDC replication through the CLI: two `snapshot replicate` calls
+    bracket fresh source commits; each drains what exists, replays are
+    no-ops, and the replica tracks the source row-for-row."""
+    from exceldatatransform_py_spark.cli import main
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "k long, x double"
+    )
+    snap.snapshot_write(
+        src, base.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    snap.snapshot_delete_dv(spark, src, "k", 10, 19)
+    main(["snapshot", "replicate", "--table", src,
+          "--replica", dst, "--keys", "k"])
+    assert sorted(tuple(r) for r in snap.snapshot_read(spark, dst).collect()) \
+        == sorted(tuple(r) for r in snap.snapshot_read(spark, src).collect())
+    snap.snapshot_merge_update_pruned(
+        spark, src,
+        spark.createDataFrame([(500, 5.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )
+    main(["snapshot", "replicate", "--table", src,
+          "--replica", dst, "--keys", "k"])
+    assert sorted(tuple(r) for r in snap.snapshot_read(spark, dst).collect()) \
+        == sorted(tuple(r) for r in snap.snapshot_read(spark, src).collect())
+    assert snap.last_committed_txn(dst, "cdf-replica") == 2

@@ -409,3 +409,194 @@ def test_last_newline_backward_block_scan(tmp_path):
     assert f(str(p), 0, 99_999, block=4096) == -1
     assert f(str(p), 100_001, len(data), block=4096) == -1
     assert f(str(p), 0, len(data)) == 100_000
+
+
+def test_snapshot_cdf_streams_commits_as_microbatches(spark, tmp_path):
+    """The change feed as a streaming source: commits landing after
+    the stream starts arrive as later micro-batches with version
+    offsets; a DV delete arrives as merge-on-read delete rows; a
+    layout-only compact emits nothing; nothing is re-emitted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot_cdf,
+    )
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "cdfsrc")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(80)], "k long, x double"
+    )
+    snapshot_write(
+        src, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_delete_dv(spark, src, "k", 10, 14)                # v1
+
+    register_snapshot_cdf(spark)
+    ckpt = tempfile.mkdtemp(prefix="cdf_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.format("memory")
+            .queryName("cdf_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM cdf_stream").collect()
+            # v1's feed: exactly the 5 DV-deleted rows
+            assert sorted((r.k, r._change_type, r._commit_version)
+                          for r in got) == [
+                (k, "delete", 1) for k in range(10, 15)
+            ]
+
+            # commits AFTER the stream started: layout-only compact
+            # (silent) + an insert merge
+            snapshot_compact(spark, src, target_rows_per_file=1000)  # v2
+            snapshot_merge_update_pruned(
+                spark, src,
+                spark.createDataFrame([(500, 5.0)], "k long, x double"),
+                on=["k"], update_cols=["x"], when_not_matched_insert=True,
+            )                                                        # v3
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT * FROM cdf_stream ORDER BY _commit_version, k"
+            ).collect()
+            assert [(r.k, r._change_type, r._commit_version)
+                    for r in got if r._commit_version > 1] == [
+                (500, "insert", 3)
+            ]
+            assert len(got) == 6  # no re-emission
+        finally:
+            q.stop()
+
+        # restart from the checkpoint: nothing replays; a new commit
+        # resumes from the stored version offset (memory sinks cannot
+        # recover a checkpoint, so the restarted query collects via
+        # foreachBatch)
+        snapshot_delete_dv(spark, src, "k", 20, 20)            # v4
+        seen = []
+
+        def collect_batch(batch, _bid):
+            seen.extend(
+                (r.k, r._change_type, r._commit_version)
+                for r in batch.collect()
+            )
+
+        q2 = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            assert sorted(seen) == [(20, "delete", 4)]
+        finally:
+            q2.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_cdf_streaming_replica_stays_identical(spark, tmp_path):
+    """The streaming replication loop: a foreachBatch consumer applies
+    the feed to a replica snapshot table (per source version, deletes
+    by key then inserts — with txn records so a replayed batch cannot
+    double-apply) while the source commits DV deletes, merges, and a
+    compact between micro-batches; the replica is row-identical to
+    the source after every drain."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot_cdf,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "rsrc")
+    dst = str(tmp_path / "rdst")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, x double"
+    )
+    snap.snapshot_write(
+        src, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    # bootstrap the replica at v0
+    snap.snapshot_write(dst, snap.snapshot_read(spark, src, version=0),
+                        txn=("cdf-stream", 0))
+
+    def apply_batch(batch, batch_id):
+        # a micro-batch may span several source versions: apply them
+        # in version order (a key updated twice needs its pairs in
+        # sequence); version-level txn records make replays no-ops
+        s = batch.sparkSession
+        versions = [
+            r[0] for r in batch.select("_commit_version")
+            .distinct().orderBy("_commit_version").collect()
+        ]
+        for v in versions:
+            fv = batch.filter(F.col("_commit_version") == v)
+            dels = fv.filter(F.col("_change_type") == "delete").select("k")
+            ins = fv.filter(F.col("_change_type") == "insert").select("k", "x")
+            cur = snap.snapshot_read(s, dst)
+            snap.snapshot_write(
+                dst,
+                cur.join(dels, ["k"], "left_anti").unionByName(ins),
+                txn=("cdf-stream", v),
+            )
+
+    register_snapshot_cdf(spark)
+    ckpt = tempfile.mkdtemp(prefix="cdf_repl_ckpt_")
+    snap.snapshot_delete_dv(spark, src, "k", 30, 49)           # v1
+    snap.snapshot_merge_update_pruned(
+        spark, src,
+        spark.createDataFrame([(7, 700.0), (300, 3.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v2
+    try:
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert sorted(tuple(r) for r in
+                          snap.snapshot_read(spark, dst).collect()) == \
+                sorted(tuple(r) for r in
+                       snap.snapshot_read(spark, src, version=2).collect())
+
+            snap.snapshot_compact(spark, src, target_rows_per_file=1000)
+            snap.snapshot_merge_update(
+                spark, src,
+                spark.createDataFrame([(100, -1.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+            )                                                  # v4
+            q.processAllAvailable()
+            assert sorted(tuple(r) for r in
+                          snap.snapshot_read(spark, dst).collect()) == \
+                sorted(tuple(r) for r in
+                       snap.snapshot_read(spark, src).collect())
+            assert snap.last_committed_txn(dst, "cdf-stream") == 4
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

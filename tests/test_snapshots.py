@@ -2450,3 +2450,64 @@ def test_change_feed_scans_only_changed_files(spark, table):
     rows = feed.collect()
     assert sorted(r.k for r in rows) == list(range(10, 20))
     assert all(r._change_type == "delete" for r in rows)
+
+
+def test_replicate_snapshot_changes_incremental_loop(spark, table, tmp_path):
+    """The version-cursor replication loop (txn ledger as the cursor):
+    each call drains the source versions that exist AT CALL TIME —
+    commits landing between calls arrive in the next call — applying
+    one version at a time; replaying a drained state is a no-op, so
+    the loop is exactly-once by the existing transaction records."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        last_committed_txn,
+        replicate_snapshot_changes,
+        snapshot_compact,
+        snapshot_delete_dv,
+        snapshot_merge_update,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(120)], "k long, x double"
+    )
+    snapshot_write(
+        src, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_delete_dv(spark, src, "k", 30, 49)                # v1
+    snapshot_merge_update_pruned(
+        spark, src,
+        spark.createDataFrame([(7, 700.0), (300, 3.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v2
+
+    # cycle 1: bootstrap + v1 + v2
+    n = replicate_snapshot_changes(spark, src, dst, keys=["k"])
+    assert n == 3 and last_committed_txn(dst, "cdf-replica") == 2
+    assert _rows(snapshot_read(spark, dst)) == _rows(
+        snapshot_read(spark, src, version=2)
+    )
+
+    # concurrent source commits: a layout-only compact (empty feed,
+    # cursor still advances) and an update+insert merge
+    snapshot_compact(spark, src, target_rows_per_file=1000)    # v3
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame([(100, -1.0), (301, 1.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v4
+
+    # cycle 2 picks them up
+    n = replicate_snapshot_changes(spark, src, dst, keys=["k"])
+    assert n == 2 and last_committed_txn(dst, "cdf-replica") == 4
+    assert _rows(snapshot_read(spark, dst)) == _rows(
+        snapshot_read(spark, src)
+    )
+
+    # replay: fully drained → no-op, replica unchanged
+    v_before = latest_version(dst)
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 0
+    assert latest_version(dst) == v_before
