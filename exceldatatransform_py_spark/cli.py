@@ -413,6 +413,12 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
     elif a == "vacuum":
         dropped = snap.vacuum(args.table, keep_last=args.keep_last)
         print(f"vacuumed versions {dropped}", file=sys.stderr)
+    elif a == "rename":
+        if not args.old or not args.new:
+            raise SystemExit("snapshot rename: --old and --new are required")
+        v = snap.snapshot_rename_column(args.table, args.old, args.new)
+        print(f"renamed {args.old} -> {args.new} as version {v}",
+              file=sys.stderr)
     elif a == "compact":
         v = snap.snapshot_compact(
             spark, args.table, target_rows_per_file=args.target_rows
@@ -509,7 +515,8 @@ def main(argv: list[str] | None = None) -> None:
                              "read / history / rollback / vacuum / compact")
     sn.add_argument("action",
                     choices=["write", "merge", "read", "history", "changes",
-                             "rollback", "vacuum", "compact", "replicate"])
+                             "rollback", "vacuum", "compact", "replicate",
+                             "rename"])
     sn.add_argument("--table", required=True, help="snapshot table root dir")
     sn.add_argument("--input", default=None,
                     help="parquet of rows to write / merge")
@@ -544,6 +551,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="replicate: row-identity keys, comma-separated")
     sn.add_argument("--app-id", default="cdf-replica",
                     help="replicate: txn-ledger writer id (the cursor)")
+    sn.add_argument("--old", default=None, help="rename: current column name")
+    sn.add_argument("--new", default=None, help="rename: new column name")
     sn.add_argument("--output", default=None,
                     help="read: parquet dir; omit to print")
     sn.add_argument("--limit", type=int, default=20)

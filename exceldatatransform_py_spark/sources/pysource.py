@@ -444,22 +444,38 @@ def _cdf_file_rows(
     table: str,
     rel: str,
     fields: list[str],
+    field_ids: dict | None = None,
     keep_pos: set | None = None,
     skip_pos: set | None = None,
 ):
     """Rows of one data file as tuples in ``fields`` order (missing
     columns → None — pre-evolution files under the latest schema),
-    filtered by row position."""
+    filtered by row position. ``field_ids`` ({latest name: id})
+    resolves file columns BY parquet field id first — files written
+    before a column RENAME emit under the current name, mirroring the
+    Spark-side id-based read."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(table, rel))
+    by_id = {}
+    for fld in t.schema:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = fld.name
+    colmap = {}
+    for f in fields:
+        fid = (field_ids or {}).get(f)
+        colmap[f] = by_id.get(int(fid), f) if fid is not None else f
     cols = {c: t[c].to_pylist() for c in t.column_names}
     for i in range(t.num_rows):
         if keep_pos is not None and i not in keep_pos:
             continue
         if skip_pos is not None and i in skip_pos:
             continue
-        yield tuple(cols[f][i] if f in cols else None for f in fields)
+        yield tuple(
+            cols[colmap[f]][i] if colmap[f] in cols else None
+            for f in fields
+        )
 
 
 class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
@@ -470,9 +486,12 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         self.table = path
         self.from_version = int(options.get("fromversion", 0))
         ms = _cdf_manifests(self.table)
-        self.fields = [
-            f["name"] for f in ms[max(ms)]["schema"]["fields"]
-        ]
+        latest_fields = ms[max(ms)]["schema"]["fields"]
+        self.fields = [f["name"] for f in latest_fields]
+        self.field_ids = {
+            f["name"]: (f.get("metadata") or {}).get("parquet.field.id")
+            for f in latest_fields
+        }
 
     def initialOffset(self) -> dict:
         return {"version": self.from_version}
@@ -498,6 +517,7 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                         row + ("insert", v)
                         for row in _cdf_file_rows(
                             self.table, rel, self.fields,
+                            field_ids=self.field_ids,
                             skip_pos=dvs.get(rel),
                         )
                     )
@@ -512,6 +532,7 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                         row + ("delete", v)
                         for row in _cdf_file_rows(
                             self.table, rel, self.fields,
+                            field_ids=self.field_ids,
                             skip_pos=dvs.get(rel),
                         )
                     )
@@ -535,7 +556,8 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                         yield from (
                             row + ("delete", v)
                             for row in _cdf_file_rows(
-                                self.table, rel, self.fields, keep_pos=newly
+                                self.table, rel, self.fields,
+                                field_ids=self.field_ids, keep_pos=newly,
                             )
                         )
 
@@ -579,8 +601,15 @@ class SnapshotCDFDataSource(DataSource):
             raise ValueError("snapshot_cdf source requires option 'path'")
         ms = _cdf_manifests(path)
         base = T.StructType.fromJson(ms[max(ms)]["schema"])
+        # metadata-free copy: the stream's output schema must not
+        # carry parquet.field.id metadata (the Python data source
+        # runner trips on field metadata; id-based column resolution
+        # happens inside the reader, not in Spark's scan)
+        out = T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in base]
+        )
         return (
-            base.add("_change_type", T.StringType())
+            out.add("_change_type", T.StringType())
             .add("_commit_version", T.IntegerType())
         )
 

@@ -611,6 +611,14 @@ def _commit(
         else dict(constraints)
     )
     _validate_constraints(df, effective)
+    # stable field IDs (rename-safe schema evolution): inherited by
+    # name from the parent, fresh 1..n on a new table
+    parent_manifest = None
+    if parent is not None:
+        parent_manifest = next(
+            (m for m in _manifests(table) if m["version"] == parent), None
+        )
+    df = _attach_field_ids(df, parent_manifest)
     data_dir = _active_protocol.stage_data_dir(table, df, v)
     manifest = {
         "version": v,
@@ -714,7 +722,7 @@ def _commit_layout_rewrite(
     import time as _t
 
     touched_set = set(touched)
-    data_dir = _stage_unique(table, df, base["version"] + 1)
+    data_dir, _ = _stage_unique(table, df, base["version"] + 1, parent=base)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(os.path.join(table, data_dir))
@@ -879,6 +887,7 @@ def snapshot_compact_small_files(
         table,
         [os.path.join(table, r) for r in small],
         {r: e for r, e in dv.items() if r in sset},
+        schema=_schema_for_read(spark, latest),
     )
     n_rows = sum(live_rows(r) for r in small)
     n_files = max(1, -(-n_rows // target_rows_per_file))
@@ -983,13 +992,18 @@ def _dv_rows(spark: SparkSession, table: str, dv: dict) -> DataFrame | None:
 
 
 def _scan_minus_dv(
-    spark: SparkSession, table: str, files: list[str], dv: dict
+    spark: SparkSession, table: str, files: list[str], dv: dict,
+    schema=None,
 ) -> DataFrame:
     """Scan ``files`` (absolute paths) with the deletion vectors of
     ``dv`` subtracted: tag each row with its (rel file, row position)
     from the parquet reader's ``_metadata`` and anti-join the sidecar
-    positions. Column set/order of the plain scan is preserved."""
-    scan = spark.read.parquet(*files)
+    positions. Column set/order of the plain scan is preserved.
+    ``schema`` (a StructType carrying ``parquet.field.id`` metadata)
+    makes the scan resolve columns BY FIELD ID — files written before
+    a column rename read under the current name."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    scan = reader.parquet(*files)
     rows = _dv_rows(spark, table, dv)
     if rows is None:
         return scan
@@ -1082,6 +1096,16 @@ def snapshot_read(
         raise ValueError(f"version {v} not in {sorted(by_v)}")
     m = by_v[v]
     dv = m.get("dv", {})
+    # field-id read schema: the version's manifest schema resolves
+    # columns by stable id, so files written before a RENAME read
+    # under this version's names (and time travel to a pre-rename
+    # version reads post-rename files under the OLD names)
+    rs = _schema_for_read(spark, m)
+
+    def _plain(files):
+        reader = spark.read.schema(rs) if rs is not None else spark.read
+        return reader.parquet(*files)
+
     if point_filter is not None:
         col, values = point_filter
         rels = _point_prune_files(
@@ -1093,9 +1117,9 @@ def snapshot_read(
                 [], T.StructType.fromJson(m["schema"])
             )
         scan = (
-            _scan_minus_dv(spark, table, files, dv)
+            _scan_minus_dv(spark, table, files, dv, schema=rs)
             if dv
-            else spark.read.parquet(*files)
+            else _plain(files)
         )
         return scan.filter(F.col(col).isin(list(values)))
     if "files" not in m:
@@ -1107,8 +1131,8 @@ def snapshot_read(
             [], T.StructType.fromJson(m["schema"])
         )
     if dv:
-        return _scan_minus_dv(spark, table, files, dv)
-    return spark.read.parquet(*files)
+        return _scan_minus_dv(spark, table, files, dv, schema=rs)
+    return _plain(files)
 
 
 def snapshot_merge_update(
@@ -1202,17 +1226,88 @@ def _footer_minmax(path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
-def _stage_unique(table: str, df: DataFrame, version: int) -> str:
+#: StructField metadata key Spark's parquet writer/reader use for
+#: field-ID matching (``spark.sql.parquet.fieldId.*``).
+_FIELD_ID_KEY = "parquet.field.id"
+
+
+def _schema_field_ids(schema_json: dict) -> dict:
+    """{column name: field id or None} from a manifest schema."""
+    return {
+        f["name"]: (f.get("metadata") or {}).get(_FIELD_ID_KEY)
+        for f in schema_json.get("fields", [])
+    }
+
+
+def _attach_field_ids(df: DataFrame, parent: dict | None) -> DataFrame:
+    """Attach Iceberg-style stable field IDs to ``df``'s columns as
+    ``parquet.field.id`` metadata (Spark writes them into the parquet
+    schema; readers with ``fieldId.read.enabled`` then match columns
+    BY ID, which is what makes column RENAME a metadata-only commit
+    that old files survive).
+
+    IDs are inherited from the parent manifest BY NAME; brand-new
+    columns get the next unused id; a brand-new table numbers 1..n. A
+    LEGACY parent without ids leaves the frame untouched — its files
+    carry no ids, so claiming ids in the manifest would make id-based
+    reads of inherited files fail; legacy tables stay name-matched
+    end-to-end."""
+    if parent is not None:
+        pids = _schema_field_ids(parent["schema"])
+        if not any(v is not None for v in pids.values()):
+            return df
+    else:
+        pids = {}
+    used = [v for v in pids.values() if v is not None]
+    nxt = max(used, default=0) + 1
+    out = []
+    for c in df.columns:
+        fid = pids.get(c)
+        if fid is None:
+            fid = nxt
+            nxt += 1
+        out.append(F.col(c).alias(c, metadata={_FIELD_ID_KEY: int(fid)}))
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true"
+    )
+    return df.select(*out)
+
+
+def _schema_for_read(spark: SparkSession, m: dict):
+    """The explicit read schema for a manifest, or None for legacy
+    (name-matched) tables. When ids exist, enable id-based parquet
+    column resolution on the session (a no-op for scans whose
+    requested schema carries no ids)."""
+    st = T.StructType.fromJson(m["schema"])
+    if not any(
+        f.metadata and f.metadata.get(_FIELD_ID_KEY) is not None
+        for f in st.fields
+    ):
+        return None
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return st
+
+
+def _stage_unique(
+    table: str, df: DataFrame, version: int, parent: dict | None = None
+) -> tuple[str, dict]:
     """Stage a file-level commit's rewritten files under a globally
     UNIQUE directory name — protocol-agnostic (no rename/link:
     object-store-safe) and collision-free under any concurrency, so a
     conflicted file-level commit can REBASE onto the new latest
-    without re-staging its parquet. The manifest's explicit "files"
-    list is authoritative; ``vacuum`` sweeps never-published unique
-    dirs past the retention horizon."""
+    without re-staging its parquet. Field IDs are attached from
+    ``parent`` (default: the table's latest manifest) before the
+    write. Returns ``(data_dir, schema_json)`` — the schema as staged,
+    ids included. The manifest's explicit "files" list is
+    authoritative; ``vacuum`` sweeps never-published unique dirs past
+    the retention horizon."""
+    if parent is None:
+        ms = _manifests(table)
+        parent = ms[-1] if ms else None
+    df = _attach_field_ids(df, parent)
     data_dir = f"d{version:05d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(os.path.join(table, data_dir))
-    return data_dir
+    return data_dir, df.schema.jsonValue()
 
 
 def _pruned_rebase_ok(
@@ -1483,6 +1578,7 @@ def snapshot_merge_update_pruned(
                 table,
                 [os.path.join(table, r) for r in touched],
                 {r: e for r, e in parent_dv.items() if r in tset},
+                schema=_schema_for_read(spark, latest),
             )
         else:  # insert-only commit: nothing matched, nothing rewritten
             target = spark.createDataFrame(
@@ -1503,7 +1599,9 @@ def snapshot_merge_update_pruned(
         _validate_constraints(merged, latest.get("constraints", {}))
         # unique staging: collision-free under concurrency, so a
         # rebase replays the SAME staged files at a later version
-        data_dir = _stage_unique(table, merged, latest["version"] + 1)
+        data_dir, staged_schema = _stage_unique(
+            table, merged, latest["version"] + 1, parent=latest
+        )
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -1514,9 +1612,7 @@ def snapshot_merge_update_pruned(
         file_stats.update(_collect_stats(table, new_files, [prune_col]))
         for rel in touched:
             file_stats.pop(rel, None)  # no longer part of the table
-    schema = (
-        merged.schema.jsonValue() if need_write else latest["schema"]
-    )
+    schema = staged_schema if need_write else latest["schema"]
     import time as _t
 
     new_rows = _collect_rows(table, new_files)
@@ -1694,6 +1790,7 @@ def snapshot_delete_range(
             table,
             [os.path.join(table, r) for r in touched],
             {r: e for r, e in parent_dv.items() if r in tset},
+            schema=_schema_for_read(spark, latest),
         )
         doomed = F.col(col).between(F.lit(lo), F.lit(hi))
         if extra_predicate is not None:
@@ -1704,7 +1801,9 @@ def snapshot_delete_range(
         _validate_constraints(kept, latest.get("constraints", {}))
         # unique staging: collision-free under concurrency, so a
         # conflicted delete can rebase its staged files verbatim
-        data_dir = _stage_unique(table, kept, latest["version"] + 1)
+        data_dir, _ = _stage_unique(
+            table, kept, latest["version"] + 1, parent=latest
+        )
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(os.path.join(table, data_dir))
@@ -1890,9 +1989,10 @@ def snapshot_delete_dv(
             doomed = doomed & F.coalesce(
                 F.expr(extra_predicate), F.lit(False)
             )
-        scan = spark.read.parquet(
-            *[os.path.join(table, r) for r in touched]
-        )
+        _rs = _schema_for_read(spark, latest)
+        scan = (
+            spark.read.schema(_rs) if _rs is not None else spark.read
+        ).parquet(*[os.path.join(table, r) for r in touched])
         hits = (
             scan.withColumn("rel", _rel_file_expr())
             .withColumn("pos", F.col("_metadata.row_index"))
@@ -2013,6 +2113,69 @@ def snapshot_delete_dv(
     )
 
 
+def snapshot_rename_column(table: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit (Delta/Iceberg
+    semantics, backed by stable field IDs): the manifest's schema
+    field changes NAME but keeps its ``parquet.field.id``, the file
+    set / deletion vectors / row counts are untouched, and the
+    per-file stats and bloom entries are re-keyed to the new name so
+    pruning keeps working. Readers resolve parquet columns by id
+    (``_schema_for_read``), so every pre-rename file reads under the
+    new name; time travel to a pre-rename version still shows the old
+    name (each version owns its schema); the change feed across the
+    rename is empty (no rows changed) and later steps emit the
+    current names.
+
+    Requires a field-id table (any table created by this engine);
+    legacy id-less tables cannot rename safely — their files only
+    match by name — and get a clear error instead of silent NULLs."""
+    import copy
+    import time as _t
+
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    names = [f["name"] for f in latest["schema"]["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    ids = _schema_field_ids(latest["schema"])
+    if ids.get(old) is None:
+        raise ValueError(
+            f"table {table} has no field ids on {old!r} — a legacy "
+            "id-less table cannot rename columns safely (its files "
+            "match by name only)"
+        )
+    import re as _re
+
+    for cname, cond in (latest.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", cond):
+            raise ValueError(
+                f"CHECK constraint {cname!r} ({cond!r}) references "
+                f"{old!r}; drop it (constraints={{}}) and re-add it "
+                "under the new name before renaming"
+            )
+    manifest = copy.deepcopy(latest)
+    for f in manifest["schema"]["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    for per_file in (manifest.get("stats", {}), manifest.get("blooms", {})):
+        for entry in per_file.values():
+            if old in entry:
+                entry[new] = entry.pop(old)
+    manifest.update(
+        version=latest["version"] + 1,
+        kind="rename_column",
+        parent=latest["version"],
+        ts=_t.time(),
+    )
+    manifest["rename"] = {"from": old, "to": new}
+    _publish(table, manifest)
+    return manifest["version"]
+
+
 def rollback(table: str, version: int) -> int:
     """Make ``version`` current again by committing it as a new
     version pointing at the SAME data directory (metadata-only, like
@@ -2092,6 +2255,11 @@ def snapshot_changes(
             F.lit(v).cast("int").alias("_commit_version"),
         )
 
+    # every step's scan reads under the TO-version schema resolved by
+    # field id — the feed stays coherent across column renames (rows
+    # from pre-rename files come out under the current names instead
+    # of NULL-filling a second column set in the union)
+    rs = _schema_for_read(spark, ms[to_version])
     pieces: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
         m_cur, m_prev = ms[v], ms[v - 1]
@@ -2108,6 +2276,7 @@ def snapshot_changes(
                 spark, table,
                 [os.path.join(table, r) for r in added],
                 {r: dv_cur[r] for r in added if r in dv_cur},
+                schema=rs,
             ), "insert", v))
         removed = sorted(prev_files - cur_files)
         if removed:
@@ -2115,6 +2284,7 @@ def snapshot_changes(
                 spark, table,
                 [os.path.join(table, r) for r in removed],
                 {r: dv_prev[r] for r in removed if r in dv_prev},
+                schema=rs,
             ), "delete", v))
         # carried files whose DV grew: the freshly-deleted positions
         grown = sorted(
@@ -2133,7 +2303,10 @@ def snapshot_changes(
                     F.col("rel").isin(list(prev_entries))
                 )
                 cur_pos = cur_pos.join(prev_pos, ["rel", "pos"], "left_anti")
-            scan = spark.read.parquet(
+            reader = (
+                spark.read.schema(rs) if rs is not None else spark.read
+            )
+            scan = reader.parquet(
                 *[os.path.join(table, r) for r in grown]
             )
             cols = scan.columns

@@ -600,3 +600,63 @@ def test_snapshot_cdf_streaming_replica_stays_identical(spark, tmp_path):
             q.stop()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_cdf_stream_reads_across_rename(spark, tmp_path):
+    """A stream started AFTER a column rename emits pre-rename files'
+    rows under the new name (the Python reader resolves file columns
+    by parquet field id, mirroring the Spark-side read)."""
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot_cdf,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "rnsrc")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, x double"
+    )
+    snap.snapshot_write(
+        src, base.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snap.snapshot_merge_update_pruned(
+        spark, src,
+        spark.createDataFrame([(500, 5.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v1 (pre-rename file)
+    snap.snapshot_rename_column(src, "x", "amount")            # v2
+    snap.snapshot_delete_dv(spark, src, "k", 3, 4)             # v3
+
+    register_snapshot_cdf(spark)
+    ckpt = tempfile.mkdtemp(prefix="cdf_rn_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.format("memory")
+            .queryName("cdf_rn")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM cdf_rn").collect()
+            assert set(got[0].asDict()) == {
+                "k", "amount", "_change_type", "_commit_version"
+            }
+            rows = sorted(
+                (r.k, r.amount, r._change_type, r._commit_version)
+                for r in got
+            )
+            assert rows == [
+                (3, 3.0, "delete", 3), (4, 4.0, "delete", 3),
+                (500, 5.0, "insert", 1),
+            ]
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

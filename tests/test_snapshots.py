@@ -2511,3 +2511,155 @@ def test_replicate_snapshot_changes_incremental_loop(spark, table, tmp_path):
     v_before = latest_version(dst)
     assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 0
     assert latest_version(dst) == v_before
+
+
+def test_rename_column_field_id_reads_and_merges(spark, table):
+    """RENAME COLUMN via stable field IDs: metadata-only commit; files
+    written before the rename read under the NEW name (id-matched);
+    time travel to a pre-rename version shows the OLD name; merges
+    after the rename keep pruning on the manifest's re-keyed stats."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+        snapshot_rename_column,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k long, x double"
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(500, 5.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v1
+    v = snapshot_rename_column(table, "x", "amount")           # v2
+    assert v == 2
+
+    # latest read: new name everywhere, including the pre-rename files
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "amount"]
+    vals = {r.k: r.amount for r in got.collect()}
+    assert vals[7] == 7.0 and vals[500] == 5.0 and len(vals) == 201
+
+    # time travel: each version owns its schema
+    old = snapshot_read(spark, table, version=1)
+    assert old.columns == ["k", "x"]
+    assert {r.k: r.x for r in old.collect()}[500] == 5.0
+
+    # rename is metadata-only: same files, same field id
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    assert m2["files"] == m1["files"]
+    ids1 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m1["schema"]["fields"]
+    }
+    ids2 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m2["schema"]["fields"]
+    }
+    assert ids2["amount"] == ids1["x"] and ids2["k"] == ids1["k"]
+
+    # merge AFTER the rename updates the renamed column in pre-rename
+    # files — and still FILE-PRUNES on the re-keyed stats
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(10, -1.0)], "k long, amount double"),
+        on=["k"], update_cols=["amount"],
+    )                                                          # v3
+    with open(os.path.join(table, "_versions", "v00003.json")) as f:
+        m3 = json.load(f)
+    assert m3["pruning"]["rewritten_files"] == 1
+    got = {r.k: r.amount for r in snapshot_read(spark, table).collect()}
+    assert got[10] == -1.0 and got[11] == 11.0 and len(got) == 201
+
+    # a second rename of the MERGE KEY column keeps pruning alive
+    snapshot_rename_column(table, "k", "id")                   # v4
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(150, -2.0)], "id long, amount double"),
+        on=["id"], update_cols=["amount"],
+    )                                                          # v5
+    with open(os.path.join(table, "_versions", "v00005.json")) as f:
+        m5 = json.load(f)
+    assert m5["pruning"]["rewritten_files"] == 1
+    got = {r.id: r.amount for r in snapshot_read(spark, table).collect()}
+    assert got[150] == -2.0 and got[10] == -1.0
+
+
+def test_rename_column_change_feed_stays_coherent(spark, table):
+    """The change feed ACROSS a rename: the rename itself emits
+    nothing (no rows changed), and every step reads under the
+    to-version schema — rows from pre-rename files come out under the
+    new name instead of NULL-filling a second column set."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+        snapshot_rename_column,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, x double"
+    )
+    snapshot_write(
+        table, base.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(500, 5.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v1
+    snapshot_rename_column(table, "x", "amount")               # v2
+    snapshot_delete_dv(spark, table, "k", 10, 12)              # v3
+
+    feed = snapshot_changes(spark, table, 0)
+    assert set(feed.columns) == {"k", "amount", "_change_type",
+                                 "_commit_version"}
+    rows = sorted(
+        (r.k, r.amount, r._change_type, r._commit_version)
+        for r in feed.collect()
+    )
+    # v1's insert under the NEW name (non-null), v2 silent, v3 deletes
+    assert rows == [
+        (10, 10.0, "delete", 3), (11, 11.0, "delete", 3),
+        (12, 12.0, "delete", 3), (500, 5.0, "insert", 1),
+    ]
+
+
+def test_rename_column_guards(spark, table):
+    """Error paths: unknown/duplicate names, constraints referencing
+    the renamed column, and legacy id-less tables."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, x double")
+    snapshot_write(table, df, constraints={"pos": "x > 0"})
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_rename_column(table, "nope", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_rename_column(table, "x", "k")
+    with pytest.raises(ValueError, match="constraint"):
+        snapshot_rename_column(table, "x", "amount")
+    # legacy table: strip the ids from the manifest → clear refusal
+    p = os.path.join(table, "_versions", "v00000.json")
+    with open(p) as f:
+        m = json.load(f)
+    for fld in m["schema"]["fields"]:
+        fld.get("metadata", {}).pop("parquet.field.id", None)
+    m.pop("constraints")
+    with open(p, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="legacy"):
+        snapshot_rename_column(table, "x", "amount")
