@@ -643,6 +643,97 @@ def snapshot_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# RENAME COLUMN, scored end-to-end: commit a range-clustered orders
+# snapshot, file-pruned-merge a key range (v1, pre-rename files),
+# RENAME the merge-key column (v2, metadata-only — stable field IDs;
+# per-file stats re-keyed), then file-pruned-merge ON THE RENAMED KEY
+# (v3: pre-rename files resolve by field id, pruning runs on the
+# re-keyed stats), and read v1 (old schema) and v3 (new schema) back.
+# The oracle is the two plain CASE projections — the rename machinery
+# (id-matched reads, re-keyed pruning, per-version schemas) must be
+# relationally invisible.
+# ---------------------------------------------------------------------------
+
+_RN_LO1, _RN_HI1 = 1000, 3000
+_RN_LO2, _RN_HI2 = 4000, 6000
+
+
+@register(
+    "snapshot_rename_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    )
+    SELECT 1 AS version, k AS order_id,
+           CASE WHEN k BETWEEN {_RN_LO1} AND {_RN_HI1}
+                THEN p * 2 ELSE p END AS o_totalprice
+    FROM t
+    UNION ALL
+    SELECT 3, k,
+           CASE WHEN k BETWEEN {_RN_LO1} AND {_RN_HI1}
+                THEN p * 2 ELSE p END
+           + CASE WHEN k BETWEEN {_RN_LO2} AND {_RN_HI2}
+                  THEN 100.0 ELSE 0.0 END
+    FROM t
+    """,
+)
+def snapshot_rename_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_rnq_{token}")
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(
+        table,
+        base.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )                                                          # v0
+    key = F.col("o_orderkey")
+    snapshot_merge_update_pruned(
+        spark, table,
+        base.filter(key.between(_RN_LO1, _RN_HI1)).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        on=["o_orderkey"], update_cols=["o_totalprice"],
+    )                                                          # v1
+    snapshot_rename_column(table, "o_orderkey", "order_id")    # v2
+    v1 = snapshot_read(spark, table, version=1)  # old schema
+    cur = snapshot_read(spark, table)            # renamed schema
+    snapshot_merge_update_pruned(
+        spark, table,
+        cur.filter(F.col("order_id").between(_RN_LO2, _RN_HI2)).select(
+            "order_id",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        ),
+        on=["order_id"], update_cols=["o_totalprice"],
+    )                                                          # v3
+    v3 = snapshot_read(spark, table, version=3)
+    return v1.select(
+        F.lit(1).cast("int").alias("version"),
+        F.col("o_orderkey").alias("order_id"),
+        "o_totalprice",
+    ).unionByName(v3.select(
+        F.lit(3).cast("int").alias("version"), "order_id", "o_totalprice"
+    ))
+
+
 @register(
     "snapshot_dv_delete_orders",
     oracle=f"""

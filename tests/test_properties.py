@@ -561,6 +561,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "incremental_audio_dedup_probe",
         "video_near_dup_pairs",
         "ann_ivf_pq_residual_topk",
+        "snapshot_rename_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
