@@ -1112,7 +1112,9 @@ def _pq_stored_shape(spark, table_prefix: str) -> tuple[int, int, bool]:
     if "residual" in tbl.columns:
         aggs.append(F.max("residual").alias("res"))
     row = tbl.agg(*aggs).collect()[0]
-    res = bool(row.res) if "residual" in tbl.columns else False
+    res = bool(row.res) if "residual" in tbl.columns and row.res else False
+    if row.m is None:  # empty corpus → empty codebooks: nothing to
+        return 0, 0, res  # reconstruct; serve yields zero candidates
     return int(row.m), int(row.m) * int(row.sub_d), res
 
 
