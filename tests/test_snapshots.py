@@ -2663,3 +2663,94 @@ def test_rename_column_guards(spark, table):
         json.dump(m, f)
     with pytest.raises(ValueError, match="legacy"):
         snapshot_rename_column(table, "x", "amount")
+
+
+@pytest.mark.parametrize("proto", ["posix", "conditional_put"])
+def test_disjoint_dv_deletes_rebase_on_both_protocols(spark, table, proto):
+    """The r9 DV-delete rebase is protocol-independent: both the
+    POSIX hardlink commit point and the object-store conditional-put
+    commit point resolve the disjoint race by replaying the loser's
+    sidecar."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    protocol = (
+        snap.PosixCommitProtocol()
+        if proto == "posix"
+        else snap.ConditionalPutCommitProtocol()
+    )
+    with snap.use_commit_protocol(protocol):
+        base = spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+        )
+        snapshot_write(
+            table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+            stats_cols=["k"],
+        )
+
+        def winner(tbl):
+            snap.snapshot_delete_dv(spark, tbl, "k", 390, 399)
+
+        with mock.patch.object(
+            snap, "_publish",
+            side_effect=_race_once(snap, {"delete_dv"}, winner),
+        ):
+            v = snap.snapshot_delete_dv(spark, table, "k", 10, 19)
+        assert v == 2
+        got = sorted(r.k for r in snapshot_read(spark, table).collect())
+        assert got == [
+            k for k in range(400) if not (10 <= k <= 19 or 390 <= k)
+        ]
+        assert snap.snapshot_count(table) == 380
+
+
+def test_widening_merge_assigns_fresh_field_id_and_rename_survives(
+    spark, table
+):
+    """Schema evolution + rename interplay: a merge that ADDS a column
+    gives it the next unused field id (existing ids untouched), and a
+    later rename of the ORIGINAL column still id-resolves rows from
+    files written at every epoch — including the pre-widening ones
+    that lack the added column entirely (NULL backfill)."""
+    import json
+
+    from exceldatatransform_py_spark.operators.merge import merge_full
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    snapshot_write(table, base, stats_cols=["k"])              # v0
+    # widen by overwrite-commit (the snapshot layer's schema-evolution
+    # path): same rows plus a new column
+    widened = snapshot_read(spark, table).withColumn(
+        "note", F.concat(F.lit("n"), F.col("k").cast("string"))
+    )
+    snapshot_write(table, widened)                             # v1
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    ids0 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m0["schema"]["fields"]
+    }
+    ids1 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m1["schema"]["fields"]
+    }
+    assert ids1["k"] == ids0["k"] and ids1["x"] == ids0["x"]
+    assert ids1["note"] == max(ids0.values()) + 1
+
+    snapshot_rename_column(table, "x", "amount")               # v2
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "amount", "note"]
+    vals = {r.k: (r.amount, r.note) for r in got.collect()}
+    assert vals[7] == (7.0, "n7") and len(vals) == 50
+    # time travel to v0: original two-column schema
+    assert snapshot_read(spark, table, version=0).columns == ["k", "x"]
