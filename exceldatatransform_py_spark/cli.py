@@ -419,6 +419,11 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
         v = snap.snapshot_rename_column(args.table, args.old, args.new)
         print(f"renamed {args.old} -> {args.new} as version {v}",
               file=sys.stderr)
+    elif a == "drop":
+        if not args.old:
+            raise SystemExit("snapshot drop: --old is required")
+        v = snap.snapshot_drop_column(args.table, args.old)
+        print(f"dropped {args.old} as version {v}", file=sys.stderr)
     elif a == "compact":
         v = snap.snapshot_compact(
             spark, args.table, target_rows_per_file=args.target_rows
@@ -516,7 +521,7 @@ def main(argv: list[str] | None = None) -> None:
     sn.add_argument("action",
                     choices=["write", "merge", "read", "history", "changes",
                              "rollback", "vacuum", "compact", "replicate",
-                             "rename"])
+                             "rename", "drop"])
     sn.add_argument("--table", required=True, help="snapshot table root dir")
     sn.add_argument("--input", default=None,
                     help="parquet of rows to write / merge")

@@ -618,7 +618,9 @@ def _commit(
         parent_manifest = next(
             (m for m in _manifests(table) if m["version"] == parent), None
         )
-    df = _attach_field_ids(df, parent_manifest)
+    df = _attach_field_ids(
+        df, parent_manifest, floor=_max_field_id(table)
+    )
     data_dir = _active_protocol.stage_data_dir(table, df, v)
     manifest = {
         "version": v,
@@ -1239,7 +1241,23 @@ def _schema_field_ids(schema_json: dict) -> dict:
     }
 
 
-def _attach_field_ids(df: DataFrame, parent: dict | None) -> DataFrame:
+def _max_field_id(table: str) -> int:
+    """Highest field id EVER assigned in any version of ``table`` —
+    the Iceberg last-column-id: a dropped column's id must never be
+    reused (a re-added name with a recycled id would resurrect the
+    dropped values from old files). Manifests survive vacuum (only
+    data dirs are swept), so the scan is durable."""
+    out = 0
+    for m in _manifests(table):
+        for v in _schema_field_ids(m["schema"]).values():
+            if v is not None and v > out:
+                out = v
+    return out
+
+
+def _attach_field_ids(
+    df: DataFrame, parent: dict | None, floor: int = 0
+) -> DataFrame:
     """Attach Iceberg-style stable field IDs to ``df``'s columns as
     ``parquet.field.id`` metadata (Spark writes them into the parquet
     schema; readers with ``fieldId.read.enabled`` then match columns
@@ -1259,7 +1277,7 @@ def _attach_field_ids(df: DataFrame, parent: dict | None) -> DataFrame:
     else:
         pids = {}
     used = [v for v in pids.values() if v is not None]
-    nxt = max(used, default=0) + 1
+    nxt = max(max(used, default=0), floor) + 1
     out = []
     for c in df.columns:
         fid = pids.get(c)
@@ -1304,7 +1322,7 @@ def _stage_unique(
     if parent is None:
         ms = _manifests(table)
         parent = ms[-1] if ms else None
-    df = _attach_field_ids(df, parent)
+    df = _attach_field_ids(df, parent, floor=_max_field_id(table))
     data_dir = f"d{version:05d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(os.path.join(table, data_dir))
     return data_dir, df.schema.jsonValue()
@@ -2172,6 +2190,69 @@ def snapshot_rename_column(table: str, old: str, new: str) -> int:
         ts=_t.time(),
     )
     manifest["rename"] = {"from": old, "to": new}
+    _publish(table, manifest)
+    return manifest["version"]
+
+
+def snapshot_drop_column(table: str, col: str) -> int:
+    """DROP COLUMN as a metadata-only commit (the rename's companion,
+    same stable-field-id foundation): the column leaves the manifest
+    schema — zero data bytes rewritten; readers project it away
+    because every scan requests the manifest schema explicitly — and
+    its per-file stats/bloom entries are dropped. The physical bytes
+    linger in existing files until the next rewrite/compaction, like
+    Delta/Iceberg drops.
+
+    The id mechanism gives the Iceberg resurrection guarantee for
+    free: a LATER column with the same name gets a FRESH field id
+    (``_attach_field_ids`` inherits by name from the parent, and the
+    parent no longer has the name), so id-based reads NULL-fill old
+    files instead of resurrecting the dropped values.
+
+    Guards mirror the rename's: the last column cannot be dropped,
+    CHECK constraints referencing the column must be dropped first,
+    and legacy id-less tables refuse (their name-matched readers
+    WOULD resurrect a re-added name)."""
+    import copy
+    import re as _re
+    import time as _t
+
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    names = [f["name"] for f in latest["schema"]["fields"]]
+    if col not in names:
+        raise ValueError(f"column {col!r} not in {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    if _schema_field_ids(latest["schema"]).get(col) is None:
+        raise ValueError(
+            f"table {table} has no field ids on {col!r} — a legacy "
+            "id-less table cannot drop columns safely (a re-added "
+            "name would resurrect the old values)"
+        )
+    for cname, cond in (latest.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", cond):
+            raise ValueError(
+                f"CHECK constraint {cname!r} ({cond!r}) references "
+                f"{col!r}; drop it (constraints={{}}) before dropping "
+                "the column"
+            )
+    manifest = copy.deepcopy(latest)
+    manifest["schema"]["fields"] = [
+        f for f in manifest["schema"]["fields"] if f["name"] != col
+    ]
+    for per_file in (manifest.get("stats", {}), manifest.get("blooms", {})):
+        for entry in per_file.values():
+            entry.pop(col, None)
+    manifest.update(
+        version=latest["version"] + 1,
+        kind="drop_column",
+        parent=latest["version"],
+        ts=_t.time(),
+    )
+    manifest["drop"] = {"column": col}
     _publish(table, manifest)
     return manifest["version"]
 

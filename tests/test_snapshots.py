@@ -2754,3 +2754,87 @@ def test_widening_merge_assigns_fresh_field_id_and_rename_survives(
     assert vals[7] == (7.0, "n7") and len(vals) == 50
     # time travel to v0: original two-column schema
     assert snapshot_read(spark, table, version=0).columns == ["k", "x"]
+
+
+def test_drop_column_metadata_only_and_no_resurrection(spark, table):
+    """DROP COLUMN: metadata-only (same files); readers project it
+    away; time travel still shows it; and a LATER column with the
+    SAME NAME gets a fresh field id, so old files NULL-fill instead
+    of resurrecting the dropped values — even when the dropped id was
+    the highest ever assigned (the retired-id floor)."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_drop_column,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i), f"n{i}") for i in range(40)],
+        "k long, x double, note string",
+    )
+    snapshot_write(table, base, stats_cols=["k"])              # v0
+    v = snapshot_drop_column(table, "note")                    # v1
+    assert v == 1
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    import exceldatatransform_py_spark.sources.snapshots as _snap
+
+    assert _snap._manifest_files(table, m1) == _snap._manifest_files(
+        table, m0
+    )  # zero bytes rewritten
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "x"]
+    assert snapshot_read(spark, table, version=0).columns == [
+        "k", "x", "note"
+    ]
+
+    # merges after the drop keep working on the remaining columns
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(3, -1.0)], "k long, x double"),
+        on=["k"], update_cols=["x"],
+    )                                                          # v2
+    assert {r.k: r.x for r in snapshot_read(spark, table).collect()}[3] == -1.0
+
+    # re-add a column with the SAME NAME (overwrite commit): fresh id
+    cur = snapshot_read(spark, table)
+    snapshot_write(table, cur.withColumn("note", F.lit("fresh")))  # v3
+    with open(os.path.join(table, "_versions", "v00003.json")) as f:
+        m3 = json.load(f)
+    ids0 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m0["schema"]["fields"]
+    }
+    ids3 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m3["schema"]["fields"]
+    }
+    assert ids3["note"] > ids0["note"]  # retired id never reused
+    vals = {r.k: r.note for r in snapshot_read(spark, table).collect()}
+    assert set(vals.values()) == {"fresh"}  # no resurrection
+
+
+def test_drop_column_guards(spark, table):
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_drop_column,
+        snapshot_write,
+    )
+
+    snapshot_write(
+        table, spark.createDataFrame([(1, 2.0)], "k long, x double"),
+        constraints={"pos": "x > 0"},
+    )
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_drop_column(table, "nope")
+    with pytest.raises(ValueError, match="constraint"):
+        snapshot_drop_column(table, "x")
+    snapshot_write(
+        table, spark.createDataFrame([(1,)], "k long"), constraints={}
+    )
+    with pytest.raises(ValueError, match="last column"):
+        snapshot_drop_column(table, "k")
