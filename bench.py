@@ -125,6 +125,13 @@ SERIAL_SET_EXT = [
     "classifier_holdout_eval", "curation_pipeline_v3",
     "bpe_encode_corpus", "ann_ivf_pq_refine_topk",
     "bm25_index_topk", "ivf_operating_curve",
+    # r10 additions: the fusion retrieval query was r9's only pooled
+    # mover with no serial twin (4.3→12.2s, untouched code — pure
+    # contention, unadjudicable without this), and the snapshot table
+    # format had zero serial coverage despite seven scored queries.
+    # serial_ext_total therefore jumps by their cost in r10 — compare
+    # the SHARED six against the r9 32-38s band, not the total.
+    "multimodal_rrf_retrieval", "snapshot_cdf_orders",
 ]
 
 

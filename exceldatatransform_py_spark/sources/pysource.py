@@ -396,7 +396,11 @@ def register(spark) -> None:
 # Layout-only commits (compact/zorder) are skipped.
 # ---------------------------------------------------------------------------
 
-_CDF_LAYOUT_ONLY = {"compact", "zorder"}
+from exceldatatransform_py_spark.sources.snapshot_common import (
+    LAYOUT_ONLY_KINDS as _CDF_LAYOUT_ONLY,
+    SnapshotRetentionError,
+    SnapshotStreamSchemaChangedError,
+)
 
 
 def _cdf_manifests(table: str) -> dict[int, dict]:
@@ -465,7 +469,13 @@ def _cdf_file_rows(
     colmap = {}
     for f in fields:
         fid = (field_ids or {}).get(f)
-        colmap[f] = by_id.get(int(fid), f) if fid is not None else f
+        # an id-carrying column resolves STRICTLY by id: a file
+        # without that id NULL-fills, never falls back to the name —
+        # after DROP + re-add of the same name (fresh id), name
+        # fallback would resurrect the dropped values from pre-drop
+        # files, diverging from the Spark batch read. Name matching
+        # remains only for legacy id-less tables (fid is None).
+        colmap[f] = by_id.get(int(fid)) if fid is not None else f
     cols = {c: t[c].to_pylist() for c in t.column_names}
     for i in range(t.num_rows):
         if keep_pos is not None and i not in keep_pos:
@@ -473,7 +483,9 @@ def _cdf_file_rows(
         if skip_pos is not None and i in skip_pos:
             continue
         yield tuple(
-            cols[colmap[f]][i] if colmap[f] in cols else None
+            cols[colmap[f]][i]
+            if colmap[f] is not None and colmap[f] in cols
+            else None
             for f in fields
         )
 
@@ -486,28 +498,106 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         self.table = path
         self.from_version = int(options.get("fromversion", 0))
         ms = _cdf_manifests(self.table)
-        latest_fields = ms[max(ms)]["schema"]["fields"]
+        self.init_version = max(ms)
+        latest_fields = ms[self.init_version]["schema"]["fields"]
         self.fields = [f["name"] for f in latest_fields]
         self.field_ids = {
             f["name"]: (f.get("metadata") or {}).get("parquet.field.id")
             for f in latest_fields
         }
 
+    def _check_schema(self, v: int, m: dict) -> None:
+        """Schema-evolution contract for commits landing MID-STREAM
+        (pinned; it was undefined): the output schema is fixed at
+        reader init, so a later version may RENAME columns (same
+        field ids — the strict id-resolution maps them) or DROP them
+        (the dead column NULL-fills under the stable schema), but a
+        version that ADDS a column the init schema cannot represent
+        raises ``SnapshotStreamSchemaChangedError`` — restart the
+        stream to pick up the new schema — rather than silently
+        emitting rows with the new column's values missing."""
+        if v <= self.init_version:
+            return
+        known_ids = {
+            int(i) for i in self.field_ids.values() if i is not None
+        }
+        added = []
+        for f in m["schema"]["fields"]:
+            fid = (f.get("metadata") or {}).get("parquet.field.id")
+            if fid is not None:
+                if int(fid) not in known_ids:
+                    added.append(f["name"])
+            elif f["name"] not in self.fields:  # legacy id-less table
+                added.append(f["name"])
+        if added:
+            raise SnapshotStreamSchemaChangedError(self.table, v, added)
+
     def initialOffset(self) -> dict:
         return {"version": self.from_version}
+
+    def _require_retained(self, v: int, ms: dict, rels) -> None:
+        """Typed retention error (mirrors the batch feed's): a vacuumed
+        file under a checkpointed offset range must not surface as a
+        raw pyarrow file-not-found."""
+        missing = next(
+            (r for r in rels
+             if not os.path.exists(os.path.join(self.table, r))),
+            None,
+        )
+        if missing is None:
+            return
+        horizon = None
+        for vv in sorted(ms, reverse=True):
+            m = ms[vv]
+            if "files" not in m and not os.path.isdir(
+                os.path.join(self.table, m["data_dir"])
+            ):
+                break
+            ok = all(
+                os.path.exists(os.path.join(self.table, r))
+                for r in _cdf_files(self.table, m)
+            ) and all(
+                os.path.isdir(os.path.join(self.table, e["dir"]))
+                for e in m.get("dv", {}).values()
+            )
+            if not ok:
+                break
+            horizon = vv
+        raise SnapshotRetentionError(self.table, v, horizon, missing)
 
     def _between(self, from_v: int, to_v: int):
         ms = _cdf_manifests(self.table)
         for v in range(from_v + 1, to_v + 1):
             m_cur, m_prev = ms[v], ms[v - 1]
+            self._check_schema(v, m_cur)
             if m_cur.get("kind") in _CDF_LAYOUT_ONLY:
                 continue
+            for m in (m_prev, m_cur):
+                if "files" not in m and not os.path.isdir(
+                    os.path.join(self.table, m["data_dir"])
+                ):
+                    self._require_retained(v, ms, [m["data_dir"]])
             prev_files = set(_cdf_files(self.table, m_prev))
             cur_files = set(_cdf_files(self.table, m_cur))
             dv_prev = m_prev.get("dv", {})
             dv_cur = m_cur.get("dv", {})
 
             added = sorted(cur_files - prev_files)
+            removed = sorted(prev_files - cur_files)
+            grown = sorted(
+                r for r in (cur_files & prev_files)
+                if r in dv_cur and dv_cur[r].get("dir") != (
+                    dv_prev.get(r) or {}
+                ).get("dir")
+            )
+            needed_dv = {
+                dv_cur[r]["dir"] for r in added + grown if r in dv_cur
+            } | {
+                dv_prev[r]["dir"] for r in removed + grown if r in dv_prev
+            }
+            self._require_retained(
+                v, ms, added + removed + grown + sorted(needed_dv)
+            )
             if added:
                 dvs = _cdf_dv_positions(
                     self.table, {r: dv_cur[r] for r in added if r in dv_cur}
@@ -521,7 +611,6 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                             skip_pos=dvs.get(rel),
                         )
                     )
-            removed = sorted(prev_files - cur_files)
             if removed:
                 dvs = _cdf_dv_positions(
                     self.table,
@@ -536,12 +625,6 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
                             skip_pos=dvs.get(rel),
                         )
                     )
-            grown = sorted(
-                r for r in (cur_files & prev_files)
-                if r in dv_cur and dv_cur[r].get("dir") != (
-                    dv_prev.get(r) or {}
-                ).get("dir")
-            )
             if grown:
                 cur_pos = _cdf_dv_positions(
                     self.table, {r: dv_cur[r] for r in grown}
@@ -604,9 +687,12 @@ class SnapshotCDFDataSource(DataSource):
         # metadata-free copy: the stream's output schema must not
         # carry parquet.field.id metadata (the Python data source
         # runner trips on field metadata; id-based column resolution
-        # happens inside the reader, not in Spark's scan)
+        # happens inside the reader, not in Spark's scan). Every data
+        # column is forced NULLABLE: rows from pre-evolution files
+        # NULL-fill added/re-added columns by design, so the feed can
+        # never promise non-null even when the latest commit does.
         out = T.StructType(
-            [T.StructField(f.name, f.dataType, f.nullable) for f in base]
+            [T.StructField(f.name, f.dataType, True) for f in base]
         )
         return (
             out.add("_change_type", T.StringType())

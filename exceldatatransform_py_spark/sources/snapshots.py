@@ -66,6 +66,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from exceldatatransform_py_spark.operators.merge import merge_update
+from exceldatatransform_py_spark.sources.snapshot_common import (
+    LAYOUT_ONLY_KINDS as _LAYOUT_ONLY_KINDS,
+    SCHEMA_ONLY_KINDS as _SCHEMA_ONLY_KINDS,
+    SnapshotRetentionError,
+)
 
 _VDIR = "_versions"
 _DVDIR = "_dv"
@@ -618,9 +623,8 @@ def _commit(
         parent_manifest = next(
             (m for m in _manifests(table) if m["version"] == parent), None
         )
-    df = _attach_field_ids(
-        df, parent_manifest, floor=_max_field_id(table)
-    )
+    floor = _last_field_id(table, parent_manifest)
+    df = _attach_field_ids(df, parent_manifest, floor=floor)
     data_dir = _active_protocol.stage_data_dir(table, df, v)
     manifest = {
         "version": v,
@@ -630,6 +634,7 @@ def _commit(
         "ts": time.time(),
         "schema": df.schema.jsonValue(),
     }
+    _record_last_field_id(manifest, floor)
     if effective:
         manifest["constraints"] = effective
     if txn is not None:
@@ -1246,13 +1251,46 @@ def _max_field_id(table: str) -> int:
     the Iceberg last-column-id: a dropped column's id must never be
     reused (a re-added name with a recycled id would resurrect the
     dropped values from old files). Manifests survive vacuum (only
-    data dirs are swept), so the scan is durable."""
+    data dirs are swept), so the scan is durable.
+
+    This full-history scan is the FALLBACK for pre-r10 manifests:
+    commits record ``last_field_id`` (Iceberg's last-column-id field)
+    so ``_last_field_id`` reads only the parent's value — without it,
+    every commit re-parses every version manifest (rows/stats/bloom
+    maps included) and long-lived tables go quadratic in commits."""
     out = 0
     for m in _manifests(table):
         for v in _schema_field_ids(m["schema"]).values():
             if v is not None and v > out:
                 out = v
     return out
+
+
+def _last_field_id(table: str, parent: dict | None = None) -> int:
+    """The id floor for new columns: the parent manifest's recorded
+    ``last_field_id`` (O(1) — one already-parsed manifest), falling
+    back to the full history scan once for tables whose latest commit
+    predates the field (the next commit records it)."""
+    if parent is None:
+        ms = _manifests(table)
+        parent = ms[-1] if ms else None
+    if parent is None:
+        return 0
+    lf = parent.get("last_field_id")
+    if lf is not None:
+        return int(lf)
+    return _max_field_id(table)
+
+
+def _record_last_field_id(manifest: dict, floor: int) -> None:
+    """Stamp ``last_field_id`` = max(parent floor, ids in this
+    manifest's schema) — monotone across commits, so retired ids are
+    never reused even after the column leaves the schema."""
+    ids = [
+        v for v in _schema_field_ids(manifest["schema"]).values()
+        if v is not None
+    ]
+    manifest["last_field_id"] = max([int(floor), *map(int, ids)])
 
 
 def _attach_field_ids(
@@ -1322,7 +1360,7 @@ def _stage_unique(
     if parent is None:
         ms = _manifests(table)
         parent = ms[-1] if ms else None
-    df = _attach_field_ids(df, parent, floor=_max_field_id(table))
+    df = _attach_field_ids(df, parent, floor=_last_field_id(table, parent))
     data_dir = f"d{version:05d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(os.path.join(table, data_dir))
     return data_dir, df.schema.jsonValue()
@@ -1413,6 +1451,11 @@ def _publish_with_rebase(
     attempts = 0
     while True:
         manifest = build_manifest(cur, attempts)
+        # file-level commits never mint ids, so the parent's recorded
+        # last_field_id carries forward (stamped here once for every
+        # file-level commit kind rather than in each build_manifest)
+        if "last_field_id" not in manifest:
+            _record_last_field_id(manifest, _last_field_id(table, cur))
         try:
             _publish(table, manifest)
             return manifest["version"]
@@ -2131,7 +2174,82 @@ def snapshot_delete_dv(
     )
 
 
-def snapshot_rename_column(table: str, old: str, new: str) -> int:
+def _schema_commit_sig(m: dict):
+    """(schema fields incl. ids, constraints) — what a metadata-only
+    commit's validity depends on. A winner with the SAME signature
+    provably didn't interact with a rename/drop, so the loser replays
+    onto it instead of aborting."""
+    return (
+        [
+            (
+                f.get("name"),
+                f.get("type"),
+                (f.get("metadata") or {}).get(_FIELD_ID_KEY),
+            )
+            for f in m.get("schema", {}).get("fields", [])
+        ],
+        m.get("constraints", {}),
+    )
+
+
+def _metadata_commit(
+    table: str,
+    latest: dict,
+    mutate,
+    kind: str,
+    txn: tuple[str, int] | None,
+    rebase: bool,
+    max_rebase: int,
+) -> int:
+    """Shared publish loop for metadata-only commits (rename / drop):
+    build the manifest from whichever parent the commit finally lands
+    on, replaying onto winners whose schema and constraints are
+    unchanged (a disjoint pruned merge / DV delete / compact racing a
+    rename is file-level traffic the rename provably doesn't interact
+    with — aborting it was the r9 gap). A winner that itself changed
+    the schema or constraints conflicts deterministically."""
+    import copy
+    import time as _t
+
+    def build_manifest(cur: dict, attempts: int) -> dict:
+        manifest = copy.deepcopy(cur)
+        # a deepcopied parent drags along commit-specific keys that
+        # would lie about THIS commit (the parent's txn would corrupt
+        # the idempotence ledger; its pruning/rename/drop describe
+        # the parent's work)
+        for k in ("txn", "pruning", "rename", "drop", "rebased"):
+            manifest.pop(k, None)
+        mutate(manifest)
+        manifest.update(
+            version=cur["version"] + 1,
+            kind=kind,
+            parent=cur["version"],
+            ts=_t.time(),
+        )
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        if attempts:
+            manifest["rebased"] = attempts
+        _record_last_field_id(manifest, _last_field_id(table, cur))
+        return manifest
+
+    return _publish_with_rebase(
+        table, latest, build_manifest,
+        rebase_ok=lambda nxt: (
+            _schema_commit_sig(nxt) == _schema_commit_sig(latest)
+        ),
+        cleanup=lambda: None, rebase=rebase, max_rebase=max_rebase,
+    )
+
+
+def snapshot_rename_column(
+    table: str,
+    old: str,
+    new: str,
+    txn: tuple[str, int] | None = None,
+    rebase: bool = True,
+    max_rebase: int = 5,
+) -> int:
     """RENAME COLUMN as a metadata-only commit (Delta/Iceberg
     semantics, backed by stable field IDs): the manifest's schema
     field changes NAME but keeps its ``parquet.field.id``, the file
@@ -2146,10 +2264,20 @@ def snapshot_rename_column(table: str, old: str, new: str) -> int:
 
     Requires a field-id table (any table created by this engine);
     legacy id-less tables cannot rename safely — their files only
-    match by name — and get a clear error instead of silent NULLs."""
-    import copy
-    import time as _t
+    match by name — and get a clear error instead of silent NULLs.
 
+    Concurrency: a rename losing the version race to a writer that
+    did NOT change the schema or constraints (pruned merge, DV
+    delete, compaction — file-level traffic) REBASES onto the winner
+    (re-keying the winner's stats/blooms) instead of aborting; a
+    winner that widened/renamed/dropped conflicts deterministically.
+    ``txn`` makes the commit idempotent for replication ledgers, like
+    every data commit."""
+    import re as _re
+
+    done = _txn_already_applied(table, txn)
+    if done is not None:
+        return done
     ms = _manifests(table)
     if not ms:
         raise FileNotFoundError(f"no versions in {table}")
@@ -2166,8 +2294,6 @@ def snapshot_rename_column(table: str, old: str, new: str) -> int:
             "id-less table cannot rename columns safely (its files "
             "match by name only)"
         )
-    import re as _re
-
     for cname, cond in (latest.get("constraints") or {}).items():
         if _re.search(rf"\b{_re.escape(old)}\b", cond):
             raise ValueError(
@@ -2175,26 +2301,31 @@ def snapshot_rename_column(table: str, old: str, new: str) -> int:
                 f"{old!r}; drop it (constraints={{}}) and re-add it "
                 "under the new name before renaming"
             )
-    manifest = copy.deepcopy(latest)
-    for f in manifest["schema"]["fields"]:
-        if f["name"] == old:
-            f["name"] = new
-    for per_file in (manifest.get("stats", {}), manifest.get("blooms", {})):
-        for entry in per_file.values():
-            if old in entry:
-                entry[new] = entry.pop(old)
-    manifest.update(
-        version=latest["version"] + 1,
-        kind="rename_column",
-        parent=latest["version"],
-        ts=_t.time(),
+
+    def mutate(manifest: dict) -> None:
+        for f in manifest["schema"]["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        for per_file in (
+            manifest.get("stats", {}), manifest.get("blooms", {})
+        ):
+            for entry in per_file.values():
+                if old in entry:
+                    entry[new] = entry.pop(old)
+        manifest["rename"] = {"from": old, "to": new}
+
+    return _metadata_commit(
+        table, latest, mutate, "rename_column", txn, rebase, max_rebase
     )
-    manifest["rename"] = {"from": old, "to": new}
-    _publish(table, manifest)
-    return manifest["version"]
 
 
-def snapshot_drop_column(table: str, col: str) -> int:
+def snapshot_drop_column(
+    table: str,
+    col: str,
+    txn: tuple[str, int] | None = None,
+    rebase: bool = True,
+    max_rebase: int = 5,
+) -> int:
     """DROP COLUMN as a metadata-only commit (the rename's companion,
     same stable-field-id foundation): the column leaves the manifest
     schema — zero data bytes rewritten; readers project it away
@@ -2212,11 +2343,13 @@ def snapshot_drop_column(table: str, col: str) -> int:
     Guards mirror the rename's: the last column cannot be dropped,
     CHECK constraints referencing the column must be dropped first,
     and legacy id-less tables refuse (their name-matched readers
-    WOULD resurrect a re-added name)."""
-    import copy
+    WOULD resurrect a re-added name). Concurrency and ``txn`` follow
+    the rename's contract (rebase onto schema-preserving winners)."""
     import re as _re
-    import time as _t
 
+    done = _txn_already_applied(table, txn)
+    if done is not None:
+        return done
     ms = _manifests(table)
     if not ms:
         raise FileNotFoundError(f"no versions in {table}")
@@ -2239,22 +2372,20 @@ def snapshot_drop_column(table: str, col: str) -> int:
                 f"{col!r}; drop it (constraints={{}}) before dropping "
                 "the column"
             )
-    manifest = copy.deepcopy(latest)
-    manifest["schema"]["fields"] = [
-        f for f in manifest["schema"]["fields"] if f["name"] != col
-    ]
-    for per_file in (manifest.get("stats", {}), manifest.get("blooms", {})):
-        for entry in per_file.values():
-            entry.pop(col, None)
-    manifest.update(
-        version=latest["version"] + 1,
-        kind="drop_column",
-        parent=latest["version"],
-        ts=_t.time(),
+    def mutate(manifest: dict) -> None:
+        manifest["schema"]["fields"] = [
+            f for f in manifest["schema"]["fields"] if f["name"] != col
+        ]
+        for per_file in (
+            manifest.get("stats", {}), manifest.get("blooms", {})
+        ):
+            for entry in per_file.values():
+                entry.pop(col, None)
+        manifest["drop"] = {"column": col}
+
+    return _metadata_commit(
+        table, latest, mutate, "drop_column", txn, rebase, max_rebase
     )
-    manifest["drop"] = {"column": col}
-    _publish(table, manifest)
-    return manifest["version"]
 
 
 def rollback(table: str, version: int) -> int:
@@ -2273,13 +2404,60 @@ def rollback(table: str, version: int) -> int:
         by_v[version], version=v, kind="rollback", parent=parent,
         ts=time.time(),
     )
+    # the restored manifest's snapshot of last_field_id may predate
+    # ids minted since — the floor must stay monotone over the FULL
+    # history or a post-rollback ADD could recycle a retired id
+    manifest.pop("txn", None)
+    _record_last_field_id(
+        manifest,
+        max(
+            _last_field_id(table, by_v[version]),
+            _last_field_id(table, ms[-1]),
+        ),
+    )
     _publish(table, manifest)
     return v
 
 
-#: layout-maintenance commit kinds: rows identical before/after, so
-#: the change feed skips them (Delta's dataChange=false files).
-_LAYOUT_ONLY_KINDS = {"compact", "zorder"}
+def _fully_retained(table: str, m: dict) -> bool:
+    """True iff every data file and DV sidecar dir of manifest ``m``
+    still exists on disk (vacuum has not touched this version)."""
+    if "files" not in m and not os.path.isdir(
+        os.path.join(table, m["data_dir"])
+    ):
+        return False
+    for rel in _manifest_files(table, m):
+        if not os.path.exists(os.path.join(table, rel)):
+            return False
+    for e in m.get("dv", {}).values():
+        if not os.path.isdir(os.path.join(table, e["dir"])):
+            return False
+    return True
+
+
+def _retention_horizon(table: str, ms: list[dict]) -> int | None:
+    """Oldest version from which every version through latest is
+    still fully retained — the resume point named by
+    ``SnapshotRetentionError``."""
+    horizon = None
+    for m in reversed(ms):
+        if not _fully_retained(table, m):
+            break
+        horizon = m["version"]
+    return horizon
+
+
+def _require_retained(
+    table: str, version: int, rels: list[str], ms: list[dict]
+) -> None:
+    """Raise ``SnapshotRetentionError`` (instead of a raw downstream
+    file-not-found, or — worse — an empty scan) when any file a feed
+    step must read was vacuumed."""
+    for rel in rels:
+        if not os.path.exists(os.path.join(table, rel)):
+            raise SnapshotRetentionError(
+                table, version, _retention_horizon(table, ms), rel
+            )
 
 
 def snapshot_changes(
@@ -2341,17 +2519,48 @@ def snapshot_changes(
     # from pre-rename files come out under the current names instead
     # of NULL-filling a second column set in the union)
     rs = _schema_for_read(spark, ms[to_version])
+    all_ms = [ms[v] for v in sorted(ms)]
     pieces: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
         m_cur, m_prev = ms[v], ms[v - 1]
         if m_cur.get("kind") in _LAYOUT_ONLY_KINDS:
             continue
+        # a vacuumed DIRECTORY-level manifest can't even list its
+        # files — surface the typed retention error, not the listdir
+        for m in (m_prev, m_cur):
+            dd = os.path.join(table, m["data_dir"])
+            if "files" not in m and not os.path.isdir(dd):
+                raise SnapshotRetentionError(
+                    table, v, _retention_horizon(table, all_ms),
+                    m["data_dir"],
+                )
         prev_files = set(_manifest_files(table, m_prev))
         cur_files = set(_manifest_files(table, m_cur))
         dv_prev = m_prev.get("dv", {})
         dv_cur = m_cur.get("dv", {})
 
         added = sorted(cur_files - prev_files)
+        removed = sorted(prev_files - cur_files)
+        grown = sorted(
+            r for r in (cur_files & prev_files)
+            if r in dv_cur and dv_cur[r].get("dir") != (
+                dv_prev.get(r) or {}
+            ).get("dir")
+        )
+        # vacuum-horizon guard: this step reconstructs deletes from
+        # files live at the PARENT version — files vacuum may already
+        # have dropped. Fail with a typed retention error naming the
+        # resume point instead of a raw file-not-found mid-scan (or,
+        # worse, a silently empty one). Only what the step actually
+        # reads is demanded: the changed files and their sidecars.
+        needed_dv = {
+            dv_cur[r]["dir"] for r in added + grown if r in dv_cur
+        } | {
+            dv_prev[r]["dir"] for r in removed + grown if r in dv_prev
+        }
+        _require_retained(
+            table, v, added + removed + grown + sorted(needed_dv), all_ms
+        )
         if added:
             pieces.append(tag(_scan_minus_dv(
                 spark, table,
@@ -2359,7 +2568,6 @@ def snapshot_changes(
                 {r: dv_cur[r] for r in added if r in dv_cur},
                 schema=rs,
             ), "insert", v))
-        removed = sorted(prev_files - cur_files)
         if removed:
             pieces.append(tag(_scan_minus_dv(
                 spark, table,
@@ -2368,12 +2576,6 @@ def snapshot_changes(
                 schema=rs,
             ), "delete", v))
         # carried files whose DV grew: the freshly-deleted positions
-        grown = sorted(
-            r for r in (cur_files & prev_files)
-            if r in dv_cur and dv_cur[r].get("dir") != (
-                dv_prev.get(r) or {}
-            ).get("dir")
-        )
         if grown:
             cur_pos = _dv_rows(
                 spark, table, {r: dv_cur[r] for r in grown}

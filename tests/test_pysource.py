@@ -660,3 +660,162 @@ def test_snapshot_cdf_stream_reads_across_rename(spark, tmp_path):
             q.stop()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_cdf_stream_no_resurrection_after_drop_readd(spark, tmp_path):
+    """Strict field-id resolution in the stream reader: after DROP
+    COLUMN and a later re-add of the same name (fresh id), rows from
+    pre-drop files must NULL-fill the re-added column — name fallback
+    would resurrect the dropped values, diverging from the Spark
+    batch read (which resolves strictly by id)."""
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot_cdf,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "drsrc")
+    base = spark.createDataFrame(
+        [(i, float(i), f"n{i}") for i in range(6)],
+        "k long, x double, note string",
+    )
+    snap.snapshot_write(src, base.coalesce(1))                 # v0
+    snap.snapshot_drop_column(src, "note")                     # v1
+    cur = snap.snapshot_read(spark, src)
+    snap.snapshot_write(
+        src, cur.withColumn("note", F.lit("fresh")).coalesce(1)
+    )                                                          # v2 re-add
+
+    register_snapshot_cdf(spark)
+    ckpt = tempfile.mkdtemp(prefix="cdf_dr_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.format("memory")
+            .queryName("cdf_dr")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM cdf_dr").collect()
+            # v2 overwrite: v0 files leave (deletes), new files arrive
+            dels = [r for r in got if r._change_type == "delete"]
+            ins = [r for r in got if r._change_type == "insert"]
+            assert len(dels) == 6 and len(ins) == 6
+            # pre-drop files: the re-added name has a FRESH id the old
+            # files don't carry — NULL, never the dropped "n{i}" values
+            assert {r.note for r in dels} == {None}
+            assert {r.note for r in ins} == {"fresh"}
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_cdf_stream_schema_contract_mid_stream(spark, tmp_path):
+    """The pinned mid-stream schema-evolution contract: a RENAME
+    (same field ids) and a DROP (NULL-filled dead column) keep the
+    stream alive under its init-time schema; an ADDED column raises
+    the restart-required error instead of silently emitting rows
+    with the new column's values missing."""
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot_cdf,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "evsrc")
+    base = spark.createDataFrame(
+        [(i, float(i), f"n{i}") for i in range(8)],
+        "k long, x double, note string",
+    )
+    snap.snapshot_write(src, base.coalesce(1), stats_cols=["k"])   # v0
+
+    register_snapshot_cdf(spark)
+    ckpt = tempfile.mkdtemp(prefix="cdf_ev_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src).load()
+            .writeStream.format("memory")
+            .queryName("cdf_ev")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # mid-stream: rename x (ids unchanged) then drop note,
+            # then a data commit whose new files lack both old names
+            snap.snapshot_rename_column(src, "x", "amount")        # v1
+            snap.snapshot_drop_column(src, "note")                 # v2
+            snap.snapshot_merge_update_pruned(
+                spark, src,
+                spark.createDataFrame(
+                    [(100, 100.0)], "k long, amount double"
+                ),
+                on=["k"], update_cols=["amount"],
+                when_not_matched_insert=True,
+            )                                                      # v3
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT * FROM cdf_ev WHERE _commit_version = 3 "
+                "AND _change_type = 'insert'"
+            ).collect()
+            # output schema is STABLE (init-time names); the renamed
+            # column emits by id under the init name, the dropped one
+            # NULL-fills for post-drop files
+            by_k = {r.k: r for r in got}
+            assert by_k[100].x == 100.0 and by_k[100].note is None
+
+            # an ADD mid-stream kills the stream with the typed error
+            cur = snap.snapshot_read(spark, src)
+            snap.snapshot_write(
+                src, cur.withColumn("extra", F.lit(1)).coalesce(1)
+            )                                                      # v4
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="restart the stream"):
+                q.processAllAvailable()
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_cdf_stream_retention_error_past_vacuum(spark, tmp_path):
+    """A checkpointed offset range whose files vacuum dropped must
+    surface the typed retention error (naming the resume horizon),
+    not a raw pyarrow file-not-found."""
+    import pytest as _pytest
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        SnapshotCDFStreamReader,
+    )
+    from exceldatatransform_py_spark.sources.snapshot_common import (
+        SnapshotRetentionError,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "vacsrc")
+    for n in (8, 4, 2):
+        snap.snapshot_write(
+            src,
+            spark.createDataFrame([(i,) for i in range(n)], "k long")
+            .coalesce(1),
+        )                                                      # v0..v2
+    snap.vacuum(src, keep_last=1)
+
+    reader = SnapshotCDFStreamReader({"path": src})
+    with _pytest.raises(SnapshotRetentionError) as ei:
+        it, _ = reader.read({"version": 0})
+        list(it)
+    assert ei.value.horizon == 2

@@ -2838,3 +2838,172 @@ def test_drop_column_guards(spark, table):
     )
     with pytest.raises(ValueError, match="last column"):
         snapshot_drop_column(table, "k")
+
+
+def test_change_feed_past_vacuum_horizon_raises_typed_error(spark, table):
+    """The change feed reconstructs deletes from files live at the
+    PARENT version — files vacuum may have dropped. A feed read past
+    the retention horizon must fail with the typed retention error
+    naming the oldest fully retained version (Delta's
+    VersionNotFoundException analogue), never a raw file-not-found or
+    a silently empty scan."""
+    from exceldatatransform_py_spark.sources.snapshot_common import (
+        SnapshotRetentionError,
+    )
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_changes,
+    )
+
+    snapshot_write(
+        table, spark.createDataFrame([(i,) for i in range(8)], "k long")
+    )                                                          # v0
+    snapshot_write(
+        table, spark.createDataFrame([(i,) for i in range(4)], "k long")
+    )                                                          # v1
+    snapshot_write(
+        table, spark.createDataFrame([(i,) for i in range(2)], "k long")
+    )                                                          # v2
+    vacuum(table, keep_last=1)
+
+    with pytest.raises(SnapshotRetentionError) as ei:
+        snapshot_changes(spark, table, 0, 1).collect()
+    assert ei.value.horizon == 2  # oldest fully retained version
+    assert ei.value.version == 1  # the step that needed vacuumed files
+    assert "oldest fully retained version is 2" in str(ei.value)
+
+    # within the horizon the feed still works (nothing to diff at the
+    # latest version alone, but the manifests and files are live)
+    assert snapshot_changes(spark, table, 2, 2).count() == 0
+
+
+def test_rename_rebases_onto_disjoint_file_commit(spark, table):
+    """A metadata-only RENAME losing the version race to a writer
+    that did NOT change the schema (a pruned merge on other files)
+    REPLAYS onto the winner instead of aborting — the winner's fresh
+    files/stats are inherited and re-keyed, and both commits land."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    snapshot_write(
+        table, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["x"],
+    )                                                          # v0
+
+    def winner(tbl):
+        snap.snapshot_merge_update_pruned(
+            spark, tbl,
+            spark.createDataFrame([(5, -5.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"rename_column"}, winner),
+    ):
+        v = snap.snapshot_rename_column(table, "x", "amount")
+    assert v == 2  # rename rebased onto the merge's v1
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    assert m2["rebased"] == 1 and m2["kind"] == "rename_column"
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "amount"]
+    vals = {r.k: r.amount for r in got.collect()}
+    assert vals[5] == -5.0 and vals[7] == 7.0  # winner's merge honored
+    # per-file stats re-keyed to the new name (the winner's fresh
+    # file carries merge-key "k" stats; no entry keeps the old name)
+    assert any("amount" in st for st in m2["stats"].values())
+    assert not any("x" in st for st in m2["stats"].values())
+
+
+def test_rename_racing_schema_change_conflicts(spark, table):
+    """A rename racing a winner that itself CHANGED the schema (a
+    widening merge) must conflict deterministically — replaying the
+    rename onto a different schema is not provably safe."""
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    snapshot_write(
+        table,
+        spark.createDataFrame([(1, 1.0)], "k long, x double"),
+    )                                                          # v0
+
+    def winner(tbl):
+        snap.snapshot_merge_update(
+            spark, tbl,
+            spark.createDataFrame(
+                [(1, 2.0, "w")], "k long, x double, note string"
+            ),
+            on=["k"], update_cols=["x", "note"], evolve_schema=True,
+        )
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"rename_column"}, winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_rename_column(table, "x", "amount")
+    # the winner's widening landed untouched; a retry then succeeds
+    assert snapshot_read(spark, table).columns == ["k", "x", "note"]
+    snap.snapshot_rename_column(table, "x", "amount")
+    assert snapshot_read(spark, table).columns == ["k", "amount", "note"]
+
+
+def test_last_field_id_recorded_and_read_from_parent_only(spark, table):
+    """Commits record Iceberg-style ``last_field_id`` so the id floor
+    is read from the PARENT manifest alone — without the full
+    history re-parse that made long-lived tables quadratic. The
+    retired-id floor survives drop and rollback."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    snapshot_write(
+        table,
+        spark.createDataFrame([(1, 1.0, "a")], "k long, x double, n string"),
+    )                                                          # v0
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        assert json.load(f)["last_field_id"] == 3
+    snap.snapshot_drop_column(table, "n")                      # v1
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        assert json.load(f)["last_field_id"] == 3  # retired, not reused
+
+    # once the parent records the floor, commits never re-scan the
+    # full history: _max_field_id must not be called at all
+    with mock.patch.object(
+        snap, "_max_field_id",
+        side_effect=AssertionError("full-history scan on a recorded table"),
+    ):
+        snapshot_write(
+            table,
+            spark.createDataFrame(
+                [(1, 1.0, "a", 9)], "k long, x double, n string, extra long"
+            ),
+        )                                                      # v2
+        snap.snapshot_merge_update_pruned(
+            spark, table,
+            spark.createDataFrame([(1, -1.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )                                                      # v3
+        rollback(table, 0)                                     # v4
+    with open(os.path.join(table, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    ids2 = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in m2["schema"]["fields"]
+    }
+    # the re-added name and the new column both minted FRESH ids past
+    # the recorded floor (no resurrection of the dropped n)
+    assert ids2["n"] > 3 and ids2["extra"] > 3 and m2["last_field_id"] == 5
+    with open(os.path.join(table, "_versions", "v00003.json")) as f:
+        assert json.load(f)["last_field_id"] == 5
+    # a rollback to v0 must NOT lower the floor to v0's snapshot —
+    # ids minted since stay retired
+    with open(os.path.join(table, "_versions", "v00004.json")) as f:
+        assert json.load(f)["last_field_id"] == 5
