@@ -2617,6 +2617,204 @@ def snapshot_changes(
     return out
 
 
+def _apply_cdc_version(
+    spark: SparkSession,
+    table: str,
+    dels: DataFrame | None,
+    ins: DataFrame | None,
+    keys: Sequence[str],
+    txn: tuple[str, int],
+) -> int:
+    """Apply ONE source version's change feed to a replica as ONE
+    commit (kind ``cdc_apply``) whose physical cost is O(changed
+    rows), never O(replica):
+
+    * ``dels`` (distinct key tuples) land as DELETION VECTORS on only
+      the files whose cached min/max stats / blooms say they may hold
+      a matching key — zero data files rewritten, every file inherited
+      by reference (the r9 loop full-rewrote the replica per source
+      version: O(replica × versions) at 100 TB);
+    * ``ins`` lands as appended files (``_stage_unique``); a widened
+      source schema widens the replica here — new columns mint fresh
+      field ids and pre-widen files NULL-fill, exactly like a local
+      widening commit;
+    * one manifest = one source version = one ``txn`` ledger entry,
+      so the exactly-once cursor contract is unchanged (a crash
+      between two half-applied commits cannot exist).
+
+    Delete semantics match the rewrite path it replaces: key equality
+    is NULL-safe (a NULL-keyed delete removes NULL-keyed rows)."""
+    import time as _t
+
+    ms = _manifests(table)
+    if not ms:
+        raise FileNotFoundError(f"no versions in {table}")
+    latest = ms[-1]
+    files = _manifest_files(table, latest)
+    parent_dv = latest.get("dv", {})
+    cached_stats = latest.get("stats", {})
+    blooms = latest.get("blooms", {})
+    prune_col = keys[0]
+
+    # ---- deletes → consolidated deletion vectors on pruned files ----
+    new_dv = dict(parent_dv)
+    dv_dir: str | None = None
+    n_dv_files = 0
+    touched: list[str] = []
+    if dels is not None:
+        bounds = dels.agg(
+            F.min(prune_col).alias("lo"),
+            F.max(prune_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(prune_col).alias("n_nonnull"),
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        nulls_in_dels = bounds["n"] > bounds["n_nonnull"]
+        probe_pairs = None
+        if any(prune_col in e for e in blooms.values()):
+            probe_pairs = _bloom_probe_pairs(dels, prune_col)
+        for rel in files:
+            cached = cached_stats.get(rel, {}).get(prune_col)
+            if cached is not None:
+                mm = (_stat_decode(cached[0]), _stat_decode(cached[1]))
+                nc = cached[2] if len(cached) >= 3 else None
+            else:
+                mm = _footer_minmax(os.path.join(table, rel), prune_col)
+                nc = _footer_nullcount(os.path.join(table, rel), prune_col)
+            may_nonnull = lo is not None and (
+                mm is None or not (mm[1] < lo or mm[0] > hi)
+            )
+            if may_nonnull and probe_pairs is not None:
+                hexmap = blooms.get(rel, {}).get(prune_col)
+                if hexmap is not None and not _bloom_may_contain(
+                    hexmap, probe_pairs
+                ):
+                    may_nonnull = False
+            may_null = nulls_in_dels and (nc is None or nc > 0)
+            if may_nonnull or may_null:
+                touched.append(rel)
+    if touched:
+        _rs = _schema_for_read(spark, latest)
+        scan = (
+            spark.read.schema(_rs) if _rs is not None else spark.read
+        ).parquet(*[os.path.join(table, r) for r in touched])
+        d = dels.select(
+            *[F.col(k).alias(f"__del_{k}") for k in keys]
+        ).dropDuplicates()
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__del_{k}"))
+            cond = c if cond is None else cond & c
+        hits = (
+            scan.withColumn("rel", _rel_file_expr())
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .join(d, cond, "left_semi")
+            .select("rel", "pos")
+        )
+        # fold in prior positions so each touched file's fresh sidecar
+        # is its COMPLETE deletion vector (no double counting)
+        old = {r: e for r, e in parent_dv.items() if r in set(touched)}
+        old_rows = _dv_rows(spark, table, old)
+        if old_rows is not None:
+            prior = old_rows.filter(F.col("rel").isin(list(old)))
+            merged = hits.join(
+                prior, ["rel", "pos"], "left_anti"
+            ).unionByName(prior)
+        else:
+            merged = hits
+        counts = {
+            r["rel"]: int(r["n"])
+            for r in merged.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if counts:
+            dv_dir = os.path.join(
+                _DVDIR, f"v{latest['version'] + 1:05d}-{uuid.uuid4().hex[:8]}"
+            )
+            n_out = max(1, sum(counts.values()) // 4_000_000)
+            merged.repartition(n_out, "rel").write.mode(
+                "errorifexists"
+            ).parquet(os.path.join(table, dv_dir))
+            for rel in touched:
+                if rel in counts:
+                    new_dv[rel] = {"dir": dv_dir, "count": counts[rel]}
+                else:
+                    new_dv.pop(rel, None)
+            n_dv_files = sum(1 for rel in touched if rel in counts)
+
+    # ---- inserts → appended files (schema may widen) ----
+    data_dir: str | None = None
+    new_files: list[str] = []
+    schema = latest["schema"]
+    if ins is not None:
+        _validate_constraints(ins, latest.get("constraints", {}))
+        data_dir, schema = _stage_unique(
+            table, ins, latest["version"] + 1, parent=latest
+        )
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(os.path.join(table, data_dir))
+            if f.endswith(".parquet")
+        )
+
+    stats_out = dict(cached_stats)
+    if new_files:
+        stats_out.update(_collect_stats(table, new_files, [prune_col]))
+    blooms_out = dict(blooms)
+    if new_files and any(prune_col in e for e in blooms.values()):
+        blooms_out.update(
+            _collect_blooms(spark, table, new_files, [prune_col])
+        )
+    rows_map = latest.get("rows", {})
+    manifest = {
+        "version": latest["version"] + 1,
+        "data_dir": data_dir if data_dir is not None else latest["data_dir"],
+        "files": new_files + list(files),
+        "rows": {
+            **{
+                r: rows_map[r]
+                if r in rows_map
+                else _footer_rows(os.path.join(table, r))
+                for r in files
+            },
+            **_collect_rows(table, new_files),
+        },
+        "kind": "cdc_apply",
+        "parent": latest["version"],
+        "ts": _t.time(),
+        "schema": schema,
+        "stats": stats_out,
+        **({"blooms": blooms_out} if blooms_out else {}),
+        "txn": {"app": txn[0], "batch": int(txn[1])},
+        "pruning": {
+            "col": prune_col,
+            "rewritten_files": 0,
+            "appended_files": len(new_files),
+            "dv_files": n_dv_files,
+            "scanned_files": len(touched),
+            "inherited_files": len(files),
+        },
+        **(
+            {"constraints": latest["constraints"]}
+            if latest.get("constraints")
+            else {}
+        ),
+    }
+    if new_dv:
+        manifest["dv"] = new_dv
+    _record_last_field_id(manifest, _last_field_id(table, latest))
+    try:
+        _publish(table, manifest)
+    except SnapshotConflictError:
+        if data_dir is not None:
+            shutil.rmtree(os.path.join(table, data_dir), ignore_errors=True)
+        if dv_dir is not None:
+            shutil.rmtree(os.path.join(table, dv_dir), ignore_errors=True)
+        raise
+    return manifest["version"]
+
+
 def replicate_snapshot_changes(
     spark: SparkSession,
     src_table: str,
@@ -2634,15 +2832,25 @@ def replicate_snapshot_changes(
       no side files, and a crashed/replayed application of an
       already-applied version is a no-op by the ledger's ``<= max``
       rule;
-    * versions apply ONE AT A TIME (deletes by ``keys`` anti-join,
-      then inserts appended — Delta's merge-from-CDF recipe): a key
-      updated in two consecutive source versions must see its delete/
-      insert pairs in order, so multi-version feeds cannot be folded
-      into one application;
-    * layout-only source commits produce an empty feed and still
-      advance the cursor (the replica re-commits its rows unchanged);
+    * versions apply ONE AT A TIME as ONE ``cdc_apply`` commit each
+      (``_apply_cdc_version``): deletes become deletion vectors on
+      the pruned files, inserts become appended files, every other
+      file is inherited BY REFERENCE — O(changed rows) per source
+      version, never a replica rewrite. A key updated in two
+      consecutive source versions still sees its delete/insert pairs
+      in order, because versions are never folded;
+    * SCHEMA commits replay as schema commits: a source
+      ``rename_column``/``drop_column`` runs the same metadata-only
+      commit on the replica (the feed is empty — without the replay,
+      later inserts under the new name would silently fork the
+      column); a rename of a replication KEY re-keys the loop's own
+      join keys mid-drain; dropping a key column fails fast;
+    * layout-only source commits advance the cursor with a
+      metadata-only ``cdc_noop`` commit (nothing re-written);
     * a replica that does not exist yet is bootstrapped from source
-      version 0 (``txn=(app_id, 0)``), then the feed replays forward.
+      version 0 (``txn=(app_id, 0)``) with min/max stats on the keys,
+      so the delete-side file pruning works from the first applied
+      version.
 
     Run it in a loop (or from ``foreachBatch`` of any trigger stream)
     while the source keeps committing: each call drains versions that
@@ -2652,11 +2860,13 @@ def replicate_snapshot_changes(
     src_latest = latest_version(src_table)
     if src_latest is None:
         raise FileNotFoundError(f"no versions in {src_table}")
+    src_ms = {m["version"]: m for m in _manifests(src_table)}
     applied = 0
     if latest_version(dst_table) is None:
         snapshot_write(
             dst_table,
             snapshot_read(spark, src_table, version=0),
+            stats_cols=list(keys),
             txn=(app_id, 0),
         )
         applied += 1
@@ -2666,22 +2876,74 @@ def replicate_snapshot_changes(
             f"replica {dst_table} exists but has no txn ledger for "
             f"app {app_id!r} — it was not bootstrapped by this loop"
         )
+    # source renames committed BEFORE the cursor already re-keyed the
+    # replica; bring the caller's key names up to the cursor's epoch
+    keys = list(keys)
+    for v in sorted(src_ms):
+        if v <= cursor and src_ms[v].get("kind") == "rename_column":
+            r = src_ms[v]["rename"]
+            keys = [r["to"] if k == r["from"] else k for k in keys]
     for v in range(cursor + 1, src_latest + 1):
         if max_versions is not None and applied >= max_versions:
             break
-        feed = snapshot_changes(spark, src_table, v - 1, v)
-        dels = feed.filter(F.col("_change_type") == "delete").select(*keys)
-        ins = feed.filter(F.col("_change_type") == "insert").drop(
-            "_change_type", "_commit_version"
-        )
-        cur = snapshot_read(spark, dst_table)
-        snapshot_write(
-            dst_table,
-            cur.join(dels, list(keys), "left_anti").unionByName(
-                ins, allowMissingColumns=True
-            ),
-            txn=(app_id, v),
-        )
+        m = src_ms[v]
+        kind = m.get("kind")
+        if kind == "rename_column":
+            r = m["rename"]
+            snapshot_rename_column(
+                dst_table, r["from"], r["to"], txn=(app_id, v)
+            )
+            keys = [r["to"] if k == r["from"] else k for k in keys]
+        elif kind == "drop_column":
+            col = m["drop"]["column"]
+            if col in keys:
+                raise ValueError(
+                    f"source {src_table} dropped replication key "
+                    f"{col!r} at version {v}; the replica cannot "
+                    "apply keyed deletes without it"
+                )
+            snapshot_drop_column(dst_table, col, txn=(app_id, v))
+        elif kind in _LAYOUT_ONLY_KINDS:
+            # empty feed by definition: advance the ledger only
+            _metadata_commit(
+                dst_table, _manifests(dst_table)[-1],
+                lambda mf: None, "cdc_noop", (app_id, v),
+                rebase=True, max_rebase=5,
+            )
+        else:
+            feed = snapshot_changes(spark, src_table, v - 1, v).persist()
+            try:
+                n_by = {
+                    r["_change_type"]: int(r["n"])
+                    for r in feed.groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                dels = (
+                    feed.filter(F.col("_change_type") == "delete")
+                    .select(*keys)
+                    if n_by.get("delete")
+                    else None
+                )
+                ins = (
+                    feed.filter(F.col("_change_type") == "insert").drop(
+                        "_change_type", "_commit_version"
+                    )
+                    if n_by.get("insert")
+                    else None
+                )
+                if dels is None and ins is None:
+                    _metadata_commit(
+                        dst_table, _manifests(dst_table)[-1],
+                        lambda mf: None, "cdc_noop", (app_id, v),
+                        rebase=True, max_rebase=5,
+                    )
+                else:
+                    _apply_cdc_version(
+                        spark, dst_table, dels, ins, keys, (app_id, v)
+                    )
+            finally:
+                feed.unpersist()
         applied += 1
     return applied
 

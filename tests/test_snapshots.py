@@ -3007,3 +3007,138 @@ def test_last_field_id_recorded_and_read_from_parent_only(spark, table):
     # ids minted since stay retired
     with open(os.path.join(table, "_versions", "v00004.json")) as f:
         assert json.load(f)["last_field_id"] == 5
+
+
+def test_replicate_applies_incrementally_not_by_rewrite(spark, table, tmp_path):
+    """The replication loop's physical shape (the r9 gap): each source
+    version lands as ONE cdc_apply commit — deletes as deletion
+    vectors, inserts as appended files, EVERY pre-existing replica
+    file inherited by reference (rewritten_files == 0 always; a
+    delete-only version appends nothing). Still row-identical to the
+    source and exactly-once across a replayed drain."""
+    import json
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        last_committed_txn,
+        replicate_snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k long, x double"
+    )
+    snapshot_write(
+        src, base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_delete_dv(spark, src, "k", 30, 49)                # v1 delete-only
+    snapshot_merge_update_pruned(
+        spark, src,
+        spark.createDataFrame([(7, 700.0), (500, 5.0)], "k long, x double"),
+        on=["k"], update_cols=["x"], when_not_matched_insert=True,
+    )                                                          # v2 update+insert
+
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 3
+    assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, src))
+
+    with open(os.path.join(dst, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    with open(os.path.join(dst, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(dst, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    import exceldatatransform_py_spark.sources.snapshots as snap
+
+    files0 = snap._manifest_files(dst, m0)
+    # delete-only source version: ZERO rewrites, ZERO appends — the
+    # bootstrap's files inherited by reference, deletes in a sidecar
+    assert m1["kind"] == "cdc_apply"
+    assert m1["pruning"]["rewritten_files"] == 0
+    assert m1["pruning"]["appended_files"] == 0
+    assert m1["files"] == files0  # byte-identical rel references
+    assert m1["dv"] and sum(e["count"] for e in m1["dv"].values()) == 20
+    # update+insert version: appended files only; every parent file
+    # still inherited by reference (the update lands as DV + append)
+    assert m2["pruning"]["rewritten_files"] == 0
+    assert m2["pruning"]["appended_files"] >= 1
+    assert set(files0) <= set(m2["files"])
+
+    # replayed drain: ledger-cursored no-op, replica unchanged
+    v_before = latest_version(dst)
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 0
+    assert latest_version(dst) == v_before and last_committed_txn(
+        dst, "cdf-replica"
+    ) == 2
+
+
+def test_replicate_replays_schema_evolution(spark, table, tmp_path):
+    """ADVICE r9: a source rename/drop used to yield an empty feed
+    that just advanced the cursor, silently forking the renamed
+    column in the replica. Schema commits now replay AS schema
+    commits — renames re-key the loop's own join keys mid-drain,
+    widened inserts widen the replica, and dropping a replication
+    key fails fast."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        replicate_snapshot_changes,
+        snapshot_drop_column,
+        snapshot_merge_update,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_rename_column(src, "x", "amount")                 # v1
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame([(3, -3.0), (100, 1.0)], "k long, amount double"),
+        on=["k"], update_cols=["amount"], when_not_matched_insert=True,
+    )                                                          # v2
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame(
+            [(5, -5.0, "w")], "k long, amount double, note string"
+        ),
+        on=["k"], update_cols=["amount", "note"], evolve_schema=True,
+    )                                                          # v3 widen
+    snapshot_rename_column(src, "k", "id")                     # v4 KEY rename
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame(
+            [(7, 77.0, None)], "id long, amount double, note string"
+        ),
+        on=["id"], update_cols=["amount"],
+    )                                                          # v5
+
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 6
+    got, want = snapshot_read(spark, dst), snapshot_read(spark, src)
+    assert got.columns == want.columns == ["id", "amount", "note"]
+    assert _rows(got) == _rows(want)
+
+    # resumed drain re-derives the key epoch from pre-cursor renames
+    snapshot_drop_column(src, "note")                          # v6
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame([(9, 99.0)], "id long, amount double"),
+        on=["id"], update_cols=["amount"],
+    )                                                          # v7
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 2
+    got, want = snapshot_read(spark, dst), snapshot_read(spark, src)
+    assert got.columns == want.columns == ["id", "amount"]
+    assert _rows(got) == _rows(want)
+
+    # dropping a replication key fails fast with a clear error
+    snapshot_drop_column(src, "id")                            # v8
+    with pytest.raises(ValueError, match="replication key"):
+        replicate_snapshot_changes(spark, src, dst, keys=["k"])
