@@ -436,6 +436,41 @@ def _ivf_cells(
     ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
 
+def _ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest centroid cells:
+    ``(query_id, __qv, __qn, cell)`` — the coarse-quantizer ranking
+    every IVF serve flavor starts from (shared so the float, SQ8, PQ
+    reconstruction, and PQ-ADC paths probe identically)."""
+    c = centroids.select(
+        F.col("cent_id").alias("__cid"),
+        F.col("cent_vec").alias("__cv0"),
+        _norm(F.col("cent_vec")).alias("__cn0"),
+    )
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    ).join(F.broadcast(c))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("__cid").asc()
+    )
+    return (
+        q_scored.withColumn(
+            "__qcos",
+            _cosine_pre(F.col("__qv"), F.col("__cv0"), F.col("__qn"), F.col("__cn0")),
+        )
+        .withColumn("__prk", F.row_number().over(wq))
+        .filter(F.col("__prk") <= n_probe)
+        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cell"))
+    )
+
+
 def _ivf_serve(
     queries: DataFrame,
     corpus_cells: DataFrame,
@@ -451,28 +486,7 @@ def _ivf_serve(
     via the ``cell`` equi-join. Shared by ``ivf_topk`` and
     ``ivf_topk_from_index`` so the two paths are identical by
     construction."""
-    c = centroids.select(
-        F.col("cent_id").alias("__cid"),
-        F.col("cent_vec").alias("__cv0"),
-        _norm(F.col("cent_vec")).alias("__cn0"),
-    )
-    q_scored = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-    ).join(F.broadcast(c))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__qcos").desc(), F.col("__cid").asc()
-    )
-    probes = (
-        q_scored.withColumn(
-            "__qcos",
-            _cosine_pre(F.col("__qv"), F.col("__cv0"), F.col("__qn"), F.col("__cn0")),
-        )
-        .withColumn("__prk", F.row_number().over(wq))
-        .filter(F.col("__prk") <= n_probe)
-        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cell"))
-    )
+    probes = _ivf_probes(queries, centroids, id_col, vec_col, n_probe)
 
     scored = (
         corpus_cells.join(F.broadcast(probes), "cell")
@@ -1238,6 +1252,190 @@ def ivf_pq_topk_from_index(
     )
     return (
         rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_pq_adc_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve top-k by ASYMMETRIC DISTANCE COMPUTATION — how FAISS
+    actually serves IVFPQ: per (query, probed cell) the m·k codebook
+    entries' partial dot products and partial squared norms are
+    computed ONCE into a dense lookup table, and each candidate then
+    scores by m O(1) array lookups on its code ids — no per-candidate
+    reconstruction, and the probed-cell scan stays on code bytes
+    joined to one broadcast LUT (n_probe · m · k entries per query).
+
+    EXACTLY the reconstruction path's results, not approximately: the
+    scaled-integer dot terms (``_dec_dot``) are independent per
+    coordinate and summed in associative BIGINT arithmetic, so
+    grouping them into per-subspace LUT partials changes nothing —
+    dot, norm, cosine doubles, and the tie-broken top-k are
+    bit-identical to ``ivf_pq_topk_from_index`` on the same index
+    (residual or raw — the LUT bakes the cell centroid in per probed
+    cell).
+
+    Measured honestly (NOTES r10): at 500 queries × ~1M candidate
+    pairs on sf0.1 this serve runs ~2.3× SLOWER than the
+    reconstruction serve (5.6–6.9s vs 2.4–4.1s) — in an
+    interpreted-expression engine, the (dim/m)× arithmetic reduction
+    is swamped by per-pair LUT-row copying and lookup overhead (and a
+    map-keyed LUT was another ~25% worse: Spark's ``element_at`` on a
+    map is a LINEAR scan, hence the dense-array scatter behind an
+    exchange barrier below). FAISS's ADC win rests on SIMD
+    dense-table scanning that expression eval cannot express, so
+    ``ivf_pq_topk_from_index`` (reconstruction) stays the default
+    serve; this path is the faithful ADC formulation,
+    exactness-pinned, for shapes where the trade flips (large dim/m,
+    candidate-heavy probes, columnar LUT kernels)."""
+    m, dim, residual = _pq_stored_shape(spark, table_prefix)
+    sub_d = (dim // m) if m else 1
+    centroids = spark.table(f"{table_prefix}_centroids")
+    probes = _ivf_probes(queries, centroids, id_col, vec_col, n_probe)
+    cbarr = _pq_carr(
+        spark.table(f"{table_prefix}_codebooks")
+    ).withColumnRenamed("__carr", "__cbarr")
+    lut_in = probes.join(F.broadcast(cbarr))
+    if residual:
+        ctr = centroids.select(
+            F.col("cent_id").alias("cell"), F.col("cent_vec").alias("__ctr")
+        )
+        lut_in = lut_in.join(F.broadcast(ctr), "cell")
+
+        def _vals(c):
+            # decoded residual + cell centroid — the same per-element
+            # ops as the reconstruction path (bit-identical doubles)
+            return F.zip_with(
+                F.transform(
+                    c["cs"],
+                    lambda v: v.cast("double") / F.lit(float(PQ_SCALE)),
+                ),
+                F.slice(F.col("__ctr"), c["sub"] * sub_d + 1, sub_d),
+                lambda r, cc: r + cc.cast("double"),
+            )
+    else:
+
+        def _vals(c):
+            return F.transform(
+                c["cs"],
+                lambda v: v.cast("double") / F.lit(float(PQ_SCALE)),
+            )
+
+    def _pd(c):  # partial dot: this query's subvector × this entry
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), c["sub"] * sub_d + 1, sub_d),
+                _vals(c),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(float(SCALE))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    def _pn(c):  # partial squared norm of this entry's decoded values
+        return F.aggregate(
+            F.transform(
+                _vals(c),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(float(SCALE))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    # One LUT row per (query, probed cell), as DENSE arrays indexed by
+    # sub · dense + cid so each candidate lookup is O(1) array
+    # indexing — Spark's map element_at is a LINEAR scan, which
+    # measured 2.5x SLOWER than reconstruction at 1M candidate pairs
+    # (the lookup cost ate the (dim/m)× arithmetic win). Density is
+    # cheap by construction: codebook cids are the k smallest corpus
+    # ids (``pq_train_codebooks`` seeds), so max(cid)+1 ≈ k. The
+    # sparse→dense scatter costs m·dense map probes ONCE per
+    # (query, cell) row, amortized over every candidate in the cell.
+    cb_tbl = spark.table(f"{table_prefix}_codebooks")
+    max_cid = cb_tbl.agg(F.max("cid")).first()[0]
+    dense = int(max_cid) + 1 if max_cid is not None else 1
+    lut_map = lut_in.select(
+        "query_id",
+        "cell",
+        "__qn",
+        F.map_from_entries(
+            F.transform(
+                F.col("__cbarr"),
+                lambda c: F.struct(
+                    (
+                        c["sub"].cast("bigint") * F.lit(dense) + c["cid"]
+                    ).alias("key"),
+                    F.struct(
+                        _pd(c).alias("pd"), _pn(c).alias("pn")
+                    ).alias("val"),
+                ),
+            )
+        ).alias("__map"),
+    )
+    # exchange barrier between the (expensive) partial computation and
+    # the dense scatter: CollapseProject would otherwise inline the
+    # m·k partial-dot map INTO the per-index transform below and
+    # recompute it m·dense times per row
+    idxs = F.sequence(
+        F.lit(0).cast("bigint"), F.lit(m * dense - 1).cast("bigint")
+    )
+    lut = lut_map.repartition("query_id", "cell").select(
+        "query_id",
+        "cell",
+        "__qn",
+        F.transform(
+            idxs, lambda i: F.element_at(F.col("__map"), i)
+        ).alias("__arr"),
+    )
+    cells = spark.table(f"{table_prefix}_cells").select(
+        "neighbor_id", "codes", "cell"
+    )
+
+    def _lookup_sum(field: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda code, s: F.element_at(
+                    F.col("__arr"),
+                    (
+                        s.cast("bigint") * F.lit(dense)
+                        + code.cast("bigint")
+                        + F.lit(1)
+                    ).cast("int"),
+                )[field],
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, t: a + t,
+        )
+
+    scored = (
+        cells.join(F.broadcast(lut), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__pd", _lookup_sum("pd"))
+        .withColumn("__pn", _lookup_sum("pn"))
+        .withColumn(
+            "cosine",
+            F.col("__pd").cast("double")
+            / (F.col("__qn") * F.sqrt(F.col("__pn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )

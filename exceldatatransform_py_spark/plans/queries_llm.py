@@ -4753,6 +4753,49 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ served by ASYMMETRIC DISTANCE COMPUTATION, scored — FAISS's
+# actual serve: per (query, probed cell) the m·k codebook entries'
+# partial dots/norms go into ONE broadcast lookup table, and each
+# candidate scores by m map lookups on its code ids — no
+# per-candidate reconstruction, (dim/m)x less arithmetic, the cell
+# scan stays on code bytes. The scaled-integer dot terms are summed
+# in associative bigint arithmetic, so ADC is BIT-IDENTICAL to the
+# reconstruction serve on the same index (pinned in test_retrieval);
+# the oracle is therefore the same residual-reconstruction replay
+# that scores ann_ivf_pq_residual_topk.
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_pq_adc_topk", oracle=_ivf_pq_residual_oracle())
+def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_adc_topk_from_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"ivfpqadc_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_ivf_pq_index(
+        emb, centroids, prefix, path=path, id_col="vec_id",
+        vec_col="embedding", m=_PQ_M, dim=_PQ_M * _PQ_SUBD, k=_PQ_K,
+        iters=_PQ_ITERS, residual=True,
+    )
+    return ivf_pq_adc_topk_from_index(
+        spark, prefix, emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental SimHash probe, scored end-to-end (completing the scored
 # build+probe family: MinHash ✓ novelty ✓ IVF-SQ8 ✓): index the
 # corpus id-split's band table, probe the held-out batch.

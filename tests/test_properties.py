@@ -562,6 +562,9 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "video_near_dup_pairs",
         "ann_ivf_pq_residual_topk",
         "snapshot_rename_orders",
+        # round-10 batch: the ADC serve is pinned bit-identical to
+        # the reconstruction serve, which is itself fixed-point.
+        "ann_ivf_pq_adc_topk",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):

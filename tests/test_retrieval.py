@@ -1521,3 +1521,61 @@ def test_ivf_pq_residual_with_trained_quantizer(spark, tmp_path):
         for t in ("cells", "centroids", "codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {aprefix}_{t}")
             spark.sql(f"DROP TABLE IF EXISTS {uprefix}_{t}")
+
+
+def test_ivf_pq_adc_serve_matches_reconstruction_exactly(spark, tmp_path):
+    """The ADC serve (per-query LUT of m·k partial dots/norms, each
+    candidate scored by m map lookups on its codes) must return the
+    RECONSTRUCTION serve's results bit-exactly — same dot terms in
+    associative bigint sums, same cosine doubles, same tie-broken
+    top-k — on BOTH encodings (raw and residual), and its plan must
+    scan only code bytes against a broadcast LUT (no per-candidate
+    dim-wide decode)."""
+    import contextlib
+    import io
+
+    from exceldatatransform_py_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_adc_topk_from_index,
+        ivf_pq_topk_from_index,
+    )
+
+    emb, centroids, queries = _ivf_parts(spark)
+    for residual, prefix in ((False, "adc_raw_idx"), (True, "adc_res_idx")):
+        build_ivf_pq_index(
+            emb, centroids, prefix, path=str(tmp_path / prefix),
+            id_col="vec_id", vec_col="embedding", m=16, dim=64, k=16,
+            iters=2, residual=residual,
+        )
+        try:
+            recon = ivf_pq_topk_from_index(
+                spark, prefix, queries, id_col="vec_id",
+                vec_col="embedding", k=5, n_probe=2,
+            )
+            adc = ivf_pq_adc_topk_from_index(
+                spark, prefix, queries, id_col="vec_id",
+                vec_col="embedding", k=5, n_probe=2,
+            )
+            want = sorted(tuple(r) for r in recon.collect())
+            got = sorted(tuple(r) for r in adc.collect())
+            assert want, "empty serve result"
+            assert got == want, (
+                f"ADC diverged from reconstruction (residual={residual})"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                adc.explain("formatted")
+            plan = buf.getvalue()
+            # the candidate scan reads codes only — reconstruction's
+            # dim-wide centroid decode is absent from the scan side
+            assert "dynamicpruning" in plan
+            import re as _re
+
+            scan_schema = _re.search(
+                r"Location.*?adc_\w+_idx[\s\S]*?ReadSchema: (\S+)", plan
+            )
+            assert scan_schema and "codes" in scan_schema.group(1)
+            assert "vec:" not in scan_schema.group(1)
+        finally:
+            for t in ("cells", "centroids", "codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
