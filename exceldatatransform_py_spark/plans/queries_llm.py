@@ -1147,16 +1147,18 @@ def _band_pairs_sql(p: str, fp_cte: str, ham_max: int, cap: int) -> str:
     """
 
 
-@register(
-    "audio_near_dup_pairs",
-    oracle=f"""
+#: complete audio-pairs oracle (also nests as a CTE subquery in the
+#: cross-modal composition below).
+_AUDIO_PAIRS_ORACLE = f"""
     WITH an AS (SELECT doc_id, text,
                 least(length(text), {_AFP_WINDOW}) AS n FROM documents),
     aes AS (SELECT doc_id, {_AFP_ES} AS es FROM an),
     afpt AS (SELECT doc_id, {_FP_FROM_ES.format(es="es")} AS fp FROM aes),
     {_band_pairs_sql("anp", "afpt", _AFP_HAM_MAX, _AFP_MAX_BAND_DOCS)}
-    """,
-)
+    """
+
+
+@register("audio_near_dup_pairs", oracle=_AUDIO_PAIRS_ORACLE)
 def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
     from exceldatatransform_py_spark.operators.multimodal import (
@@ -1275,14 +1277,16 @@ _VFP_FROM_GS = (
 )
 
 
-@register(
-    "video_near_dup_pairs",
-    oracle=f"""
+#: complete video-pairs oracle (also nests in the cross-modal
+#: composition below).
+_VIDEO_PAIRS_ORACLE = f"""
     WITH vg AS (SELECT doc_id, {_VFP_GS} AS gs FROM documents),
     vfpt AS (SELECT doc_id, {_VFP_FROM_GS} AS fp FROM vg),
     {_band_pairs_sql("vnp", "vfpt", _AFP_HAM_MAX, _AFP_MAX_BAND_DOCS)}
-    """,
-)
+    """
+
+
+@register("video_near_dup_pairs", oracle=_VIDEO_PAIRS_ORACLE)
 def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe video near-dup: demux the SVC container, decode frame
     0 through the real BMP codec, fingerprint the gradient signs of
@@ -1307,6 +1311,125 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_col="vfp",
         ham_max=_AFP_HAM_MAX,
         max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-MODAL dedup composition — what a real curation pipeline runs
+# on top of the four per-modality pair generators: a document is a
+# duplicate if ANY modality says so, so the edges of all four (text
+# SimHash, image pHash, audio energy-delta, video keyframe dHash)
+# union into ONE graph and connected components picks one canonical
+# doc per cluster (the min id — `dedup_cluster_assign`'s modality-
+# blind CC, fed the union). The oracle nests each modality's full
+# pair oracle as a CTE subquery and replays the union + a recursive
+# transitive closure. Scale shape: each edge generator is the
+# already-banded (never all-pairs) join; the union is O(pairs); CC is
+# the O(log n)-round pointer-doubling loop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_modal_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    xtp AS ({_simhash_pairs_oracle()}),
+    xip AS ({_phash_oracle()}),
+    xap AS ({_AUDIO_PAIRS_ORACLE}),
+    xvp AS ({_VIDEO_PAIRS_ORACLE}),
+    xedges AS (
+      SELECT a_id, b_id FROM xtp
+      UNION SELECT a_id, b_id FROM xip
+      UNION SELECT a_id, b_id FROM xap
+      UNION SELECT a_id, b_id FROM xvp
+    ),
+    xsym(s, d) AS (
+      SELECT a_id, b_id FROM xedges
+      UNION ALL
+      SELECT b_id, a_id FROM xedges
+    ),
+    xreach(v, r) AS (
+      SELECT s, d FROM xsym
+      UNION
+      SELECT xreach.v, xsym.d FROM xreach JOIN xsym ON xreach.r = xsym.s
+    ),
+    xcc AS (SELECT v, least(v, min(r)) AS cluster_id FROM xreach GROUP BY v),
+    xasg AS (
+      SELECT d.doc_id, COALESCE(xcc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN xcc ON d.doc_id = xcc.v
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM xasg
+    """,
+)
+def cross_modal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup,
+    )
+    from exceldatatransform_py_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_phash,
+        pack_video,
+        video_fingerprint,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    tpairs = simhash_near_dup(
+        simhash64(docs, id_col="doc_id", text_col="text"),
+        id_col="doc_id", fp_col="simhash",
+        ham_max=_SIMHASH_HAM_MAX, max_band_docs=_SIMHASH_MAX_BAND_DOCS,
+    )
+    ipairs = simhash_near_dup(
+        image_phash(
+            pack_bmp(payload, id_col="doc_id", bin_col="payload"),
+            id_col="doc_id", image_col="image",
+        ),
+        id_col="doc_id", fp_col="phash",
+        ham_max=_PHASH_HAM_MAX, max_band_docs=_PHASH_MAX_BAND_DOCS,
+    )
+    apairs = simhash_near_dup(
+        audio_fingerprint(
+            pack_wav(payload, id_col="doc_id", bin_col="payload"),
+            id_col="doc_id", audio_col="audio",
+            window_samples=_AFP_WINDOW,
+        ),
+        id_col="doc_id", fp_col="afp",
+        ham_max=_AFP_HAM_MAX, max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+    vpairs = simhash_near_dup(
+        video_fingerprint(
+            pack_video(payload, id_col="doc_id", bin_col="payload"),
+            id_col="doc_id", video_col="video",
+        ),
+        id_col="doc_id", fp_col="vfp",
+        ham_max=_AFP_HAM_MAX, max_band_docs=_AFP_MAX_BAND_DOCS,
+    )
+    edges = (
+        tpairs.select("a_id", "b_id")
+        .unionByName(ipairs.select("a_id", "b_id"))
+        .unionByName(apairs.select("a_id", "b_id"))
+        .unionByName(vpairs.select("a_id", "b_id"))
+        .distinct()
+    )
+    cc = connected_components(
+        edges, src="a_id", dst="b_id", nodes=docs, node_col="doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return cc.select(F.col("v").alias("doc_id"), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

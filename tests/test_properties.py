@@ -563,8 +563,11 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "ann_ivf_pq_residual_topk",
         "snapshot_rename_orders",
         # round-10 batch: the ADC serve is pinned bit-identical to
-        # the reconstruction serve, which is itself fixed-point.
+        # the reconstruction serve, which is itself fixed-point; the
+        # cross-modal composition is a union of fixed-point pair sets
+        # + min-label CC (a pure function of the edge set).
         "ann_ivf_pq_adc_topk",
+        "cross_modal_dedup_clusters",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
