@@ -879,6 +879,91 @@ def snapshot_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC REPLICATION, scored end-to-end: commit a source snapshot table
+# (v0), DV-delete a key range (v1 — delete-only), file-pruned
+# update+insert merge (v2), RENAME a non-key column (v3 —
+# metadata-only), then drain the change feed into a replica with
+# replicate_snapshot_changes and read the REPLICA back. Each source
+# version lands on the replica as ONE commit — deletes as deletion
+# vectors on pruned files, inserts as appended files, the rename
+# replayed as the same metadata commit (tests pin rewritten_files==0
+# and the byte-identical inherited file lists; this query scores the
+# relational contract: replica ≡ source under the final schema).
+# ---------------------------------------------------------------------------
+
+_RP_LO, _RP_HI = 2000, 5000
+
+
+@register(
+    "snapshot_replicate_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey, p FROM t
+      WHERE NOT (o_orderkey BETWEEN {_RP_LO} AND {_RP_HI})
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN p * 1.5 ELSE p END AS p
+      FROM v1
+      UNION ALL
+      SELECT -o_orderkey, p FROM t WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey, p AS price FROM v2
+    """,
+)
+def snapshot_replicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        replicate_snapshot_changes,
+        snapshot_delete_dv,
+        snapshot_merge_update_pruned,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_repsq_{token}")
+    dst = os.path.join(tempfile.gettempdir(), f"spark_graft_repdq_{token}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    snapshot_write(
+        src,
+        base.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )                                                          # v0
+    snapshot_delete_dv(spark, src, "o_orderkey", _RP_LO, _RP_HI)  # v1
+    key = F.col("o_orderkey")
+    ups = base.filter(
+        (key % 5 == 0) & ~key.between(_RP_LO, _RP_HI)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.5)).alias("o_totalprice"),
+    ).unionByName(base.filter(key % 11 == 0).select(
+        (-key).alias("o_orderkey"), "o_totalprice"
+    ))
+    snapshot_merge_update_pruned(
+        spark, src, ups, on=["o_orderkey"], update_cols=["o_totalprice"],
+        when_not_matched_insert=True,
+    )                                                          # v2
+    snapshot_rename_column(src, "o_totalprice", "price")       # v3
+    replicate_snapshot_changes(spark, src, dst, keys=["o_orderkey"])
+    return snapshot_read(spark, dst).select("o_orderkey", "price")
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — top-K per group via ranked window (deterministic tiebreaker).
 # ---------------------------------------------------------------------------
 

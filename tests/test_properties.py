@@ -568,6 +568,7 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         # + min-label CC (a pure function of the edge set).
         "ann_ivf_pq_adc_topk",
         "cross_modal_dedup_clusters",
+        "snapshot_replicate_orders",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
