@@ -101,6 +101,24 @@ def latest_version(table: str) -> int | None:
     return ms[-1]["version"] if ms else None
 
 
+def _latest_manifest(table: str) -> dict | None:
+    """Parse ONLY the newest manifest file — the per-commit hot paths
+    (CDC replication applies one commit per source version) must not
+    re-parse the whole history per commit (the quadratic-in-versions
+    trap ``last_field_id`` closed for the id floor)."""
+    vdir = os.path.join(table, _VDIR)
+    if not os.path.isdir(vdir):
+        return None
+    names = sorted(
+        n for n in os.listdir(vdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    if not names:
+        return None
+    with open(os.path.join(vdir, names[-1])) as f:
+        return json.load(f)
+
+
 def _stat_encode(v):
     """Footer min/max value → JSON-safe form (type-tagged for the
     temporal types JSON cannot carry natively)."""
@@ -2646,10 +2664,9 @@ def _apply_cdc_version(
     is NULL-safe (a NULL-keyed delete removes NULL-keyed rows)."""
     import time as _t
 
-    ms = _manifests(table)
-    if not ms:
+    latest = _latest_manifest(table)
+    if latest is None:
         raise FileNotFoundError(f"no versions in {table}")
-    latest = ms[-1]
     files = _manifest_files(table, latest)
     parent_dv = latest.get("dv", {})
     cached_stats = latest.get("stats", {})
@@ -2906,7 +2923,7 @@ def replicate_snapshot_changes(
         elif kind in _LAYOUT_ONLY_KINDS:
             # empty feed by definition: advance the ledger only
             _metadata_commit(
-                dst_table, _manifests(dst_table)[-1],
+                dst_table, _latest_manifest(dst_table),
                 lambda mf: None, "cdc_noop", (app_id, v),
                 rebase=True, max_rebase=5,
             )
@@ -2934,7 +2951,7 @@ def replicate_snapshot_changes(
                 )
                 if dels is None and ins is None:
                     _metadata_commit(
-                        dst_table, _manifests(dst_table)[-1],
+                        dst_table, _latest_manifest(dst_table),
                         lambda mf: None, "cdc_noop", (app_id, v),
                         rebase=True, max_rebase=5,
                     )
