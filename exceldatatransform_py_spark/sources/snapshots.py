@@ -2905,6 +2905,20 @@ def replicate_snapshot_changes(
             break
         m = src_ms[v]
         kind = m.get("kind")
+        if kind == "rollback" and _schema_commit_sig(m) != _schema_commit_sig(
+            src_ms[v - 1]
+        ):
+            # a rollback that REVERTS schema evolution (rename/drop/
+            # widen undone in one commit) cannot be replayed as a row
+            # diff — the feed's columns no longer line up with the
+            # replica's, and silently continuing would fork columns
+            # exactly like the pre-r10 rename bug. Fail fast; the
+            # operator re-bootstraps the replica from a fresh app_id.
+            raise ValueError(
+                f"source {src_table} version {v} is a rollback that "
+                "reverts a schema change; replicate cannot replay it "
+                "— re-bootstrap the replica from the current source"
+            )
         if kind == "rename_column":
             r = m["rename"]
             snapshot_rename_column(

@@ -3142,3 +3142,39 @@ def test_replicate_replays_schema_evolution(spark, table, tmp_path):
     snapshot_drop_column(src, "id")                            # v8
     with pytest.raises(ValueError, match="replication key"):
         replicate_snapshot_changes(spark, src, dst, keys=["k"])
+
+
+def test_replicate_rollback_same_schema_ok_reverting_schema_fails(
+    spark, table, tmp_path
+):
+    """Replication across a ROLLBACK: a data-only rollback (schema
+    unchanged) replays as an ordinary row diff; a rollback that
+    REVERTS schema evolution fails fast — replaying it as a row diff
+    would fork columns exactly like the pre-r10 rename bug."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        replicate_snapshot_changes,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_write(
+        src,
+        spark.createDataFrame([(1, -1.0), (2, -2.0)], "k long, x double"),
+    )                                                          # v1
+    rollback(src, 0)                                           # v2 (data-only)
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 3
+    assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, src))
+
+    snapshot_rename_column(src, "x", "amount")                 # v3
+    rollback(src, 2)                                           # v4 REVERTS rename
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        replicate_snapshot_changes(spark, src, dst, keys=["k"])
