@@ -2483,6 +2483,7 @@ def snapshot_changes(
     table: str,
     from_version: int,
     to_version: int | None = None,
+    manifests: list[dict] | None = None,
 ) -> DataFrame:
     """Change data feed (Delta CDF analogue): the row-level inserts
     and deletes between two committed versions, reconstructed from
@@ -2513,10 +2514,16 @@ def snapshot_changes(
 
     Scale shape: each step scans ONLY the files that changed hands
     (added/removed/DV'd) — a small commit's feed reads a small number
-    of files regardless of table size; nothing is collected."""
+    of files regardless of table size; nothing is collected.
+    ``manifests`` lets a caller that already parsed the version
+    history (the replication loop reads it once per drain, then asks
+    for one version's feed at a time) skip the per-call re-parse."""
     from pyspark.sql import types as T
 
-    ms = {m["version"]: m for m in _manifests(table)}
+    ms = {
+        m["version"]: m
+        for m in (_manifests(table) if manifests is None else manifests)
+    }
     if to_version is None:
         to_version = max(ms)
     if from_version not in ms or to_version not in ms:
@@ -2942,7 +2949,10 @@ def replicate_snapshot_changes(
                 rebase=True, max_rebase=5,
             )
         else:
-            feed = snapshot_changes(spark, src_table, v - 1, v).persist()
+            feed = snapshot_changes(
+                spark, src_table, v - 1, v,
+                manifests=list(src_ms.values()),
+            ).persist()
             try:
                 n_by = {
                     r["_change_type"]: int(r["n"])
