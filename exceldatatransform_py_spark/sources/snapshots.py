@@ -2406,6 +2406,73 @@ def snapshot_drop_column(
     )
 
 
+def snapshot_set_constraints(
+    spark: SparkSession,
+    table: str,
+    constraints: dict,
+    validate: bool = True,
+    max_retries: int = 0,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """ALTER TABLE ADD/DROP CONSTRAINT as a METADATA-ONLY commit
+    (Delta's contract): the new constraint set replaces the manifest's
+    (``{}`` drops all), existing data is validated against it with ONE
+    scan of the current version (exactly what Delta's ADD CONSTRAINT
+    pays) and ZERO data files are rewritten — the previous path was a
+    full-table ``snapshot_write`` re-commit. Every later commit
+    (merges included) then validates against the new set before
+    staging, and a pruned commit racing this one conflicts
+    deterministically (``_pruned_rebase_ok`` compares constraint
+    sets — its rows were never validated against the new rules).
+
+    Concurrency: losing the version race re-reads, RE-VALIDATES the
+    winner's rows (a winner may have inserted rows the new constraint
+    forbids — replaying without re-validation would corrupt the
+    guarantee, so this is a CAS retry, not a blind rebase), and
+    retries up to ``max_retries`` times. ``validate=False`` skips the
+    scan — for CDC replication replaying a set already proven on
+    row-identical data. ``txn`` gives the commit an idempotence
+    ledger entry like every other replicated commit."""
+    import copy
+    import time as _t
+
+    constraints = dict(constraints)
+    for attempt in range(max_retries + 1):
+        done = _txn_already_applied(table, txn)
+        if done is not None:
+            return done
+        latest = _latest_manifest(table)
+        if latest is None:
+            raise FileNotFoundError(f"no versions in {table}")
+        if validate and constraints:
+            _validate_constraints(
+                snapshot_read(spark, table, version=latest["version"]),
+                constraints,
+            )
+        manifest = copy.deepcopy(latest)
+        for k in ("txn", "pruning", "rename", "drop", "rebased",
+                  "constraints"):
+            manifest.pop(k, None)
+        if constraints:
+            manifest["constraints"] = constraints
+        manifest.update(
+            version=latest["version"] + 1,
+            kind="set_constraints",
+            parent=latest["version"],
+            ts=_t.time(),
+        )
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        _record_last_field_id(manifest, _last_field_id(table, latest))
+        try:
+            _publish(table, manifest)
+            return manifest["version"]
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def rollback(table: str, version: int) -> int:
     """Make ``version`` current again by committing it as a new
     version pointing at the SAME data directory (metadata-only, like
@@ -2941,6 +3008,14 @@ def replicate_snapshot_changes(
                     "apply keyed deletes without it"
                 )
             snapshot_drop_column(dst_table, col, txn=(app_id, v))
+        elif kind == "set_constraints":
+            # replay the constraint change on the replica — the rows
+            # are identical (already validated on the source), so the
+            # validation scan is skipped
+            snapshot_set_constraints(
+                spark, dst_table, m.get("constraints", {}),
+                validate=False, txn=(app_id, v),
+            )
         elif kind in _LAYOUT_ONLY_KINDS:
             # empty feed by definition: advance the ledger only
             _metadata_commit(

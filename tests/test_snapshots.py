@@ -3178,3 +3178,115 @@ def test_replicate_rollback_same_schema_ok_reverting_schema_fails(
     rollback(src, 2)                                           # v4 REVERTS rename
     with pytest.raises(ValueError, match="re-bootstrap"):
         replicate_snapshot_changes(spark, src, dst, keys=["k"])
+
+
+def test_set_constraints_metadata_only_and_enforced(spark, table):
+    """ALTER TABLE ADD/DROP CONSTRAINT as a metadata-only commit: the
+    new set validates existing rows with one scan and rewrites ZERO
+    files (the old path was a full snapshot_write re-commit); later
+    commits enforce it; a violating ADD is rejected with the table
+    untouched; {} drops the set; and a pruned merge racing a
+    constraint change conflicts deterministically (its rows were
+    never validated against the new rules)."""
+    import json
+    from unittest import mock
+
+    import exceldatatransform_py_spark.sources.snapshots as snap
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_merge_update_pruned,
+        snapshot_set_constraints,
+    )
+
+    snapshot_write(
+        table,
+        spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(50)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    v = snapshot_set_constraints(spark, table, {"pos": "x > 0"})   # v1
+    assert v == 1
+    with open(os.path.join(table, "_versions", "v00001.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(table, "_versions", "v00000.json")) as f:
+        m0 = json.load(f)
+    assert snap._manifest_files(table, m1) == snap._manifest_files(
+        table, m0
+    )  # zero bytes rewritten
+    assert m1["constraints"] == {"pos": "x > 0"}
+
+    # later commits enforce the new set
+    with pytest.raises(SnapshotConstraintError):
+        snapshot_merge_update_pruned(
+            spark, table,
+            spark.createDataFrame([(3, -1.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+    # a violating ADD is rejected BEFORE any commit
+    with pytest.raises(SnapshotConstraintError):
+        snapshot_set_constraints(spark, table, {"big": "x > 100"})
+    assert latest_version(table) == 1
+
+    # {} drops the set; the violating merge then lands
+    snapshot_set_constraints(spark, table, {})                 # v2
+    snapshot_merge_update_pruned(
+        spark, table,
+        spark.createDataFrame([(3, -1.0)], "k long, x double"),
+        on=["k"], update_cols=["x"],
+    )                                                          # v3
+    assert {r.k: r.x for r in snapshot_read(spark, table).collect()}[3] == -1.0
+
+    # race: a pruned merge losing to a concurrent constraint change
+    # must conflict (no blind rebase over a new rule set)
+    def winner(tbl):
+        snapshot_set_constraints(spark, tbl, {"pos2": "x > -100"})
+
+    with mock.patch.object(
+        snap, "_publish",
+        side_effect=_race_once(snap, {"merge_update_pruned"}, winner),
+    ):
+        with pytest.raises(snap.SnapshotConflictError):
+            snapshot_merge_update_pruned(
+                spark, table,
+                spark.createDataFrame([(4, 40.0)], "k long, x double"),
+                on=["k"], update_cols=["x"],
+            )
+
+
+def test_replicate_replays_set_constraints(spark, table, tmp_path):
+    """A source ADD CONSTRAINT replays on the replica as the same
+    metadata-only commit (validation skipped — rows are identical),
+    so the replica ENFORCES what the source enforces."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        replicate_snapshot_changes,
+        snapshot_merge_update,
+        snapshot_read,
+        snapshot_set_constraints,
+        snapshot_write,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(20)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    snapshot_set_constraints(spark, src, {"pos": "x > 0"})     # v1
+    snapshot_merge_update(
+        spark, src,
+        spark.createDataFrame([(3, 33.0)], "k long, x double"),
+        on=["k"], update_cols=["x"],
+    )                                                          # v2
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 3
+    assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, src))
+    # the replayed constraint is LIVE on the replica
+    with pytest.raises(SnapshotConstraintError):
+        snapshot_merge_update(
+            spark, dst,
+            spark.createDataFrame([(5, -5.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
