@@ -424,6 +424,18 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
             raise SystemExit("snapshot drop: --old is required")
         v = snap.snapshot_drop_column(args.table, args.old)
         print(f"dropped {args.old} as version {v}", file=sys.stderr)
+    elif a == "alter-check":
+        cons = {}
+        for item in args.check or []:
+            name, _, cond = item.partition("=")
+            if not cond:
+                raise SystemExit(
+                    f"snapshot alter-check expects name=expr, got {item!r}"
+                )
+            cons[name] = cond
+        v = snap.snapshot_set_constraints(spark, args.table, cons)
+        what = cons if cons else "ALL DROPPED"
+        print(f"set constraints {what} as version {v}", file=sys.stderr)
     elif a == "compact":
         v = snap.snapshot_compact(
             spark, args.table, target_rows_per_file=args.target_rows
@@ -521,7 +533,7 @@ def main(argv: list[str] | None = None) -> None:
     sn.add_argument("action",
                     choices=["write", "merge", "read", "history", "changes",
                              "rollback", "vacuum", "compact", "replicate",
-                             "rename", "drop"])
+                             "rename", "drop", "alter-check"])
     sn.add_argument("--table", required=True, help="snapshot table root dir")
     sn.add_argument("--input", default=None,
                     help="parquet of rows to write / merge")
@@ -538,8 +550,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="write: cache per-file min/max for these columns")
     sn.add_argument("--check", action="append", default=None,
                     metavar="NAME=EXPR",
-                    help="write: CHECK constraint (repeatable); persists "
-                         "and is enforced on every later commit")
+                    help="write/alter-check: CHECK constraint "
+                         "(repeatable); persists and is enforced on every "
+                         "later commit; alter-check with none drops all")
     sn.add_argument("--version", type=int, default=None,
                     help="read/rollback: version number")
     sn.add_argument("--from-version", type=int, default=None,

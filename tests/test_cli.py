@@ -467,3 +467,38 @@ def test_cli_snapshot_replicate_loop(spark, tmp_path):
     assert sorted(tuple(r) for r in snap.snapshot_read(spark, dst).collect()) \
         == sorted(tuple(r) for r in snap.snapshot_read(spark, src).collect())
     assert snap.last_committed_txn(dst, "cdf-replica") == 2
+
+
+def test_cli_snapshot_alter_check(spark, tmp_path, capsys):
+    """ALTER TABLE ADD/DROP CONSTRAINT through the CLI: alter-check
+    commits metadata-only; the new rule is enforced on a later merge;
+    alter-check with no --check drops all."""
+    base = os.path.join(str(tmp_path), "base.parquet")
+    bad = os.path.join(str(tmp_path), "bad.parquet")
+    table = os.path.join(str(tmp_path), "tblac")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, x double"
+    ).write.parquet(base)
+    spark.createDataFrame([(1, -1.0)], "k int, x double").write.parquet(bad)
+
+    main(["snapshot", "write", "--table", table, "--input", base])
+    main(["snapshot", "alter-check", "--table", table,
+          "--check", "pos=x > 0"])
+    err = capsys.readouterr().err
+    assert "set constraints" in err and "version 1" in err
+
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConstraintError,
+    )
+
+    with pytest.raises(SnapshotConstraintError):
+        main(["snapshot", "merge", "--table", table, "--input", bad,
+              "--on", "k", "--update-cols", "x"])
+
+    main(["snapshot", "alter-check", "--table", table])  # drop all
+    main(["snapshot", "merge", "--table", table, "--input", bad,
+          "--on", "k", "--update-cols", "x"])
+    out = os.path.join(str(tmp_path), "read_out_ac")
+    main(["snapshot", "read", "--table", table, "--output", out])
+    got = {r.k: r.x for r in spark.read.parquet(out).collect()}
+    assert got[1] == -1.0
