@@ -505,6 +505,14 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
             f["name"]: (f.get("metadata") or {}).get("parquet.field.id")
             for f in latest_fields
         }
+        # init-time type per field id (name for legacy id-less
+        # columns) — a later commit that RETYPES a column under the
+        # same id cannot be represented in the fixed output schema
+        self.field_types = {}
+        for f in latest_fields:
+            fid = (f.get("metadata") or {}).get("parquet.field.id")
+            key = int(fid) if fid is not None else f["name"]
+            self.field_types[key] = f["type"]
 
     def _check_schema(self, v: int, m: dict) -> None:
         """Schema-evolution contract for commits landing MID-STREAM
@@ -512,25 +520,35 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         reader init, so a later version may RENAME columns (same
         field ids — the strict id-resolution maps them) or DROP them
         (the dead column NULL-fills under the stable schema), but a
-        version that ADDS a column the init schema cannot represent
-        raises ``SnapshotStreamSchemaChangedError`` — restart the
-        stream to pick up the new schema — rather than silently
-        emitting rows with the new column's values missing."""
+        version that ADDS a column the init schema cannot represent —
+        or RETYPES one under the same field id (a full rewrite that
+        changes a column's type passes the added-column check but
+        then emits values that do not fit the fixed init-time
+        schema) — raises ``SnapshotStreamSchemaChangedError`` —
+        restart the stream to pick up the new schema — rather than
+        silently emitting rows with the new column's values missing
+        (or failing later with an opaque conversion error)."""
         if v <= self.init_version:
             return
         known_ids = {
             int(i) for i in self.field_ids.values() if i is not None
         }
-        added = []
+        added, retyped = [], []
         for f in m["schema"]["fields"]:
             fid = (f.get("metadata") or {}).get("parquet.field.id")
             if fid is not None:
                 if int(fid) not in known_ids:
                     added.append(f["name"])
+                elif f["type"] != self.field_types.get(int(fid)):
+                    retyped.append(f["name"])
             elif f["name"] not in self.fields:  # legacy id-less table
                 added.append(f["name"])
-        if added:
-            raise SnapshotStreamSchemaChangedError(self.table, v, added)
+            elif f["type"] != self.field_types.get(f["name"]):
+                retyped.append(f["name"])
+        if added or retyped:
+            raise SnapshotStreamSchemaChangedError(
+                self.table, v, added, retyped
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self.from_version}

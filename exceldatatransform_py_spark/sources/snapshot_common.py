@@ -55,14 +55,25 @@ class SnapshotStreamSchemaChangedError(RuntimeError):
     reader picks up the latest table schema (Delta's
     restart-on-non-additive-change contract). Renames (same field
     ids) and drops (NULL-filled under the stream's stable schema)
-    do NOT raise — they are representable."""
+    do NOT raise — they are representable. A same-name TYPE change
+    (a full rewrite that retypes a column under the same field id)
+    raises for the same reason as ADD: the new values do not fit the
+    init-time schema, and without the typed error the stream would
+    fail later with an opaque Arrow conversion error."""
 
-    def __init__(self, table: str, version: int, added: list[str]):
+    def __init__(self, table: str, version: int, added: list[str],
+                 retyped: list[str] | None = None):
+        what = []
+        if added:
+            what.append(f"added column(s) {added}")
+        if retyped:
+            what.append(f"retyped column(s) {retyped}")
         super().__init__(
-            f"snapshot_cdf stream on {table}: version {version} added "
-            f"column(s) {added} after the stream initialized its "
+            f"snapshot_cdf stream on {table}: version {version} "
+            f"{' and '.join(what)} after the stream initialized its "
             "schema; restart the stream to pick up the new schema"
         )
         self.table = table
         self.version = version
         self.added = added
+        self.retyped = retyped or []

@@ -2225,7 +2225,12 @@ def _metadata_commit(
     unchanged (a disjoint pruned merge / DV delete / compact racing a
     rename is file-level traffic the rename provably doesn't interact
     with — aborting it was the r9 gap). A winner that itself changed
-    the schema or constraints conflicts deterministically."""
+    the schema or constraints conflicts deterministically — UNLESS
+    the winner was a concurrent replay of the SAME ``txn`` (two
+    drains replaying one source rename both pass the upfront ledger
+    check; the loser's rebase_ok fails because the winner changed the
+    schema): the loser re-checks the ledger and returns the winner's
+    version instead of surfacing a spurious conflict."""
     import copy
     import time as _t
 
@@ -2251,13 +2256,19 @@ def _metadata_commit(
         _record_last_field_id(manifest, _last_field_id(table, cur))
         return manifest
 
-    return _publish_with_rebase(
-        table, latest, build_manifest,
-        rebase_ok=lambda nxt: (
-            _schema_commit_sig(nxt) == _schema_commit_sig(latest)
-        ),
-        cleanup=lambda: None, rebase=rebase, max_rebase=max_rebase,
-    )
+    try:
+        return _publish_with_rebase(
+            table, latest, build_manifest,
+            rebase_ok=lambda nxt: (
+                _schema_commit_sig(nxt) == _schema_commit_sig(latest)
+            ),
+            cleanup=lambda: None, rebase=rebase, max_rebase=max_rebase,
+        )
+    except SnapshotConflictError:
+        done = _txn_already_applied(table, txn)
+        if done is not None:
+            return done
+        raise
 
 
 def snapshot_rename_column(
@@ -2468,6 +2479,12 @@ def snapshot_set_constraints(
             _publish(table, manifest)
             return manifest["version"]
         except SnapshotConflictError:
+            # the winner may be a concurrent replay of the SAME txn
+            # (two replication drains replaying one source commit) —
+            # that is success, not a conflict
+            done = _txn_already_applied(table, txn)
+            if done is not None:
+                return done
             if attempt == max_retries:
                 raise
     raise AssertionError("unreachable")
@@ -2954,10 +2971,27 @@ def replicate_snapshot_changes(
     src_ms = {m["version"]: m for m in _manifests(src_table)}
     applied = 0
     if latest_version(dst_table) is None:
+        src_v0 = src_ms[0]
+        # a vacuumed v0 must surface as the typed retention error the
+        # rest of the feed raises, not a raw parquet file-not-found
+        if "files" not in src_v0 and not os.path.isdir(
+            os.path.join(src_table, src_v0["data_dir"])
+        ):
+            _require_retained(
+                src_table, 0, [src_v0["data_dir"]], list(src_ms.values())
+            )
+        _require_retained(
+            src_table, 0, _manifest_files(src_table, src_v0),
+            list(src_ms.values()),
+        )
+        # carry v0's CHECK constraints: without them the replica's
+        # manifests lack enforcement until a later set_constraints
+        # commit happens to replay
         snapshot_write(
             dst_table,
             snapshot_read(spark, src_table, version=0),
             stats_cols=list(keys),
+            constraints=src_v0.get("constraints"),
             txn=(app_id, 0),
         )
         applied += 1
@@ -2993,21 +3027,29 @@ def replicate_snapshot_changes(
                 "reverts a schema change; replicate cannot replay it "
                 "— re-bootstrap the replica from the current source"
             )
-        if kind == "rename_column":
-            r = m["rename"]
-            snapshot_rename_column(
-                dst_table, r["from"], r["to"], txn=(app_id, v)
-            )
-            keys = [r["to"] if k == r["from"] else k for k in keys]
-        elif kind == "drop_column":
-            col = m["drop"]["column"]
-            if col in keys:
-                raise ValueError(
-                    f"source {src_table} dropped replication key "
-                    f"{col!r} at version {v}; the replica cannot "
-                    "apply keyed deletes without it"
+        if kind in _SCHEMA_ONLY_KINDS:
+            # dispatch driven off the shared constant so a new
+            # schema-only kind cannot silently skip its replay arm
+            if kind == "rename_column":
+                r = m["rename"]
+                snapshot_rename_column(
+                    dst_table, r["from"], r["to"], txn=(app_id, v)
                 )
-            snapshot_drop_column(dst_table, col, txn=(app_id, v))
+                keys = [r["to"] if k == r["from"] else k for k in keys]
+            elif kind == "drop_column":
+                col = m["drop"]["column"]
+                if col in keys:
+                    raise ValueError(
+                        f"source {src_table} dropped replication key "
+                        f"{col!r} at version {v}; the replica cannot "
+                        "apply keyed deletes without it"
+                    )
+                snapshot_drop_column(dst_table, col, txn=(app_id, v))
+            else:  # pragma: no cover — drift guard
+                raise AssertionError(
+                    f"schema-only kind {kind!r} has no replication "
+                    "replay arm"
+                )
         elif kind == "set_constraints":
             # replay the constraint change on the replica — the rows
             # are identical (already validated on the source), so the

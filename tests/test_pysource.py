@@ -819,3 +819,40 @@ def test_snapshot_cdf_stream_retention_error_past_vacuum(spark, tmp_path):
         it, _ = reader.read({"version": 0})
         list(it)
     assert ei.value.horizon == 2
+
+
+def test_snapshot_cdf_stream_retype_mid_stream_raises(spark, tmp_path):
+    """A mid-stream commit that RETYPES a column under the same field
+    id (full rewrite with a cast) must raise the typed
+    restart-required error — the fixed init-time schema cannot
+    represent the new values, and without the check the stream fails
+    later with an opaque Arrow conversion error."""
+    import pytest as _pytest
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        SnapshotCDFStreamReader,
+    )
+    from exceldatatransform_py_spark.sources.snapshot_common import (
+        SnapshotStreamSchemaChangedError,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "retypesrc")
+    snap.snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, x double"
+        ).coalesce(1),
+    )                                                          # v0
+    reader = SnapshotCDFStreamReader({"path": src})
+
+    # a rewrite that keeps names (ids inherited by name) but casts x
+    # to string — same field id, new type
+    cur = snap.snapshot_read(spark, src)
+    snap.snapshot_write(
+        src, cur.withColumn("x", F.col("x").cast("string")).coalesce(1)
+    )                                                          # v1
+    with _pytest.raises(SnapshotStreamSchemaChangedError) as ei:
+        it, _ = reader.read({"version": 0})
+        list(it)
+    assert ei.value.retyped == ["x"] and not ei.value.added

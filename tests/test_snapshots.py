@@ -3290,3 +3290,132 @@ def test_replicate_replays_set_constraints(spark, table, tmp_path):
             spark.createDataFrame([(5, -5.0)], "k long, x double"),
             on=["k"], update_cols=["x"],
         )
+
+
+def test_replicate_bootstrap_carries_v0_constraints(spark, table, tmp_path):
+    """Bootstrapping a replica from source v0 carries v0's CHECK
+    constraints into the replica's first manifest — without this the
+    replica lacks enforcement until a later set_constraints commit
+    happens to replay."""
+    from exceldatatransform_py_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        _latest_manifest,
+        replicate_snapshot_changes,
+    )
+    from exceldatatransform_py_spark.sources.snapshots import (
+        snapshot_write as sw,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    sw(
+        src,
+        spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(10)], "k long, x double"
+        ),
+        stats_cols=["k"],
+        constraints={"pos": "x > 0"},
+    )                                                          # v0
+    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 1
+    assert _latest_manifest(dst)["constraints"] == {"pos": "x > 0"}
+    # and it is LIVE on the replica
+    with pytest.raises(SnapshotConstraintError):
+        snapshot_merge_update(
+            spark, dst,
+            spark.createDataFrame([(3, -1.0)], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+
+
+def test_replicate_bootstrap_vacuumed_v0_raises_retention(
+    spark, table, tmp_path
+):
+    """Bootstrapping from a source whose v0 data was vacuumed raises
+    the typed SnapshotRetentionError, not a raw file-not-found from
+    the parquet scan."""
+    from exceldatatransform_py_spark.sources.snapshot_common import (
+        SnapshotRetentionError,
+    )
+    from exceldatatransform_py_spark.sources.snapshots import (
+        replicate_snapshot_changes,
+    )
+
+    src, dst = table, str(tmp_path / "replica")
+    for n in (8, 4, 2):
+        snapshot_write(
+            src,
+            spark.createDataFrame([(i,) for i in range(n)], "k long")
+            .coalesce(1),
+            stats_cols=["k"],
+        )                                                      # v0..v2
+    vacuum(src, keep_last=1)
+    with pytest.raises(SnapshotRetentionError):
+        replicate_snapshot_changes(spark, src, dst, keys=["k"])
+
+
+def test_metadata_commit_same_txn_race_returns_winner(spark, table):
+    """Two concurrent replays of the SAME (app, batch) rename both
+    pass the upfront ledger check; the loser's publish conflicts and
+    rebase_ok fails (the winner changed the schema) — the loser must
+    recognize the txn already landed and return the winner's version
+    instead of raising SnapshotConflictError."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    snapshot_write(
+        table,
+        spark.createDataFrame([(1, 2.0)], "a long, x double"),
+        stats_cols=["a"],
+    )                                                          # v0
+    stale = snap._latest_manifest(table)
+    winner = snap.snapshot_rename_column(table, "a", "b", txn=("app", 7))
+
+    def mutate(manifest):
+        for f in manifest["schema"]["fields"]:
+            if f["name"] == "a":
+                f["name"] = "b"
+        manifest["rename"] = {"from": "a", "to": "b"}
+
+    # the loser built against the pre-winner parent
+    v = snap._metadata_commit(
+        table, stale, mutate, "rename_column", ("app", 7),
+        rebase=True, max_rebase=5,
+    )
+    assert v == winner == latest_version(table)
+
+
+def test_set_constraints_same_txn_race_returns_winner(
+    spark, table, monkeypatch
+):
+    """Same-txn race on ALTER CONSTRAINT: the loser that read state
+    before the winner landed must return the winner's version, not
+    raise, once the ledger shows the txn applied."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    snapshot_write(
+        table,
+        spark.createDataFrame([(1, 2.0)], "k long, x double"),
+        stats_cols=["k"],
+    )                                                          # v0
+    stale = snap._latest_manifest(table)
+    winner = snap.snapshot_set_constraints(
+        spark, table, {"pos": "x > 0"}, txn=("a", 2)
+    )
+
+    # loser: pretend both the ledger check and the latest read
+    # happened before the winner published
+    real_txn, real_latest = snap._txn_already_applied, snap._latest_manifest
+    calls = {"txn": 0, "latest": 0}
+
+    def fake_txn(t, txn):
+        calls["txn"] += 1
+        return None if calls["txn"] == 1 else real_txn(t, txn)
+
+    def fake_latest(t):
+        calls["latest"] += 1
+        return stale if calls["latest"] == 1 else real_latest(t)
+
+    monkeypatch.setattr(snap, "_txn_already_applied", fake_txn)
+    monkeypatch.setattr(snap, "_latest_manifest", fake_latest)
+    v = snap.snapshot_set_constraints(
+        spark, table, {"pos": "x > 0"}, txn=("a", 2), max_retries=0
+    )
+    assert v == winner == latest_version(table)
