@@ -132,6 +132,11 @@ SERIAL_SET_EXT = [
     # serial_ext_total therefore jumps by their cost in r10 — compare
     # the SHARED six against the r9 32-38s band, not the total.
     "multimodal_rrf_retrieval", "snapshot_cdf_orders",
+    # r11 addition: the heaviest pooled query of r10 (23.8s driver /
+    # 11.5s builder — a 2× spread the pooled protocol cannot
+    # adjudicate). As with the r10 additions, compare the SHARED
+    # queries round-over-round, never ext_total.
+    "snapshot_replicate_orders",
 ]
 
 

