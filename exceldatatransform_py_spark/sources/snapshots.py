@@ -2733,6 +2733,7 @@ def _apply_cdc_version(
     ins: DataFrame | None,
     keys: Sequence[str],
     txn: tuple[str, int],
+    max_retries: int = 5,
 ) -> int:
     """Apply ONE source version's change feed to a replica as ONE
     commit (kind ``cdc_apply``) whose physical cost is O(changed
@@ -2742,7 +2743,10 @@ def _apply_cdc_version(
       the files whose cached min/max stats / blooms say they may hold
       a matching key — zero data files rewritten, every file inherited
       by reference (the r9 loop full-rewrote the replica per source
-      version: O(replica × versions) at 100 TB);
+      version: O(replica × versions) at 100 TB). Pruning intersects
+      exclusions across ALL replication keys that have cached stats
+      (a composite-key replica skips every file ANY key's min/max or
+      bloom provably excludes — not just the first key's);
     * ``ins`` lands as appended files (``_stage_unique``); a widened
       source schema widens the replica here — new columns mint fresh
       field ids and pre-widen files NULL-fill, exactly like a local
@@ -2751,8 +2755,42 @@ def _apply_cdc_version(
       so the exactly-once cursor contract is unchanged (a crash
       between two half-applied commits cannot exist).
 
+    Concurrency: a concurrent writer on the REPLICA (local append,
+    delete, compaction) losing/winning the version race no longer
+    aborts the whole drain — on conflict the application re-checks
+    the txn ledger (a racing drain of the same version already landed
+    it) and otherwise RETRIES from the new latest: re-prune, re-stage,
+    re-publish, up to ``max_retries`` times. The retry is sound
+    because applying a version's keyed deletes + inserts is a pure
+    function of (new parent state, feed) and the ledger keeps it
+    exactly-once.
+
     Delete semantics match the rewrite path it replaces: key equality
     is NULL-safe (a NULL-keyed delete removes NULL-keyed rows)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return _apply_cdc_version_once(
+                spark, table, dels, ins, keys, txn
+            )
+        except SnapshotConflictError:
+            done = _txn_already_applied(table, txn)
+            if done is not None:
+                return done
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _apply_cdc_version_once(
+    spark: SparkSession,
+    table: str,
+    dels: DataFrame | None,
+    ins: DataFrame | None,
+    keys: Sequence[str],
+    txn: tuple[str, int],
+) -> int:
+    """One publish attempt of ``_apply_cdc_version`` against the
+    current latest manifest (see there for semantics)."""
     import time as _t
 
     latest = _latest_manifest(table)
@@ -2770,36 +2808,54 @@ def _apply_cdc_version(
     n_dv_files = 0
     touched: list[str] = []
     if dels is not None:
-        bounds = dels.agg(
-            F.min(prune_col).alias("lo"),
-            F.max(prune_col).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(prune_col).alias("n_nonnull"),
-        ).first()
-        lo, hi = bounds["lo"], bounds["hi"]
-        nulls_in_dels = bounds["n"] > bounds["n_nonnull"]
-        probe_pairs = None
-        if any(prune_col in e for e in blooms.values()):
-            probe_pairs = _bloom_probe_pairs(dels, prune_col)
+        # one aggregation pass over the delete keys: min/max/non-null
+        # count for EVERY key, so per-file exclusion can intersect
+        # across keys
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j, k in enumerate(keys):
+            aggs += [
+                F.min(k).alias(f"lo{j}"),
+                F.max(k).alias(f"hi{j}"),
+                F.count(k).alias(f"nn{j}"),
+            ]
+        bounds = dels.agg(*aggs).first()
+        probe_pairs = {}
+        for k in keys:
+            if any(k in e for e in blooms.values()):
+                pp = _bloom_probe_pairs(dels, k)
+                if pp is not None:  # None = over cap, range-only
+                    probe_pairs[k] = pp
         for rel in files:
-            cached = cached_stats.get(rel, {}).get(prune_col)
-            if cached is not None:
-                mm = (_stat_decode(cached[0]), _stat_decode(cached[1]))
-                nc = cached[2] if len(cached) >= 3 else None
-            else:
-                mm = _footer_minmax(os.path.join(table, rel), prune_col)
-                nc = _footer_nullcount(os.path.join(table, rel), prune_col)
-            may_nonnull = lo is not None and (
-                mm is None or not (mm[1] < lo or mm[0] > hi)
-            )
-            if may_nonnull and probe_pairs is not None:
-                hexmap = blooms.get(rel, {}).get(prune_col)
-                if hexmap is not None and not _bloom_may_contain(
-                    hexmap, probe_pairs
-                ):
-                    may_nonnull = False
-            may_null = nulls_in_dels and (nc is None or nc > 0)
-            if may_nonnull or may_null:
+            may = True
+            for j, k in enumerate(keys):
+                cached = cached_stats.get(rel, {}).get(k)
+                if cached is not None:
+                    mm = (_stat_decode(cached[0]), _stat_decode(cached[1]))
+                    nc = cached[2] if len(cached) >= 3 else None
+                elif j == 0:
+                    # only the primary key pays a footer read when the
+                    # manifest has no cached stats; a secondary key
+                    # without cached stats simply cannot exclude
+                    mm = _footer_minmax(os.path.join(table, rel), k)
+                    nc = _footer_nullcount(os.path.join(table, rel), k)
+                else:
+                    continue
+                lo, hi = bounds[f"lo{j}"], bounds[f"hi{j}"]
+                nulls_k = bounds["n"] > bounds[f"nn{j}"]
+                may_nonnull = lo is not None and (
+                    mm is None or not (mm[1] < lo or mm[0] > hi)
+                )
+                if may_nonnull and k in probe_pairs:
+                    hexmap = blooms.get(rel, {}).get(k)
+                    if hexmap is not None and not _bloom_may_contain(
+                        hexmap, probe_pairs[k]
+                    ):
+                        may_nonnull = False
+                may_null = nulls_k and (nc is None or nc > 0)
+                if not (may_nonnull or may_null):
+                    may = False
+                    break
+            if may:
                 touched.append(rel)
     if touched:
         _rs = _schema_for_read(spark, latest)
@@ -2868,11 +2924,16 @@ def _apply_cdc_version(
 
     stats_out = dict(cached_stats)
     if new_files:
-        stats_out.update(_collect_stats(table, new_files, [prune_col]))
+        # stats for EVERY replication key, so later drains can
+        # intersect exclusions across the composite key
+        stats_out.update(_collect_stats(table, new_files, list(keys)))
     blooms_out = dict(blooms)
-    if new_files and any(prune_col in e for e in blooms.values()):
+    bloom_keys = [
+        k for k in keys if any(k in e for e in blooms.values())
+    ]
+    if new_files and bloom_keys:
         blooms_out.update(
-            _collect_blooms(spark, table, new_files, [prune_col])
+            _collect_blooms(spark, table, new_files, bloom_keys)
         )
     rows_map = latest.get("rows", {})
     manifest = {
@@ -2897,6 +2958,7 @@ def _apply_cdc_version(
         "txn": {"app": txn[0], "batch": int(txn[1])},
         "pruning": {
             "col": prune_col,
+            "cols": list(keys),
             "rewritten_files": 0,
             "appended_files": len(new_files),
             "dv_files": n_dv_files,

@@ -3419,3 +3419,101 @@ def test_set_constraints_same_txn_race_returns_winner(
         spark, table, {"pos": "x > 0"}, txn=("a", 2), max_retries=0
     )
     assert v == winner == latest_version(table)
+
+
+def test_apply_cdc_multikey_pruning_intersects_exclusions(spark, table):
+    """Composite-key delete-side pruning: a file the FIRST key's stats
+    cannot exclude but the SECOND key's stats can must not be scanned
+    — exclusions intersect across all keys with cached stats."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    # two files: k1 overlaps everywhere, k2 ranges are disjoint
+    df = spark.createDataFrame(
+        [(i % 10, i, float(i)) for i in range(20)]
+        + [(i % 10, 100 + i, float(i)) for i in range(20)],
+        "k1 long, k2 long, x double",
+    ).repartitionByRange(2, "k2")
+    snap.snapshot_write(table, df, stats_cols=["k1", "k2"])       # v0
+    m0 = snap._latest_manifest(table)
+    files = snap._manifest_files(table, m0)
+    assert len(files) == 2
+    # both files hold k1 = 5; only the low-range file holds k2 = 5
+    dels = spark.createDataFrame([(5, 5)], "k1 long, k2 long")
+    v = snap._apply_cdc_version(
+        spark, table, dels, None, ["k1", "k2"], ("app", 1)
+    )
+    m = snap._latest_manifest(table)
+    assert m["version"] == v
+    # single-key (k1) pruning would scan BOTH files; k2 excludes one
+    assert m["pruning"]["scanned_files"] == 1
+    assert m["pruning"]["cols"] == ["k1", "k2"]
+    assert m["pruning"]["rewritten_files"] == 0
+    got = _rows(snap.snapshot_read(spark, table))
+    want = _rows(df.filter("NOT (k1 = 5 AND k2 = 5)"))
+    assert got == want
+
+
+def test_apply_cdc_retries_past_concurrent_replica_writer(
+    spark, table, tmp_path, monkeypatch
+):
+    """VERDICT r10 #2: a local append racing the drain's cdc_apply
+    publish must NOT abort the drain — the apply retries from the new
+    latest; both commits land, replica ≡ source (plus the local row),
+    and the ledger advances exactly once per version."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snap.snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # src v0
+    snap.snapshot_delete_dv(spark, src, "k", 3, 3)             # src v1
+    # bootstrap the replica up to v0 only
+    assert snap.replicate_snapshot_changes(
+        spark, src, dst, keys=["k"], max_versions=1
+    ) == 1
+
+    # inject a concurrent local append on the REPLICA right before
+    # the drain's first cdc_apply publish
+    real_publish = snap._publish
+    state = {"raced": False}
+
+    def racing_publish(t, manifest):
+        if (
+            t == dst
+            and manifest.get("kind") == "cdc_apply"
+            and not state["raced"]
+        ):
+            state["raced"] = True
+            snap.snapshot_merge_update_pruned(
+                spark, dst,
+                spark.createDataFrame(
+                    [(999, 9.9)], "k long, x double"
+                ),
+                on=["k"], update_cols=["x"],
+                when_not_matched_insert=True,
+            )
+        return real_publish(t, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    assert snap.replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 1
+    monkeypatch.undo()
+
+    assert state["raced"]
+    got = _rows(snap.snapshot_read(spark, dst))
+    want = _rows(
+        snap.snapshot_read(spark, src).unionByName(
+            spark.createDataFrame([(999, 9.9)], "k long, x double")
+        )
+    )
+    assert got == want
+    # ledger advanced exactly once for src v1
+    entries = [
+        m["txn"]["batch"]
+        for m in snap._manifests(dst)
+        if m.get("txn", {}).get("app") == "cdf-replica"
+    ]
+    assert sorted(entries) == [0, 1]
