@@ -449,6 +449,7 @@ def cmd_snapshot(spark: SparkSession, args: argparse.Namespace) -> None:
         n = snap.replicate_snapshot_changes(
             spark, args.table, args.replica,
             keys=args.keys.split(","), app_id=args.app_id,
+            fold_versions=args.fold_versions,
         )
         print(f"applied {n} source versions to {args.replica}",
               file=sys.stderr)
@@ -569,6 +570,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="replicate: row-identity keys, comma-separated")
     sn.add_argument("--app-id", default="cdf-replica",
                     help="replicate: txn-ledger writer id (the cursor)")
+    sn.add_argument("--fold-versions", type=int, default=None,
+                    help="replicate: drain up to N consecutive "
+                         "row-change versions as one commit")
     sn.add_argument("--old", default=None, help="rename: current column name")
     sn.add_argument("--new", default=None, help="rename: new column name")
     sn.add_argument("--output", default=None,

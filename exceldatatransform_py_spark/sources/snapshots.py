@@ -2992,6 +2992,7 @@ def replicate_snapshot_changes(
     keys: Sequence[str],
     app_id: str = "cdf-replica",
     max_versions: int | None = None,
+    fold_versions: int | None = None,
 ) -> int:
     """Advance a replica table by CONSUMING the source's change feed —
     the incremental CDC-replication loop, exactly-once:
@@ -3017,6 +3018,22 @@ def replicate_snapshot_changes(
       join keys mid-drain; dropping a key column fails fast;
     * layout-only source commits advance the cursor with a
       metadata-only ``cdc_noop`` commit (nothing re-written);
+    * ``fold_versions=N`` (opt-in) drains runs of up to N consecutive
+      ROW-CHANGE source versions as ONE ``cdc_apply`` commit — a
+      replica catching up over thousands of small commits stops
+      paying per-version Spark-job + manifest overhead. The fold
+      sequences the combined feed correctly for multisets: deletes
+      are the union of all deleted keys in the window (a later feed
+      insert adds a NEW row, never resurrects the old one), and an
+      insert survives unless a STRICTLY LATER version deletes its key
+      (the delete/insert pair inside one version keeps its
+      delete-first order). ``latest_changes`` is NOT reused here —
+      its one-row-per-key contract would drop multi-row appends under
+      a shared key. A fold stops at any schema / constraint /
+      rollback commit (those replay individually, and a
+      schema-reverting rollback still fails fast);
+      ``txn=(app_id, last folded version)`` keeps exactly-once — a
+      crash between folds resumes from the ledger cursor;
     * a replica that does not exist yet is bootstrapped from source
       version 0 (``txn=(app_id, 0)``) with min/max stats on the keys,
       so the delete-side file pruning works from the first applied
@@ -3070,7 +3087,9 @@ def replicate_snapshot_changes(
         if v <= cursor and src_ms[v].get("kind") == "rename_column":
             r = src_ms[v]["rename"]
             keys = [r["to"] if k == r["from"] else k for k in keys]
-    for v in range(cursor + 1, src_latest + 1):
+    fold_stop_kinds = _SCHEMA_ONLY_KINDS | {"set_constraints", "rollback"}
+    v = cursor + 1
+    while v <= src_latest:
         if max_versions is not None and applied >= max_versions:
             break
         m = src_ms[v]
@@ -3128,8 +3147,23 @@ def replicate_snapshot_changes(
                 rebase=True, max_rebase=5,
             )
         else:
+            # extend a fold window over consecutive row-change /
+            # layout-only versions (their feeds compose; schema,
+            # constraint, and rollback commits end the window)
+            end = v
+            if fold_versions is not None and fold_versions > 1 and (
+                kind != "rollback"
+            ):
+                budget = fold_versions
+                if max_versions is not None:
+                    budget = min(budget, max_versions - applied)
+                while (end - v + 1) < budget and end + 1 <= src_latest:
+                    nk = src_ms[end + 1].get("kind")
+                    if nk in fold_stop_kinds:
+                        break
+                    end += 1
             feed = snapshot_changes(
-                spark, src_table, v - 1, v,
+                spark, src_table, v - 1, end,
                 manifests=list(src_ms.values()),
             ).persist()
             try:
@@ -3146,25 +3180,57 @@ def replicate_snapshot_changes(
                     else None
                 )
                 ins = (
-                    feed.filter(F.col("_change_type") == "insert").drop(
-                        "_change_type", "_commit_version"
-                    )
+                    feed.filter(F.col("_change_type") == "insert")
                     if n_by.get("insert")
                     else None
                 )
+                if ins is not None and dels is not None and end > v:
+                    # sequence the folded feed: an insert survives
+                    # unless a STRICTLY LATER version deletes its key
+                    # (same-version delete/insert keeps delete-first
+                    # order); NULL-safe on the keys like the apply
+                    last_del = (
+                        feed.filter(F.col("_change_type") == "delete")
+                        .groupBy(*keys)
+                        .agg(F.max("_commit_version").alias("__ldv"))
+                        .select(
+                            *[F.col(k).alias(f"__dk_{k}") for k in keys],
+                            "__ldv",
+                        )
+                    )
+                    cond = None
+                    for k in keys:
+                        c = F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+                        cond = c if cond is None else cond & c
+                    ins = (
+                        ins.join(last_del, cond, "left")
+                        .filter(
+                            F.col("__ldv").isNull()
+                            | (F.col("_commit_version") >= F.col("__ldv"))
+                        )
+                        .drop("__ldv", *[f"__dk_{k}" for k in keys])
+                    )
+                    if ins.isEmpty():  # every insert superseded
+                        ins = None
+                if ins is not None:
+                    ins = ins.drop("_change_type", "_commit_version")
                 if dels is None and ins is None:
                     _metadata_commit(
                         dst_table, _latest_manifest(dst_table),
-                        lambda mf: None, "cdc_noop", (app_id, v),
+                        lambda mf: None, "cdc_noop", (app_id, end),
                         rebase=True, max_rebase=5,
                     )
                 else:
                     _apply_cdc_version(
-                        spark, dst_table, dels, ins, keys, (app_id, v)
+                        spark, dst_table, dels, ins, keys, (app_id, end)
                     )
             finally:
                 feed.unpersist()
+            applied += end - v + 1
+            v = end + 1
+            continue
         applied += 1
+        v += 1
     return applied
 
 

@@ -3517,3 +3517,117 @@ def test_apply_cdc_retries_past_concurrent_replica_writer(
         if m.get("txn", {}).get("app") == "cdf-replica"
     ]
     assert sorted(entries) == [0, 1]
+
+
+def test_replicate_folded_drain_matches_one_at_a_time(
+    spark, table, tmp_path
+):
+    """VERDICT r10 #3: ``fold_versions=N`` drains a long backlog of
+    row-change versions in a handful of cdc_apply commits, lands the
+    exact same final state as the one-at-a-time drain, sequences
+    delete-after-insert correctly, stops folds at schema commits, and
+    resumes from the ledger after a crash between folds."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src = table
+    dst_fold = str(tmp_path / "replica_fold")
+    dst_one = str(tmp_path / "replica_one")
+    snap.snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    # 20 row-change versions: updates, fresh inserts, deletes —
+    # including insert-then-later-delete (k=100+i deleted 3 versions
+    # later) and update-then-update on the same key
+    for i in range(20):
+        if i % 4 == 0:
+            snap.snapshot_merge_update_pruned(
+                spark, src,
+                spark.createDataFrame(
+                    [(i % 7, float(1000 + i))], "k long, x double"
+                ),
+                on=["k"], update_cols=["x"],
+            )
+        elif i % 4 == 1:
+            snap.snapshot_merge_update_pruned(
+                spark, src,
+                spark.createDataFrame(
+                    [(100 + i, float(i))], "k long, x double"
+                ),
+                on=["k"], update_cols=["x"],
+                when_not_matched_insert=True,
+            )
+        elif i % 4 == 2:
+            snap.snapshot_delete_dv(spark, src, "k", 20 + i, 20 + i)
+        else:
+            # delete the key inserted 2 versions ago
+            snap.snapshot_delete_dv(spark, src, "k", 100 + i - 2, 100 + i - 2)
+
+    # one-at-a-time reference replica
+    snap.replicate_snapshot_changes(spark, src, dst_one, keys=["k"])
+    # folded drain, crash-interrupted after the first fold
+    n1 = snap.replicate_snapshot_changes(
+        spark, src, dst_fold, keys=["k"], fold_versions=8, max_versions=9
+    )
+    assert n1 == 9  # bootstrap + one 8-version fold
+    n2 = snap.replicate_snapshot_changes(
+        spark, src, dst_fold, keys=["k"], fold_versions=8
+    )
+    assert n1 + n2 == 21  # bootstrap + all 20 source versions
+    assert _rows(snap.snapshot_read(spark, dst_fold)) == _rows(
+        snap.snapshot_read(spark, src)
+    )
+    assert _rows(snap.snapshot_read(spark, dst_fold)) == _rows(
+        snap.snapshot_read(spark, dst_one)
+    )
+    # 20 versions in <= 3 cdc_apply commits
+    cdc = [
+        m for m in snap._manifests(dst_fold)
+        if m.get("kind") == "cdc_apply"
+    ]
+    assert len(cdc) <= 3
+    # ledger cursor is the last folded version
+    assert snap.last_committed_txn(dst_fold, "cdf-replica") == 20
+
+
+def test_replicate_fold_stops_at_schema_commit(spark, table, tmp_path):
+    """A fold window must end BEFORE a rename/drop/constraint commit —
+    the schema commit replays individually and the drain continues
+    folding after it."""
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    src, dst = table, str(tmp_path / "replica")
+    snap.snapshot_write(
+        src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        stats_cols=["k"],
+    )                                                          # v0
+    for i in range(3):                                         # v1..v3
+        snap.snapshot_merge_update_pruned(
+            spark, src,
+            spark.createDataFrame([(i, float(50 + i))], "k long, x double"),
+            on=["k"], update_cols=["x"],
+        )
+    snap.snapshot_rename_column(src, "x", "amount")            # v4
+    for i in range(3):                                         # v5..v7
+        snap.snapshot_merge_update_pruned(
+            spark, src,
+            spark.createDataFrame(
+                [(i, float(70 + i))], "k long, amount double"
+            ),
+            on=["k"], update_cols=["amount"],
+        )
+    assert snap.replicate_snapshot_changes(
+        spark, src, dst, keys=["k"], fold_versions=100
+    ) == 8
+    assert _rows(snap.snapshot_read(spark, dst)) == _rows(
+        snap.snapshot_read(spark, src)
+    )
+    kinds = [m["kind"] for m in snap._manifests(dst)]
+    # bootstrap + fold(v1-3) + rename + fold(v5-7)
+    assert kinds == ["overwrite", "cdc_apply", "rename_column", "cdc_apply"]
