@@ -490,6 +490,190 @@ def _cdf_file_rows(
         )
 
 
+def _snapshot_require_retained(
+    table: str, v: int, ms: dict, rels
+) -> None:
+    """Typed retention error shared by the batch ``snapshot`` source
+    and the ``snapshot_cdf`` stream: a read that needs files vacuum
+    already dropped must not surface as a raw file-not-found. Scans
+    manifests newest-first for the oldest fully retained version to
+    name as the resume horizon."""
+    missing = next(
+        (r for r in rels
+         if not os.path.exists(os.path.join(table, r))),
+        None,
+    )
+    if missing is None:
+        return
+    horizon = None
+    for vv in sorted(ms, reverse=True):
+        m = ms[vv]
+        if "files" not in m and not os.path.isdir(
+            os.path.join(table, m["data_dir"])
+        ):
+            break
+        ok = all(
+            os.path.exists(os.path.join(table, r))
+            for r in _cdf_files(table, m)
+        ) and all(
+            os.path.isdir(os.path.join(table, e["dir"]))
+            for e in m.get("dv", {}).values()
+        )
+        if not ok:
+            break
+        horizon = vv
+    raise SnapshotRetentionError(table, v, horizon, missing)
+
+
+def _snapshot_resolve_manifest(options: dict) -> tuple[str, int, dict]:
+    """(table, version, manifest) for the batch ``snapshot`` source's
+    options: ``path`` (required), ``version`` (time travel) or
+    ``asofts`` (TIMESTAMP AS OF, epoch seconds) — same resolution
+    rules as ``snapshot_read``."""
+    path = options.get("path")
+    if not path:
+        raise ValueError("snapshot source requires option 'path'")
+    ms = _cdf_manifests(path)
+    v_opt, ts_opt = options.get("version"), options.get("asofts")
+    if v_opt is not None and ts_opt is not None:
+        raise ValueError("pass either version or asofts, not both")
+    if ts_opt is not None:
+        eligible = [
+            v for v, m in ms.items() if m.get("ts", 0) <= float(ts_opt)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version of {path} existed at ts {ts_opt}"
+            )
+        v = max(eligible)
+    elif v_opt is not None:
+        v = int(v_opt)
+        if v not in ms:
+            raise ValueError(f"version {v} not in {sorted(ms)}")
+    else:
+        v = max(ms)
+    return path, v, ms[v]
+
+
+class _SnapshotFilePartition(InputPartition):
+    def __init__(self, rel: str, dv_entry: dict | None) -> None:
+        self.rel = rel
+        self.dv_entry = dv_entry
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Batch read of a snapshot table version — ONE input partition
+    per data file (the planner schedules files across executors like
+    any scan), deletion vectors subtracted per file, columns resolved
+    STRICTLY by parquet field id (pre-rename files read under the
+    requested version's names; dropped-then-re-added names never
+    resurrect old values). Rows travel as Arrow RecordBatches, not
+    per-row tuples — the batch path is throughput-critical in a way
+    the commit-sized change feed is not."""
+
+    def __init__(self, options: dict) -> None:
+        self.table, self.version, m = _snapshot_resolve_manifest(options)
+        ms = _cdf_manifests(self.table)
+        fields = m["schema"]["fields"]
+        self.fields = [f["name"] for f in fields]
+        self.field_ids = {
+            f["name"]: (f.get("metadata") or {}).get("parquet.field.id")
+            for f in fields
+        }
+        self.schema_json = m["schema"]
+        self.dv = m.get("dv", {})
+        if "files" not in m and not os.path.isdir(
+            os.path.join(self.table, m["data_dir"])
+        ):
+            _snapshot_require_retained(
+                self.table, self.version, ms, [m["data_dir"]]
+            )
+        self.files = _cdf_files(self.table, m)
+        _snapshot_require_retained(
+            self.table, self.version, ms,
+            self.files + sorted(
+                {e["dir"] for r, e in self.dv.items() if r in set(self.files)}
+            ),
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            _SnapshotFilePartition(rel, self.dv.get(rel))
+            for rel in self.files
+        ]
+
+    def read(self, partition: _SnapshotFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        t = pq.read_table(os.path.join(self.table, partition.rel))
+        if partition.dv_entry is not None:
+            dead = _cdf_dv_positions(
+                self.table, {partition.rel: partition.dv_entry}
+            ).get(partition.rel, set())
+            if dead:
+                mask = pa.array(
+                    [i not in dead for i in range(t.num_rows)]
+                )
+                t = t.filter(mask)
+        by_id = {}
+        for fld in t.schema:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        spark_fields = T.StructType.fromJson(self.schema_json).fields
+        cols, names = [], []
+        for f, sf in zip(self.fields, spark_fields):
+            fid = self.field_ids.get(f)
+            # id-carrying columns resolve strictly by id (NULL-fill
+            # when the file predates the column); name matching only
+            # for legacy id-less tables
+            src = by_id.get(int(fid)) if fid is not None else f
+            atype = to_arrow_type(sf.dataType)
+            if src is not None and src in t.column_names:
+                cols.append(t[src].cast(atype).combine_chunks())
+            else:
+                cols.append(pa.nulls(t.num_rows, type=atype))
+            names.append(f)
+        out = pa.table(cols, names=names)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("snapshot").option("version", v)
+    .load(<table>)`` — the table format's batch half of the connector
+    story (the stream is ``snapshot_cdf``). Also usable from plain
+    SQL: ``CREATE TEMPORARY VIEW t USING snapshot OPTIONS (path
+    '<table>', version '3')``. Omitting ``version`` reads head;
+    ``asofts`` gives TIMESTAMP AS OF."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        _, _, m = _snapshot_resolve_manifest(self.options)
+        base = T.StructType.fromJson(m["schema"])
+        # metadata-free, all-nullable copy: field-id resolution happens
+        # inside the reader, and pre-evolution files NULL-fill added
+        # columns, so the scan can never promise non-null
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in base]
+        )
+
+    def reader(self, schema) -> SnapshotBatchReader:
+        return SnapshotBatchReader(self.options)
+
+
+def register_snapshot(spark) -> None:
+    """Register the batch snapshot source (idempotent)."""
+    spark.dataSource.register(SnapshotDataSource)
+
+
 class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -554,34 +738,10 @@ class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
         return {"version": self.from_version}
 
     def _require_retained(self, v: int, ms: dict, rels) -> None:
-        """Typed retention error (mirrors the batch feed's): a vacuumed
-        file under a checkpointed offset range must not surface as a
-        raw pyarrow file-not-found."""
-        missing = next(
-            (r for r in rels
-             if not os.path.exists(os.path.join(self.table, r))),
-            None,
-        )
-        if missing is None:
-            return
-        horizon = None
-        for vv in sorted(ms, reverse=True):
-            m = ms[vv]
-            if "files" not in m and not os.path.isdir(
-                os.path.join(self.table, m["data_dir"])
-            ):
-                break
-            ok = all(
-                os.path.exists(os.path.join(self.table, r))
-                for r in _cdf_files(self.table, m)
-            ) and all(
-                os.path.isdir(os.path.join(self.table, e["dir"]))
-                for e in m.get("dv", {}).values()
-            )
-            if not ok:
-                break
-            horizon = vv
-        raise SnapshotRetentionError(self.table, v, horizon, missing)
+        """Typed retention error (shared with the batch source): a
+        vacuumed file under a checkpointed offset range must not
+        surface as a raw pyarrow file-not-found."""
+        _snapshot_require_retained(self.table, v, ms, rels)
 
     def _between(self, from_v: int, to_v: int):
         ms = _cdf_manifests(self.table)

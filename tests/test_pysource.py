@@ -856,3 +856,92 @@ def test_snapshot_cdf_stream_retype_mid_stream_raises(spark, tmp_path):
         it, _ = reader.read({"version": 0})
         list(it)
     assert ei.value.retyped == ["x"] and not ei.value.added
+
+
+def test_snapshot_batch_source_matches_snapshot_read(spark, tmp_path):
+    """The batch ``snapshot`` source (the connector story's missing
+    half): format-read ≡ ``snapshot_read`` at head, at a time-travel
+    version, and AS OF a timestamp — DV-deletes respected, renamed
+    columns resolved by field id, and the table readable from plain
+    SQL via CREATE TEMPORARY VIEW ... USING."""
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(50)],
+        "k long, x double, s string",
+    )
+    snap.snapshot_write(t, df.repartition(3), stats_cols=["k"])    # v0
+    snap.snapshot_delete_dv(spark, t, "k", 10, 19)                 # v1
+    snap.snapshot_rename_column(t, "x", "amount")                  # v2
+    ts_after_v1 = snap._manifests(t)[1]["ts"]
+
+    register_snapshot(spark)
+
+    def rows(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    head = spark.read.format("snapshot").load(t)
+    assert head.columns == ["k", "amount", "s"]  # rename visible
+    assert rows(head) == rows(snap.snapshot_read(spark, t))
+    # time travel by version — pre-rename names, DV respected
+    v1 = spark.read.format("snapshot").option("version", 1).load(t)
+    assert v1.columns == ["k", "x", "s"]
+    assert rows(v1) == rows(snap.snapshot_read(spark, t, version=1))
+    assert v1.count() == 40  # the DV-deleted rows are gone
+    # TIMESTAMP AS OF
+    asof = (
+        spark.read.format("snapshot").option("asofts", ts_after_v1).load(t)
+    )
+    assert rows(asof) == rows(
+        snap.snapshot_read(spark, t, as_of_ts=ts_after_v1)
+    )
+    # plain-SQL surface
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_batch_t "
+        f"USING snapshot OPTIONS (path '{t}', version '0')"
+    )
+    assert rows(spark.sql("SELECT * FROM snap_batch_t")) == rows(
+        snap.snapshot_read(spark, t, version=0)
+    )
+    spark.catalog.dropTempView("snap_batch_t")
+    # one input partition per data file (the scan parallelizes)
+    assert (
+        spark.read.format("snapshot").option("version", 0).load(t)
+        .rdd.getNumPartitions() == 3
+    )
+
+
+def test_snapshot_batch_source_vacuumed_version_raises_retention(
+    spark, tmp_path
+):
+    """Reading a vacuumed version through the batch source raises the
+    typed SnapshotRetentionError, not a raw pyarrow error."""
+    import pytest as _pytest
+
+    from exceldatatransform_py_spark.sources.pysource import (
+        register_snapshot,
+    )
+    from exceldatatransform_py_spark.sources.snapshot_common import (
+        SnapshotRetentionError,
+    )
+    from exceldatatransform_py_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    for n in (8, 4, 2):
+        snap.snapshot_write(
+            t,
+            spark.createDataFrame([(i,) for i in range(n)], "k long")
+            .coalesce(1),
+        )                                                      # v0..v2
+    snap.vacuum(t, keep_last=1)
+    register_snapshot(spark)
+    with _pytest.raises(Exception) as ei:
+        spark.read.format("snapshot").option("version", 0).load(t).collect()
+    # the planner may wrap it, but the typed message must surface
+    assert "vacuum removed" in str(ei.value) or isinstance(
+        ei.value, SnapshotRetentionError
+    )
