@@ -192,6 +192,24 @@ def cmd_index(spark: SparkSession, args: argparse.Namespace) -> None:
     lsh, bm25. ``probe`` delivers its result like ``query`` does
     (stdout or a parquet/csv sink)."""
     docs_kinds = {"dedup", "simhash", "novelty"}
+    if args.action == "delete":
+        # evict ids: tombstones consulted by every probe; the next
+        # compact purges them physically. --input is a parquet whose
+        # --id-col column names the ids (extra columns ignored).
+        from exceldatatransform_py_spark.sources.maintenance import (
+            delete_from_index,
+        )
+
+        if not args.input:
+            raise SystemExit(f"index delete {args.kind}: --input is required")
+        kind = "dedup" if args.kind == "novelty" else args.kind
+        n = delete_from_index(
+            spark, args.prefix, kind,
+            spark.read.parquet(args.input), args.id_col,
+        )
+        print(f"recorded {n} new tombstones for {args.prefix}",
+              file=sys.stderr)
+        return
     if args.action == "compact":
         # OPTIMIZE: fold streaming-append small files back to one per
         # partition/bucket; serve output is unchanged.
@@ -497,7 +515,8 @@ def main(argv: list[str] | None = None) -> None:
                         help="build / probe / append the persisted "
                              "retrieval & dedup indexes")
     ix.add_argument("action",
-                    choices=["build", "probe", "append", "compact"])
+                    choices=["build", "probe", "append", "delete",
+                             "compact"])
     ix.add_argument("kind",
                     choices=["dedup", "simhash", "novelty", "phash",
                              "audio", "video", "ivf",

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from exceldatatransform_py_spark.sources.maintenance import (
+    minus_tombstones as _minus_tombstones,
+)
+
 from exceldatatransform_py_spark.functions.text import (
     hashed_shingles,
     md5_hash32,
@@ -631,7 +635,9 @@ def incremental_near_dup(
         raise ValueError("incremental_near_dup: bands must divide k")
     new_inv = shingle_index(new_docs, id_col, text_col, n=n)
     new_bands = _band_rows(new_inv, k, bands)
-    corpus_bands = spark.table(f"{table_prefix}_bands")
+    corpus_bands = _minus_tombstones(
+        spark, table_prefix, spark.table(f"{table_prefix}_bands"), "doc"
+    )
 
     if max_bucket_docs is not None:
         hot = (
@@ -989,7 +995,9 @@ def incremental_fingerprint_near_dup(
     batch plus matched posting sizes."""
     new_fp = new_fp.withColumnRenamed(fp_col, "simhash").persist()
     new_bands = _simhash_band_rows(new_fp, id_col, "simhash")
-    corpus_bands = spark.table(f"{table_prefix}_simbands")
+    corpus_bands = _minus_tombstones(
+        spark, table_prefix, spark.table(f"{table_prefix}_simbands"), id_col
+    )
 
     if max_band_docs is not None:
         hot = (
@@ -1116,7 +1124,12 @@ def incremental_novelty(
     """
     new_inv = shingle_index(new_docs, id_col, text_col, n=n)
     corpus_sh = (
-        spark.table(f"{table_prefix}_shingles").select("h", "g").distinct()
+        _minus_tombstones(
+            spark, table_prefix,
+            spark.table(f"{table_prefix}_shingles"), "doc",
+        )
+        .select("h", "g")
+        .distinct()
     )
     seen = corpus_sh.withColumn("__seen", F.lit(1))
     per = (

@@ -267,14 +267,56 @@ def bm25_topk_from_index(
     Scores are identical to the live ``bm25_topk`` over the same
     corpus (pinned by test): the index stores exact integer tf/df/dl
     and the scoring expression is shared. The postings⋈df re-join is
-    co-located (both bucketed+sorted by ``tok``)."""
-    postings = spark.table(f"{table_prefix}_postings").join(
-        spark.table(f"{table_prefix}_df"), "tok"
+    co-located (both bucketed+sorted by ``tok``).
+
+    Tombstones (``maintenance.delete_from_index``) are respected
+    EXACTLY: deleted docs' postings and lengths anti-join away, the
+    per-token df subtracts the removals recorded at delete time
+    (``<prefix>_deldf``), and n_docs/avgdl recompute from the
+    surviving doc lengths — all exact integers, so the serve is
+    bit-identical before and after ``compact_index`` purges the
+    tombstones physically."""
+    from exceldatatransform_py_spark.sources.maintenance import (
+        index_tombstones,
     )
+
+    postings_t = spark.table(f"{table_prefix}_postings")
+    df_t = spark.table(f"{table_prefix}_df")
+    doclen_t = spark.table(f"{table_prefix}_doclen")
+    stats_t = spark.table(f"{table_prefix}_stats")
+    tomb = index_tombstones(spark, table_prefix)
+    if tomb is not None:
+        tomb_d = F.broadcast(tomb.withColumnRenamed("id", "doc_id"))
+        postings_t = postings_t.join(tomb_d, "doc_id", "left_anti")
+        doclen_t = doclen_t.join(tomb_d, "doc_id", "left_anti")
+        if spark.catalog.tableExists(f"{table_prefix}_deldf"):
+            corr = (
+                spark.table(f"{table_prefix}_deldf")
+                .groupBy("tok")
+                .agg(F.sum("dfrm").alias("__dfrm"))
+            )
+            df_t = (
+                df_t.join(corr, "tok", "left")
+                .select(
+                    "tok",
+                    (
+                        F.col("df")
+                        - F.coalesce(F.col("__dfrm"), F.lit(0))
+                    ).alias("df"),
+                )
+                .filter(F.col("df") > 0)
+            )
+        stats_t = doclen_t.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
     return bm25_topk(
         query_terms,
-        postings,
-        spark.table(f"{table_prefix}_doclen"),
-        spark.table(f"{table_prefix}_stats"),
+        postings_t.join(df_t, "tok"),
+        doclen_t,
+        stats_t,
         k=k,
     )

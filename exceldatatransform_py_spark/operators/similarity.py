@@ -31,6 +31,28 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from exceldatatransform_py_spark.sources.maintenance import (
+    minus_tombstones as _minus_tombstones,
+)
+
+
+def _index_cells(spark, table_prefix: str) -> DataFrame:
+    """The IVF-family cell lists minus any recorded tombstones — the
+    one read path every serve/curve flavor shares, so a
+    ``delete_from_index`` is respected everywhere at once."""
+    return _minus_tombstones(
+        spark, table_prefix,
+        spark.table(f"{table_prefix}_cells"), "neighbor_id",
+    )
+
+
+def _index_buckets(spark, table_prefix: str) -> DataFrame:
+    """The LSH bucket table minus any recorded tombstones."""
+    return _minus_tombstones(
+        spark, table_prefix,
+        spark.table(f"{table_prefix}_buckets"), "neighbor_id",
+    )
+
 
 SCALE = 1_000_000_000_000  # 1e12: products ≤ ~1 → terms ≤ 1e12, 4096-dim sums < 2^62
 
@@ -358,7 +380,7 @@ def lsh_topk_from_index(
     planes = _stored_planes(spark, table_prefix)
     return _lsh_serve(
         queries,
-        spark.table(f"{table_prefix}_buckets"),
+        _index_buckets(spark, table_prefix),
         planes,
         id_col,
         vec_col,
@@ -630,7 +652,7 @@ def ivf_topk_from_index(
         )
     return _ivf_serve(
         queries,
-        spark.table(f"{table_prefix}_cells"),
+        _index_cells(spark, table_prefix),
         spark.table(f"{table_prefix}_centroids"),
         id_col,
         vec_col,
@@ -810,7 +832,7 @@ def ivf_sq8_topk_from_index(
     quantized)."""
     cb = spark.table(f"{table_prefix}_codebook")
     cells = (
-        spark.table(f"{table_prefix}_cells")
+        _index_cells(spark, table_prefix)
         .join(F.broadcast(cb))
         .select(
             "neighbor_id",
@@ -1200,7 +1222,7 @@ def ivf_pq_topk_from_index(
     )
     centroids = spark.table(f"{table_prefix}_centroids")
     _, _, residual = _pq_stored_shape(spark, table_prefix)
-    cells = spark.table(f"{table_prefix}_cells").join(F.broadcast(cbarr))
+    cells = _index_cells(spark, table_prefix).join(F.broadcast(cbarr))
     if residual:
         # residual-trained index: reconstruction = centroid + decoded
         # residual (the centroid join is a broadcast on the partition
@@ -1399,7 +1421,7 @@ def ivf_pq_adc_topk_from_index(
             idxs, lambda i: F.element_at(F.col("__map"), i)
         ).alias("__arr"),
     )
-    cells = spark.table(f"{table_prefix}_cells").select(
+    cells = _index_cells(spark, table_prefix).select(
         "neighbor_id", "codes", "cell"
     )
 
@@ -1506,7 +1528,7 @@ def ivf_curve_from_index(
     candidate join runs ONCE at the widest width and is sliced by
     probe rank per point; the exact baseline is one brute-force pass
     (this is the tuning cost a deployment pays once)."""
-    cells = spark.table(f"{table_prefix}_cells")
+    cells = _index_cells(spark, table_prefix)
     centroids = spark.table(f"{table_prefix}_centroids")
     corpus = cells.select(
         F.col("neighbor_id").alias(id_col),
@@ -1611,7 +1633,7 @@ def lsh_curve_from_index(
     Candidates are computed ONCE at the widest radius with their
     flip distance recorded, then sliced."""
     planes = _stored_planes(spark, table_prefix)
-    buckets = spark.table(f"{table_prefix}_buckets")
+    buckets = _index_buckets(spark, table_prefix)
     corpus = buckets.select(
         F.col("neighbor_id").alias(id_col),
         F.col("vec").alias(vec_col),

@@ -4417,6 +4417,60 @@ def incremental_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Delete propagation through the persisted index, scored — the evict
+# half of the curation loop (the admit half is the probe above): the
+# corpus split is indexed, a deterministic victim subset is DELETED
+# (delete_from_index tombstones, the retrieval-layer twin of the
+# snapshot layer's deletion vectors), and the batch probe must stop
+# returning the dead ids IMMEDIATELY — no rebuild, no compact needed.
+# The oracle is the same full-LSH cross slice with the corpus side
+# additionally filtered to the survivors: tombstoning must be
+# indistinguishable from never having indexed the victims (pinned
+# per-family, purge included, in tests/test_index_delete.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_after_delete",
+    oracle=_mh_oracle()
+    + """
+    SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS id_a,
+           CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS id_b,
+           jaccard
+    FROM mh
+    WHERE (id_a % 4 = 0) != (id_b % 4 = 0)
+      AND (CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END) % 5 != 0
+    """,
+)
+def incremental_dedup_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_near_dup,
+    )
+    from exceldatatransform_py_spark.sources.maintenance import (
+        delete_from_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    token = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"incdelq_{token}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}")
+    build_dedup_index(corpus, prefix, n_buckets=8, path=path)
+    delete_from_index(
+        spark, prefix, "dedup",
+        corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        "doc_id",
+    )
+    return incremental_near_dup(spark, prefix, batch, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
 # IVF-SQ8 served from the persisted quantized index, scored: build
 # the index (cells = uint8 codes partitioned by cell, one-row
 # codebook, float centroids), serve top-5 with full-precision queries

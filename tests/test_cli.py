@@ -210,15 +210,28 @@ def test_cli_index_build_probe_append_loop(spark, tmp_path):
         # batch-1 ids are visible as match partners of batch 2
         assert p2.filter(F.col("id_b") < 50).count() > 0
         assert os.path.isdir(out1)
-        # OPTIMIZE through the CLI: probe result unchanged afterwards
+        # EVICT through the CLI: delete batch 1's ids — the probe
+        # stops seeing them immediately (tombstones, no rebuild)
+        main(["index", "delete", "dedup", "--prefix", prefix,
+              "--input", b1_p])
+        out_del = str(tmp_path / "probe_del")
+        main(["index", "probe", "dedup", "--prefix", prefix,
+              "--input", b2_p, "--output", out_del])
+        pdel = spark.read.parquet(out_del)
+        assert pdel.filter(F.col("id_b") < 50).count() == 0
+        assert sorted(map(tuple, pdel.collect())) == sorted(
+            map(tuple, p2.filter(F.col("id_b") >= 50).collect())
+        )
+        # OPTIMIZE through the CLI purges the tombstones physically:
+        # probe result unchanged afterwards
         main(["index", "compact", "dedup", "--prefix", prefix])
         out3 = str(tmp_path / "probe3")
         main(["index", "probe", "dedup", "--prefix", prefix,
               "--input", b2_p, "--output", out3])
         assert sorted(map(tuple, spark.read.parquet(out3).collect())) == \
-            sorted(map(tuple, p2.collect()))
+            sorted(map(tuple, pdel.collect()))
     finally:
-        for t in ("bands", "shingles"):
+        for t in ("bands", "shingles", "deleted"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
