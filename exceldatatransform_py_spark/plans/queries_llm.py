@@ -1329,47 +1329,11 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "cross_modal_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE
-    xtp AS ({_simhash_pairs_oracle()}),
-    xip AS ({_phash_oracle()}),
-    xap AS ({_AUDIO_PAIRS_ORACLE}),
-    xvp AS ({_VIDEO_PAIRS_ORACLE}),
-    xedges AS (
-      SELECT a_id, b_id FROM xtp
-      UNION SELECT a_id, b_id FROM xip
-      UNION SELECT a_id, b_id FROM xap
-      UNION SELECT a_id, b_id FROM xvp
-    ),
-    xsym(s, d) AS (
-      SELECT a_id, b_id FROM xedges
-      UNION ALL
-      SELECT b_id, a_id FROM xedges
-    ),
-    xreach(v, r) AS (
-      SELECT s, d FROM xsym
-      UNION
-      SELECT xreach.v, xsym.d FROM xreach JOIN xsym ON xreach.r = xsym.s
-    ),
-    xcc AS (SELECT v, least(v, min(r)) AS cluster_id FROM xreach GROUP BY v),
-    xasg AS (
-      SELECT d.doc_id, COALESCE(xcc.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN xcc ON d.doc_id = xcc.v
-    )
-    SELECT doc_id, cluster_id,
-           doc_id = cluster_id AS is_canonical,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-             AS cluster_size
-    FROM xasg
-    """,
-)
-def cross_modal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exceldatatransform_py_spark.operators.dedup import (
-        connected_components,
-        simhash_near_dup,
-    )
+def _cross_modal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The union of all four modality near-dup edge sets (text
+    SimHash, image pHash, audio energy-delta, video keyframe dHash)
+    — shared by the cluster query and the v4 curation pipeline."""
+    from exceldatatransform_py_spark.operators.dedup import simhash_near_dup
     from exceldatatransform_py_spark.operators.multimodal import (
         audio_fingerprint,
         image_phash,
@@ -1412,13 +1376,59 @@ def cross_modal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", fp_col="vfp",
         ham_max=_AFP_HAM_MAX, max_band_docs=_AFP_MAX_BAND_DOCS,
     )
-    edges = (
+    return (
         tpairs.select("a_id", "b_id")
         .unionByName(ipairs.select("a_id", "b_id"))
         .unionByName(apairs.select("a_id", "b_id"))
         .unionByName(vpairs.select("a_id", "b_id"))
         .distinct()
     )
+
+
+
+@register(
+    "cross_modal_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    xtp AS ({_simhash_pairs_oracle()}),
+    xip AS ({_phash_oracle()}),
+    xap AS ({_AUDIO_PAIRS_ORACLE}),
+    xvp AS ({_VIDEO_PAIRS_ORACLE}),
+    xedges AS (
+      SELECT a_id, b_id FROM xtp
+      UNION SELECT a_id, b_id FROM xip
+      UNION SELECT a_id, b_id FROM xap
+      UNION SELECT a_id, b_id FROM xvp
+    ),
+    xsym(s, d) AS (
+      SELECT a_id, b_id FROM xedges
+      UNION ALL
+      SELECT b_id, a_id FROM xedges
+    ),
+    xreach(v, r) AS (
+      SELECT s, d FROM xsym
+      UNION
+      SELECT xreach.v, xsym.d FROM xreach JOIN xsym ON xreach.r = xsym.s
+    ),
+    xcc AS (SELECT v, least(v, min(r)) AS cluster_id FROM xreach GROUP BY v),
+    xasg AS (
+      SELECT d.doc_id, COALESCE(xcc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN xcc ON d.doc_id = xcc.v
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM xasg
+    """,
+)
+def cross_modal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exceldatatransform_py_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    edges = _cross_modal_edges(spark, sf_dir)
     cc = connected_components(
         edges, src="a_id", dst="b_id", nodes=docs, node_col="doc_id"
     )
@@ -6235,6 +6245,119 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__dk") == 1)
         .drop("__dk")
     )
+    w = Window.partitionBy("source").orderBy(
+        F.col("margin").desc(), F.col("doc_id")
+    )
+    quota = kept.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _QUOTA_PER_SOURCE
+    )
+    return quota.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("margin").alias("min_margin"),
+        F.max("margin").alias("max_margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v4 — the CROSS-MODAL stage composed into the
+# end-to-end pipeline (the north-star shape: dedup across ALL
+# modalities before quota-ranking): connected components over the
+# union of all four modality edge sets picks one canonical doc per
+# cluster, the learned classifier gates the canonicals, and the
+# per-source quota ranks by margin. v3's exact text dedup is replaced
+# by the cross-modal canonical set — a near-dup in ANY modality now
+# collapses to one representative. Scale shape: the four edge
+# generators are banded (never all-pairs), CC is the pointer-doubling
+# loop, and the NON-canonical id set (only docs inside multi-doc
+# clusters — the duplicates, tiny by construction) broadcasts into an
+# anti-join against the gated scan, so the corpus-sized side never
+# shuffles for the dedup step. The oracle nests the full cross-modal
+# closure AND the classifier training CTEs under one WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_v4",
+    oracle=rf"""
+    WITH RECURSIVE {_qc_train_ctes()},
+    qcms AS (
+      SELECT f.id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+      FROM qcf f JOIN qcw{_QC_ITERS} w USING (j) GROUP BY f.id
+    ),
+    xtp AS ({_simhash_pairs_oracle()}),
+    xip AS ({_phash_oracle()}),
+    xap AS ({_AUDIO_PAIRS_ORACLE}),
+    xvp AS ({_VIDEO_PAIRS_ORACLE}),
+    xedges AS (
+      SELECT a_id, b_id FROM xtp
+      UNION SELECT a_id, b_id FROM xip
+      UNION SELECT a_id, b_id FROM xap
+      UNION SELECT a_id, b_id FROM xvp
+    ),
+    xsym(s, d) AS (
+      SELECT a_id, b_id FROM xedges
+      UNION ALL
+      SELECT b_id, a_id FROM xedges
+    ),
+    xreach(v, r) AS (
+      SELECT s, d FROM xsym
+      UNION
+      SELECT xreach.v, xsym.d FROM xreach JOIN xsym ON xreach.r = xsym.s
+    ),
+    xnc AS (
+      SELECT v AS doc_id FROM (
+        SELECT v, least(v, min(r)) AS cluster_id FROM xreach GROUP BY v
+      ) WHERE v != cluster_id
+    ),
+    v4g AS (
+      SELECT d.doc_id, d.source, d.lang, qm.m AS margin,
+             CAST(len({_QTOKS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN qcms qm ON d.doc_id = qm.id
+      WHERE {_qc_prob_sql("qm.m")} * 2 >= {_QC_SCALE}
+        AND d.doc_id NOT IN (SELECT doc_id FROM xnc)
+    ),
+    v4q AS (
+      SELECT * FROM (
+        SELECT v4g.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY margin DESC, doc_id) AS rk
+        FROM v4g
+      ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(margin) AS min_margin,
+           MAX(margin) AS max_margin
+    FROM v4q GROUP BY lang
+    """,
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from exceldatatransform_py_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    edges = _cross_modal_edges(spark, sf_dir)
+    cc = connected_components(
+        edges, src="a_id", dst="b_id", nodes=docs, node_col="doc_id"
+    )
+    # only docs INSIDE a multi-doc cluster are non-canonical — the
+    # small side by construction, so the dedup step is a broadcast
+    # anti-join and the scored corpus scan never shuffles for it
+    non_canon = cc.filter(F.col("v") != F.col("cluster_id")).select(
+        F.col("v").alias("doc_id")
+    )
+    scored = _qc_scored(spark, sf_dir, extra=("source", "lang", "text"))
+    gated = scored.filter(F.col("predicted")).select(
+        F.col("id").alias("doc_id"), "source", "lang",
+        F.col("margin_fixed").alias("margin"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+    )
+    kept = gated.join(F.broadcast(non_canon), "doc_id", "left_anti")
     w = Window.partitionBy("source").orderBy(
         F.col("margin").desc(), F.col("doc_id")
     )

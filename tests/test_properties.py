@@ -570,8 +570,11 @@ def test_kmeans_assignment_is_argmin_and_matches_python(spark):
         "cross_modal_dedup_clusters",
         "snapshot_replicate_orders",
         # round-11 batch: tombstoned probes are the fixed-point probe
-        # minus a deterministic id set — pure functions of the data.
+        # minus a deterministic id set, and the v4 pipeline composes
+        # fixed-point stages (edge sets, CC, classifier margins) —
+        # pure functions of the data.
         "incremental_dedup_after_delete",
+        "curation_pipeline_v4",
     ],
 )
 def test_result_invariant_to_shuffle_parallelism(spark, qname):
