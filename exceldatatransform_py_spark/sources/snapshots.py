@@ -2992,7 +2992,7 @@ def replicate_snapshot_changes(
     keys: Sequence[str],
     app_id: str = "cdf-replica",
     max_versions: int | None = None,
-    fold_versions: int | None = None,
+    fold_versions: int | None = 64,
 ) -> int:
     """Advance a replica table by CONSUMING the source's change feed —
     the incremental CDC-replication loop, exactly-once:
@@ -3018,20 +3018,27 @@ def replicate_snapshot_changes(
       join keys mid-drain; dropping a key column fails fast;
     * layout-only source commits advance the cursor with a
       metadata-only ``cdc_noop`` commit (nothing re-written);
-    * ``fold_versions=N`` (opt-in) drains runs of up to N consecutive
-      ROW-CHANGE source versions as ONE ``cdc_apply`` commit — a
-      replica catching up over thousands of small commits stops
-      paying per-version Spark-job + manifest overhead. The fold
-      sequences the combined feed correctly for multisets: deletes
-      are the union of all deleted keys in the window (a later feed
-      insert adds a NEW row, never resurrects the old one), and an
-      insert survives unless a STRICTLY LATER version deletes its key
-      (the delete/insert pair inside one version keeps its
-      delete-first order). ``latest_changes`` is NOT reused here —
-      its one-row-per-key contract would drop multi-row appends under
-      a shared key. A fold stops at any schema / constraint /
-      rollback commit (those replay individually, and a
-      schema-reverting rollback still fails fast);
+    * ``fold_versions=N`` (DEFAULT 64; pass ``None`` or ``1`` for the
+      strict one-commit-per-source-version drain) drains runs of up
+      to N consecutive ROW-CHANGE source versions as ONE
+      ``cdc_apply`` commit — a replica catching up over thousands of
+      small commits stops paying per-version Spark-job + manifest
+      overhead (at this harness's bench scale a 2-version drain costs
+      ~12 Spark jobs per version in feed reconstruction + apply; the
+      fold pays that once per window). The fold sequences the
+      combined feed correctly for multisets: deletes are the union of
+      all deleted keys in the window (a later feed insert adds a NEW
+      row, never resurrects the old one), and an insert survives
+      unless a STRICTLY LATER version deletes its key (the
+      delete/insert pair inside one version keeps its delete-first
+      order). ``latest_changes`` is NOT reused here — its
+      one-row-per-key contract would drop multi-row appends under a
+      shared key. A fold stops at any schema / constraint / rollback
+      commit (those replay individually, and a schema-reverting
+      rollback still fails fast) AND at any commit whose schema
+      signature differs from the window's first version (a widening
+      merge, say) — fold windows are schema-constant by construction,
+      so the combined feed never mixes column sets;
       ``txn=(app_id, last folded version)`` keeps exactly-once — a
       crash between folds resumes from the ledger cursor;
     * a replica that does not exist yet is bootstrapped from source
@@ -3157,9 +3164,16 @@ def replicate_snapshot_changes(
                 budget = fold_versions
                 if max_versions is not None:
                     budget = min(budget, max_versions - applied)
+                sig0 = _schema_commit_sig(m)
                 while (end - v + 1) < budget and end + 1 <= src_latest:
-                    nk = src_ms[end + 1].get("kind")
-                    if nk in fold_stop_kinds:
+                    nxt = src_ms[end + 1]
+                    if nxt.get("kind") in fold_stop_kinds:
+                        break
+                    # schema-constant windows only: a widening merge
+                    # (row-change kind, schema changes) replays as its
+                    # own commit so the folded feed never mixes
+                    # column sets
+                    if _schema_commit_sig(nxt) != sig0:
                         break
                     end += 1
             feed = snapshot_changes(

@@ -3015,7 +3015,10 @@ def test_replicate_applies_incrementally_not_by_rewrite(spark, table, tmp_path):
     vectors, inserts as appended files, EVERY pre-existing replica
     file inherited by reference (rewritten_files == 0 always; a
     delete-only version appends nothing). Still row-identical to the
-    source and exactly-once across a replayed drain."""
+    source and exactly-once across a replayed drain. Pins the strict
+    one-commit-per-version drain (``fold_versions=1``); the r12
+    default folds consecutive row-change versions — covered by
+    ``test_replicate_folded_drain_matches_one_at_a_time``."""
     import json
 
     from exceldatatransform_py_spark.sources.snapshots import (
@@ -3042,7 +3045,9 @@ def test_replicate_applies_incrementally_not_by_rewrite(spark, table, tmp_path):
         on=["k"], update_cols=["x"], when_not_matched_insert=True,
     )                                                          # v2 update+insert
 
-    assert replicate_snapshot_changes(spark, src, dst, keys=["k"]) == 3
+    assert replicate_snapshot_changes(
+        spark, src, dst, keys=["k"], fold_versions=1
+    ) == 3
     assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, src))
 
     with open(os.path.join(dst, "_versions", "v00000.json")) as f:
@@ -3566,8 +3571,11 @@ def test_replicate_folded_drain_matches_one_at_a_time(
             # delete the key inserted 2 versions ago
             snap.snapshot_delete_dv(spark, src, "k", 100 + i - 2, 100 + i - 2)
 
-    # one-at-a-time reference replica
-    snap.replicate_snapshot_changes(spark, src, dst_one, keys=["k"])
+    # one-at-a-time reference replica (explicit: folding is the
+    # default since r12)
+    snap.replicate_snapshot_changes(
+        spark, src, dst_one, keys=["k"], fold_versions=1
+    )
     # folded drain, crash-interrupted after the first fold
     n1 = snap.replicate_snapshot_changes(
         spark, src, dst_fold, keys=["k"], fold_versions=8, max_versions=9
